@@ -1,0 +1,88 @@
+"""Table loaders for the parquet test catalog (and, in production, JDBC).
+
+The reference reads its source tables by shipping SELECT strings to
+PostgreSQL (reference db.py:54-59, extract.py:52-419).  Here a source
+is a lazy DataFrame: ``spark.read.parquet`` in the test environment,
+``spark.read.format("jdbc")`` against a live database — either way
+Catalyst pushes filters/projections into the scan, so downstream
+operators stay source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import pin_conf
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table as a lazy DataFrame.
+
+    ``events`` needs special handling: the file stores TIMESTAMP(NANOS)
+    which Spark reads (under nanosAsLong) as int64.  We keep the exact
+    nanos as ``ts_ns`` and derive ``ts`` as the micro-truncated
+    TIMESTAMP_NTZ — bit-identical to what DuckDB produces when it
+    truncates the same file's nanos to micros, so oracle comparisons
+    on ``ts`` are exact.
+    """
+    pin_conf(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """Production-path JDBC source (reference db.py:54-59 equivalent).
+
+    With ``partition_column`` + bounds the scan parallelizes across
+    ``num_partitions`` executor-side connections; Catalyst pushes
+    predicates into the remote engine (pushDownPredicate default on).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_or_query)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
