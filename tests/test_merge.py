@@ -1,0 +1,103 @@
+"""Unit tests for the merge/upsert sink semantics (reference load.py L1-L6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_pipe_spark.operators.merge import insert_if_absent, scd2_apply_versions, upsert
+
+
+def _t(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_upsert_partial_update(spark):
+    """L1: matched rows update only the mutable columns; immutable kept."""
+    existing = spark.createDataFrame(
+        [(1, "a", "created1", 10.0), (2, "b", "created2", 20.0)],
+        "id long, status string, created_by string, score double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", "HACKED", 22.0), (3, "c", "created3", 30.0)],
+        "id long, status string, created_by string, score double",
+    )
+    out = upsert(existing, updates, keys=["id"], update_cols=["status", "score"])
+    assert _rows(out, "id", "status", "created_by", "score") == [
+        (1, "a", "created1", 10.0),
+        (2, "b2", "created2", 22.0),  # created_by NOT overwritten
+        (3, "c", "created3", 30.0),
+    ]
+
+
+def test_upsert_last_version_wins_within_batch(spark):
+    existing = spark.createDataFrame([], "id long, status string, ver long")
+    updates = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2)], "id long, status string, ver long"
+    )
+    out = upsert(existing, updates, keys=["id"], order_col="ver")
+    assert _rows(out, "id", "status") == [(1, "new")]
+
+
+def test_upsert_replay_idempotent(spark):
+    existing = spark.createDataFrame([(1, "x")], "id long, status string")
+    updates = spark.createDataFrame([(1, "y"), (2, "z")], "id long, status string")
+    once = upsert(existing, updates, keys=["id"])
+    twice = upsert(once, updates, keys=["id"])
+    assert _rows(once, "id", "status") == _rows(twice, "id", "status")
+
+
+def test_insert_if_absent(spark):
+    """L4/L6: conflicts (incl. within-batch dupes) silently dropped."""
+    existing = spark.createDataFrame([("k1", 1)], "source_key string, v long")
+    updates = spark.createDataFrame(
+        [("k1", 99), ("k2", 2), ("k2", 2), ("k3", 3)], "source_key string, v long"
+    )
+    out = insert_if_absent(existing, updates, ["source_key"])
+    got = _rows(out, "source_key", "v")
+    assert got == [("k1", 1), ("k2", 2), ("k3", 3)]  # k1 keeps original value
+
+
+def test_scd2_close_versions(spark):
+    """L2/L5: a new version closes the previous one; replay is a no-op."""
+    ddl = ("key string, ts timestamp_ntz, payload string, "
+           "version_ended_at timestamp_ntz, is_current_version boolean")
+    existing = spark.createDataFrame(
+        [("a", _t(1), "v1", None, True)],
+        ddl,
+    )
+    updates = spark.createDataFrame(
+        [("a", _t(2), "v2"), ("b", _t(1, 12), "w1")],
+        "key string, ts timestamp_ntz, payload string",
+    )
+    out = scd2_apply_versions(existing, updates, keys=["key"], ts_col="ts")
+    got = {(r.key, str(r.ts)): (r.payload, str(r.version_ended_at), r.is_current_version)
+           for r in out.collect()}
+    assert got[("a", str(_t(1)))] == ("v1", str(_t(2)), False)
+    assert got[("a", str(_t(2)))][2] is True
+    assert got[("b", str(_t(1, 12)))][2] is True
+    # replay the same update batch: identical snapshot
+    again = scd2_apply_versions(out, updates, keys=["key"], ts_col="ts")
+    assert sorted(map(str, again.collect())) == sorted(map(str, out.collect()))
+
+
+def test_scd2_out_of_order_late_version(spark):
+    """A late-arriving middle version splices into the chain correctly."""
+    existing = spark.createDataFrame(
+        [("a", _t(1), "v1", _t(3), False),
+         ("a", _t(3), "v3", None, True)],
+        ("key string, ts timestamp_ntz, payload string, "
+         "version_ended_at timestamp_ntz, is_current_version boolean"),
+    )
+    late = spark.createDataFrame(
+        [("a", _t(2), "v2")], "key string, ts timestamp_ntz, payload string"
+    )
+    out = scd2_apply_versions(existing, late, keys=["key"], ts_col="ts")
+    got = {str(r.ts): (r.payload, str(r.version_ended_at), r.is_current_version)
+           for r in out.collect()}
+    assert got[str(_t(1))] == ("v1", str(_t(2)), False)
+    assert got[str(_t(2))] == ("v2", str(_t(3)), False)
+    assert got[str(_t(3))][2] is True
