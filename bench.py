@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized via the noop writer (count() would
+let Spark prune projections and undercount the real work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative, scale-sensitive subset of the registry: scans, joins,
+# aggregation, union, windows, JSON, streaming-shaped sessionization,
+# dedup (exact + LSH), similarity (brute force + IVF), multimodal.
+HEADLINE = [
+    "run_summary_rollup",
+    "pricing_summary",
+    "denorm_join",
+    "double_role_dim_join",
+    "timeline_union",
+    "topk_orders",
+    "wide_projection",
+    "json_flatten_props",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "current_version_window",
+    "doc_quality_score",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "similarity_ann_ivf",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    from etl_pipe_spark.plans.catalog import queries
+    from etl_pipe_spark.session import get_spark
+
+    spark = get_spark("etl-pipe-spark-bench")
+    qs = queries()
+
+    # Warm the JVM + file listing so query timings measure the plans.
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

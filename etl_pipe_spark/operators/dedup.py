@@ -1,0 +1,141 @@
+"""Near-duplicate detection operators for training-data pipelines.
+
+Spark-first shapes for 100 TB corpora:
+
+* shingling and hashing are native array expressions (codegen'd);
+* candidate generation is hash-bucketed (inverted shingle index for
+  Jaccard, MinHash band buckets for LSH) — never an all-pairs cross
+  join;
+* hashes are md5-derived integers (functions/text.py hash32/hash60),
+  reproducible in any engine, so the whole pipeline — including LSH
+  banding — is oracle-checkable against DuckDB, unlike engine-native
+  hash() functions.
+
+MinHash math: h32 maps each shingle into [0, 2^32); permutation i is
+(a_i * h + b_i) mod P with P the smallest prime > 2^32 and a_i < 2^30
+so products stay inside signed 64-bit on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import hash32, shingles
+
+MINHASH_P = 4294967311  # smallest prime > 2^32
+
+# Deterministic permutation coefficients (16 permutations = 4 bands x 4 rows).
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+PERM_A = [(1000003 * (i + 1) + 333) % (2**30) for i in range(N_PERM)]
+PERM_B = [(998244353 * (i + 7) + 777) % MINHASH_P for i in range(N_PERM)]
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    return (
+        docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index.
+
+    Pairs sharing >=1 shingle are enumerated by an equi-join on the
+    shingle (linear in index size, not quadratic in documents), then
+    |A ∩ B| / |A ∪ B| is computed exactly.  ``candidates`` (from LSH)
+    restricts the verify set.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["left_id", "right_id"])
+    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("n_shingles").alias("n_left"))
+    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("n_shingles").alias("n_right"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_left") + F.col("n_right") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sa, "left_id").join(sb, "right_id")
+        .select("left_id", "right_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """Per-document MinHash signature: one min-aggregate per permutation."""
+    h = hash32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(PERM_A[i]) * h + F.lit(PERM_B[i])) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Banded LSH: docs agreeing on any full band become candidates.
+
+    Band key is md5 over the band's signature values — a string both
+    engines render identically.  One narrow unionByName per band, an
+    equi-join per bucket; no quadratic stage anywhere.
+    """
+    bands = []
+    for band in range(N_BANDS):
+        cols = [F.col(f"mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            signatures.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    a, b = all_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """Per-document SimHash fingerprint over whitespace tokens.
+
+    Token multiset (not set: repeats weigh) hashed to 32 bits; bit j of
+    the fingerprint is the sign of sum(+1/-1 over tokens' bit j).
+    Integer arithmetic end to end — exact on every engine.
+    """
+    from ..functions.text import ws_tokens
+
+    toks = docs.select(
+        id_col, F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    h = hash32(F.col("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select(id_col, fingerprint.cast("bigint").alias("simhash"))

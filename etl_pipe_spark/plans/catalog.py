@@ -41,15 +41,17 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+_PLAN_MODULES = (
+    "relational", "json_ops", "windows", "incremental", "streaming_plans",
+    "extensions", "dedup_plans",
+)
+
+
 def _load_all() -> None:
     """Import every plan module so registration side-effects run."""
-    from . import relational  # noqa: F401
-
-    for mod in ("json_ops", "windows", "extensions", "incremental"):
-        try:
-            __import__(f"{__name__.rsplit('.', 1)[0]}.{mod}")
-        except ImportError:
-            pass
+    pkg = __name__.rsplit(".", 1)[0]
+    for mod in _PLAN_MODULES:
+        __import__(f"{pkg}.{mod}")
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,247 @@
+"""Near-dup dedup + ANN scale-path queries (SURVEY §2.12), every stage
+oracle-checked — including MinHash LSH banding, which is possible only
+because all hashes are md5-derived integers (operators/dedup.py), not
+engine-native hash() calls.
+
+The DuckDB oracle SQL is generated from the same permutation constants
+as the Spark operators (single source of truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions import vectors as VX
+from ..operators import dedup as DD
+from ..sources.catalog import load_table
+from .catalog import register
+
+# Shared shingle CTE (3-gram word shingles, distinct per doc) — the SQL
+# twin of operators/dedup.py shingle_sets().
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[t.i : t.i + 2], ' ') AS shingle
+  FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+)
+"""
+
+_JACCARD_TAIL = """
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+),
+inter AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.left_id, i.right_id,
+         CAST(i.n_common AS DOUBLE)
+           / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.left_id
+  JOIN sizes sb ON sb.doc_id = i.right_id
+)
+"""
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_CTE}, {_JACCARD_TAIL}
+SELECT left_id, right_id, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted shingle index.
+
+    Candidate pairs come from the shingle equi-join (linear in index
+    size), never an all-pairs cross join — the shape that survives a
+    100 TB corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(docs, n=3)
+    return DD.jaccard_pairs(sh, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding, then exact-Jaccard verification of candidates.
+# --------------------------------------------------------------------------
+
+def _duck_minhash_sql() -> str:
+    h = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
+    sig_cols = ",\n    ".join(
+        f"min(({DD.PERM_A[i]} * {h} + {DD.PERM_B[i]}) % {DD.MINHASH_P}) AS mh{i}"
+        for i in range(DD.N_PERM)
+    )
+    band_selects = []
+    for band in range(DD.N_BANDS):
+        cols = ", ".join(
+            f"mh{band * DD.ROWS_PER_BAND + r}" for r in range(DD.ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    bands_union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+SELECT c.left_id, c.right_id, j.jaccard
+FROM cand c JOIN jac j ON j.left_id = c.left_id AND j.right_id = c.right_id
+WHERE j.jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_duck_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) -> 4x4 LSH bands -> candidates -> exact verify.
+
+    The full shingle->minhash->band->bucket-join pipeline: candidate
+    generation cost is bands x docs, verification touches only bucket
+    collisions.  Threshold 0.5 with 4-row bands puts the S-curve
+    midpoint near 0.84, so this demonstrates the recall-vs-cost dial
+    (exact pass: dedup_ngram_jaccard).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(docs, n=3)
+    cand = DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
+    return DD.jaccard_pairs(sh, threshold=0.5, candidates=cand)
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints.
+# --------------------------------------------------------------------------
+
+def _duck_simhash_sql(bits: int = 32) -> str:
+    h = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ({h} & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register("dedup_simhash", oracle=_duck_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (integer-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash(docs)
+
+
+# --------------------------------------------------------------------------
+# ANN scale path: IVF-style deterministic coarse quantizer.
+# --------------------------------------------------------------------------
+
+_ANN_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 97 = 0
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                    DESC,
+               c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT a.vec_id AS query_id, a.cent_id, e.v AS qv
+  FROM assign a JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, e.v)
+                  / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+                  DESC,
+             a.vec_id) AS rnk
+  FROM q
+  JOIN assign a ON a.cent_id = q.cent_id AND a.vec_id != q.query_id
+  JOIN e ON e.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
+"""
+
+
+@register("similarity_ann_ivf", oracle=_ANN_IVF_ORACLE)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor (the 100 TB path).
+
+    Deterministic coarse quantizer: ~1% of vectors (vec_id % 97 == 0)
+    act as centroids; every vector is assigned to its best-cosine
+    centroid (broadcast centroid table — one pass over the data).
+    A query probes only its own cell (nprobe=1), so search cost is
+    |cell| instead of N.  Probed recall vs the brute-force baseline
+    (similarity_topk_cosine) is the quality metric; all arithmetic is
+    the bit-parity cosine from functions/vectors.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double(F.col("embedding")).alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    assign_scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id", VX.cosine(F.col("v"), F.col("cv")).alias("c")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
+    assign = (
+        assign_scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    q = (
+        assign.filter(F.col("vec_id") % 100 == 0)
+        .join(emb, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv"))
+    )
+    cand = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v")
+    scored = (
+        cand.join(F.broadcast(q), (cand.cent_id == q.cent_id) & (cand.vec_id != q.query_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VX.cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w_rank)).filter(F.col("rnk") <= 5)

@@ -1,0 +1,313 @@
+"""LLM-training-data pipeline operators (SURVEY §2.12, driver north star):
+dedup, text analysis, similarity search, multimodal plumbing.
+
+Everything here is built for 100 TB shape: hash-bucketed candidate
+generation instead of quadratic pair enumeration wherever the
+semantics allow, broadcast for small query sets, and native
+expressions (no row-at-a-time Python) on the hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as VX
+from ..operators.multimodal import documents_as_binary, extract_features
+from ..sources.catalog import load_table
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash groupBy).
+# --------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT lower(trim(text)) AS text_norm,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash groupBy on normalized text.
+
+    Deterministic canonical pick (min doc_id) instead of
+    dropDuplicates' arbitrary row — at scale this is one shuffle on
+    the (skew-resistant) text hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.lower(F.trim(F.col("text"))).alias("text_norm"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex).
+# --------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TX.TOKEN_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars,
+       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(TX.regex_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        TX.punct_count(F.col("text")).cast("long").alias("n_punct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios).
+# --------------------------------------------------------------------------
+
+_SW_EN = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, lang,
+  len(toks) AS n_tokens,
+  CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+    AS stopword_ratio,
+  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS mean_token_len
+FROM t
+"""
+
+
+@register("doc_quality_score", oracle=_QUALITY_ORACLE)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per document (length/punct/stopword ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.lower(F.col("text")))
+    n_tokens = F.size(toks)
+    n_stop = TX.stopword_hits(toks, TX.STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (TX.punct_count(F.col("text")).cast("double") / F.length("text").cast("double"))
+        .alias("punct_ratio"),
+        TX.mean_token_len(toks).alias("mean_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID (stopword-hit heuristic with deterministic tie-break).
+# --------------------------------------------------------------------------
+
+def _duck_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+_LANG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang AS labeled_lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, labeled_lang,
+         {_duck_lang_hits('en')} AS hits_en,
+         {_duck_lang_hits('de')} AS hits_de,
+         {_duck_lang_hits('es')} AS hits_es,
+         {_duck_lang_hits('fr')} AS hits_fr
+  FROM t
+)
+SELECT doc_id, labeled_lang, hits_en, hits_de, hits_es, hits_fr,
+  CASE
+    WHEN hits_en = 0 AND hits_de = 0 AND hits_es = 0 AND hits_fr = 0 THEN 'unknown'
+    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+    WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+    WHEN hits_es >= hits_fr THEN 'es'
+    ELSE 'fr'
+  END AS predicted_lang
+FROM scored
+"""
+
+
+@register("lang_id_stopwords", oracle=_LANG_ORACLE)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword hits per language, priority tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.lower(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            TX.stopword_hits(toks, TX.STOPWORDS[lang]).cast("long").alias(f"hits_{lang}")
+            for lang in TX.LANG_PRIORITY
+        ],
+    )
+    h = {lang: F.col(f"hits_{lang}") for lang in TX.LANG_PRIORITY}
+    predicted = (
+        F.when((h["en"] == 0) & (h["de"] == 0) & (h["es"] == 0) & (h["fr"] == 0), "unknown")
+        .when((h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]), "en")
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]), "de")
+        .when(h["es"] >= h["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (md5 + 60-bit integer).
+# --------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       md5(lower(trim(text))) AS content_md5,
+       {TX.DUCK_HASH60.format(col='lower(trim(text))')} AS fingerprint60
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 text hash + engine-portable 60-bit int."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        TX.hash60(norm).alias("fingerprint60"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search: brute-force top-k cosine (baseline).
+# --------------------------------------------------------------------------
+
+_TOPK_COSINE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, e.v)
+                  / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+             e.vec_id) AS rnk
+  FROM q CROSS JOIN e
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
+"""
+
+
+@register("similarity_topk_cosine", oracle=_TOPK_COSINE_ORACLE)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set × candidate scan.
+
+    The baseline ANN path: the (small) query set broadcasts, the
+    candidate side streams — one pass, no quadratic shuffle.  The
+    bucketed variant (similarity_ann_bucketed) is the 100 TB path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = VX.cosine(F.col("qv"), F.col("v"))
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# --------------------------------------------------------------------------
+# Embedding near-duplicate pairs (same-label blocking + threshold).
+# --------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS left_id, b.vec_id AS right_id, a.label AS label,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: blocked self-join + threshold.
+
+    Blocking on label keeps the pair count linear per block — the
+    same role LSH buckets play when no natural key exists.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", VX.as_double(F.col("embedding")).alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = VX.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched feature extraction.
+# --------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       'raw' AS sniffed_format,
+       'stub:no-codec' AS decode_status
+FROM documents
+"""
+
+
+@register("multimodal_features", oracle=_MULTIMODAL_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents as opaque payloads through an
+    Arrow-batched mapInPandas feature extractor (decode step stubbed;
+    see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_binary(docs))

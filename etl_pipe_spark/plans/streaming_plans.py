@@ -1,0 +1,33 @@
+"""Streaming-executed registry queries.
+
+These run a real Structured Streaming query (AvailableNow trigger) and
+return the drained result table, so the driver's oracle check
+exercises the streaming engine itself — watermark handling included —
+against plain batch SQL in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.structured import read_events_stream, run_stream_to_table, windowed_counts
+from .catalog import register
+
+_STREAM_COUNTS_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_tumbling_counts", oracle=_STREAM_COUNTS_ORACLE)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed by Structured Streaming (ST1/ST2/ST5).
+
+    A finite run over the events table must produce exactly the batch
+    answer — "complete" output mode emits every window, and the 90 s
+    watermark only drops data that would be late *across* batches,
+    of which a single AvailableNow pass has none.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(spark, windowed_counts(stream))

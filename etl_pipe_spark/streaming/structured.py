@@ -1,0 +1,110 @@
+"""Structured Streaming variant of the pipeline (SURVEY §2.10 ST1-ST5).
+
+The reference's 30 s polling loop + per-table watermark + 90 s overlap
++ idempotent upsert (scheduler.py:45-69, extract.py:27-30,
+load.py:169-187) is exactly the Structured Streaming contract:
+micro-batch trigger + event-time watermark + at-least-once delivery
+into an idempotent sink.  This module expresses it natively:
+
+* file-source ``readStream`` over the events table,
+* ``withWatermark("ts", "90 seconds")`` for stateful ops (ST2),
+* windowed aggregations (tumbling/sliding/session — ST5),
+* ``foreachBatch`` driving the same merge sinks as the batch layer
+  (ST3), with checkpointing for crash-safe restart (ST4).
+
+Tests run with ``Trigger.AvailableNow`` so a finite parquet table
+drives the stream to completion; production would use
+``trigger(processingTime="30 seconds")`` to mirror the reference.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+from ..operators.merge import ParquetMergeSink, insert_if_absent
+from ..session import pin_conf
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming scan of the events table with the exact-nanos handling
+    the batch loader uses (sources/catalog.py)."""
+    pin_conf(spark)
+    reader = spark.readStream.schema(schemas.EVENTS_RAW)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # the file source derives basePath from the non-glob path prefix and
+    # requires it to be a directory; the catalog stores one parquet file
+    # per table, so glob the filename to keep basePath at the sf dir
+    raw = reader.parquet(f"{sf_dir.rstrip('/')}/events.[p]arquet")
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+    )
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour",
+                    lateness: str = "90 seconds") -> DataFrame:
+    """Tumbling-window counts with the reference's 90 s allowed lateness."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_table(spark: SparkSession, agg: DataFrame,
+                        output_mode: str = "complete") -> DataFrame:
+    """Drain a finite stream into an in-memory table and return it.
+
+    ``AvailableNow`` processes everything then stops — the batch-like
+    execution mode used by tests and the driver's correctness harness.
+    """
+    name = f"etl_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_into_sink(spark: SparkSession, stream: DataFrame, sink: ParquetMergeSink,
+                     checkpoint_dir: str) -> None:
+    """foreachBatch -> idempotent merge (ST3/ST4).
+
+    Each micro-batch is insert-if-absent merged on source_key, so
+    at-least-once redelivery after a restart is absorbed — the
+    reference's ON CONFLICT DO NOTHING recipe, with the checkpoint
+    replacing the watermark table.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        updates = batch_df.select(
+            F.concat(F.lit("EV_"), F.col("event_id").cast("string")).alias("source_key"),
+            F.col("ts").cast("timestamp_ntz").alias("event_time"),
+            "user_id",
+            "event_type",
+            F.col("value").alias("amount"),
+        )
+        sink.write(insert_if_absent(sink.read(), updates, ["source_key"]))
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
