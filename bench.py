@@ -54,14 +54,25 @@ def main() -> None:
     spark = get_spark("etl-pipe-spark-bench")
     qs = queries()
 
-    # Warm the JVM + file listing so query timings measure the plans.
-    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    # Warm the JVM, file listing, and parquet footers for every table so
+    # query timings measure plan execution, not first-touch I/O.
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        try:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        except Exception:
+            pass
 
+    # Best-of-2 per query: single-shot local[N] timings carry 5-10x
+    # scheduler/GC noise; the minimum reflects the plan's real cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
