@@ -43,7 +43,7 @@ def register(name: str, oracle: str | None = None):
 
 _PLAN_MODULES = (
     "relational", "relational2", "json_ops", "windows", "incremental",
-    "streaming_plans", "extensions", "dedup_plans",
+    "streaming_plans", "extensions", "dedup_plans", "text_plans",
 )
 
 
