@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions import vectors as VX
 from ..operators import dedup as DD
+from ..operators.similarity import DUCK_SRP_PLANES, srp_buckets
 from ..sources.catalog import load_table
 from .catalog import register
 
@@ -245,3 +246,66 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w_rank)).filter(F.col("rnk") <= 5)
+
+
+# --------------------------------------------------------------------------
+# ANN scale path 2: signed-random-projection LSH buckets.
+# --------------------------------------------------------------------------
+
+_SRP_ORACLE = f"""
+WITH {DUCK_SRP_PLANES},
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bits AS (
+  SELECT e.vec_id, p.i,
+         CASE WHEN list_dot_product(e.v, p.w) >= 0 THEN 1 ELSE 0 END AS b
+  FROM e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, CAST(sum(b * (1 << i)) AS BIGINT) AS srp_bucket
+  FROM bits GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id, a.srp_bucket,
+         list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+  FROM buckets a
+  JOIN buckets b ON a.srp_bucket = b.srp_bucket AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+)
+SELECT left_id, right_id, srp_bucket, cosine FROM pairs WHERE cosine >= 0.3
+"""
+
+
+@register("similarity_srp_lsh", oracle=_SRP_ORACLE)
+def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-neighbor pairs (ANN scale path 2).
+
+    8 md5-derived integer hyperplanes bucket each vector (one narrow
+    projection over the data); only same-bucket pairs are scored, so
+    the pair count tracks bucket occupancy instead of N^2.  Random
+    hyperplanes preserve cosine locality: P[same bit] =
+    1 - angle/pi per plane.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = srp_buckets(emb).select("vec_id", "v", "srp_bucket")
+    left = b.alias("a")
+    right = b.alias("b")
+    cos = VX.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        left.join(
+            right,
+            (F.col("a.srp_bucket") == F.col("b.srp_bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+            F.col("a.srp_bucket").alias("srp_bucket"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )

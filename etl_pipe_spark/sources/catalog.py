@@ -48,6 +48,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_since(events: DataFrame, since) -> DataFrame:
+    """Watermark filter on the events table that PUSHES DOWN.
+
+    A predicate on the derived ``ts`` (timestamp_micros(ts_ns div
+    1000)) is an expression, so parquet gets PushedFilters: [] — a
+    full scan per micro-batch at scale.  Filtering the raw int64
+    nanos column is exactly equivalent for whole-microsecond
+    watermarks (floor(ns/1000) >= since_us  <=>  ns >= since_us*1000)
+    and reaches the scan for row-group skipping.
+    """
+    import datetime as dt
+
+    if isinstance(since, str):
+        since = dt.datetime.fromisoformat(since)
+    since_ns = int(since.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+    return events.filter(F.col("ts_ns") >= F.lit(since_ns))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view for the SQL API."""
     for name in TABLE_NAMES:

@@ -55,7 +55,10 @@ class IncrementalPipeline:
         """
         since = self.store.get(table)
         ev = load_table(self.spark, self.source_sf_dir, "events")
-        batch = ev.filter(F.col("ts") >= F.lit(since))
+        # pushdown-friendly watermark predicate (see sources.catalog.events_since)
+        from ..sources.catalog import events_since
+
+        batch = events_since(ev, since)
         if now_ts is not None:
             batch = batch.filter(F.col("ts") < F.lit(now_ts))
         return batch
