@@ -70,3 +70,9 @@ def test_hot_paths_are_codegen(spark, sf_dir):
 def test_vector_queries_broadcast_query_side(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    # the bucket decomposition must keep the range join an equi-join
+    plan = _plan(spark, sf_dir, "range_join_bucketed")
+    assert "NestedLoop" not in plan
