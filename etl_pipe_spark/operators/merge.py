@@ -21,9 +21,18 @@ import shutil
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
-def _latest_per_key(updates: DataFrame, keys: list[str], order_col: str) -> DataFrame:
-    """Collapse an update batch to one row per key (last version wins)."""
-    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+def _latest_per_key(
+    updates: DataFrame, keys: list[str], order_col: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Collapse an update batch to one row per key (last version wins).
+
+    ``tiebreakers`` make the winner deterministic when two versions
+    share an ``order_col`` value (possible: event timestamps are
+    micro-truncated nanos) — pass a unique column like the event id.
+    """
+    order = [F.col(order_col).desc()] + [F.col(t).desc() for t in (tiebreakers or [])]
+    w = W.partitionBy(*keys).orderBy(*order)
     return (
         updates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -37,6 +46,7 @@ def upsert(
     keys: list[str],
     update_cols: list[str] | None = None,
     order_col: str | None = None,
+    tiebreakers: list[str] | None = None,
 ) -> DataFrame:
     """UPSERT with optional partial update (reference load.py:10-47 L1).
 
@@ -44,25 +54,34 @@ def upsert(
     ``update_cols`` (the reference's 10 mutable lifecycle fields),
     keeping immutable creation fields from the existing row.
     ``update_cols=None`` replaces the whole row (L3).
+
+    Single full_outer join: one scan of each input (the three-join
+    formulation — inner + two anti — tripled snapshot I/O per cycle).
     """
     cols = existing.columns
     if order_col is not None:
-        updates = _latest_per_key(updates, keys, order_col)
+        updates = _latest_per_key(updates, keys, order_col, tiebreakers)
     update_cols = [c for c in (update_cols or cols) if c not in keys]
 
-    e, u = existing.alias("e"), updates.alias("u")
+    e = existing.withColumn("__e", F.lit(1)).alias("e")
+    u = updates.withColumn("__u", F.lit(1)).alias("u")
     cond = [F.col(f"e.{k}") == F.col(f"u.{k}") for k in keys]
+    joined = e.join(u, cond, "full_outer")
 
-    matched = e.join(u, cond, "inner").select(
-        *[F.col(f"e.{k}").alias(k) for k in keys],
-        *[
-            (F.col(f"u.{c}") if c in update_cols else F.col(f"e.{c}")).alias(c)
-            for c in cols if c not in keys
-        ],
-    ).select(*cols)
-    unmatched_existing = e.join(u, cond, "left_anti").select(*cols)
-    new_rows = u.join(e, cond, "left_anti").select(*cols)
-    return unmatched_existing.unionByName(matched).unionByName(new_rows)
+    u_present = F.col("u.__u").isNotNull()
+    e_present = F.col("e.__e").isNotNull()
+    out_cols = [F.coalesce(F.col(f"e.{k}"), F.col(f"u.{k}")).alias(k) for k in keys]
+    for c in cols:
+        if c in keys:
+            continue
+        if c in update_cols:
+            # matched update + brand-new row take the update side
+            expr = F.when(u_present, F.col(f"u.{c}")).otherwise(F.col(f"e.{c}"))
+        else:
+            # immutable column: existing row wins whenever it exists
+            expr = F.when(e_present, F.col(f"e.{c}")).otherwise(F.col(f"u.{c}"))
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)
 
 
 def insert_if_absent(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -83,6 +102,7 @@ def scd2_apply_versions(
     ts_col: str,
     end_col: str = "version_ended_at",
     current_col: str = "is_current_version",
+    tiebreakers: list[str] | None = None,
 ) -> DataFrame:
     """Append-only SCD-2 version stream merge (reference load.py:50-83 L2/L5).
 
@@ -91,12 +111,19 @@ def scd2_apply_versions(
     recomputes closure across existing ∪ updates with one window pass,
     so replays and out-of-order late versions land correctly —
     set-based, no per-row conflict handling.
+
+    ``tiebreakers``: extra identity columns for versions that can share
+    a start timestamp (micro-truncated event times).  Without them two
+    distinct same-instant versions would collapse to one in the
+    replay-dedup step; with them both survive, ordered by the
+    tiebreaker.
     """
-    version_key = keys + [ts_col]
+    version_key = keys + [ts_col] + (tiebreakers or [])
     combined = existing.drop(end_col, current_col).unionByName(
         updates.drop(*[c for c in (end_col, current_col) if c in updates.columns])
     ).dropDuplicates(version_key)
-    w = W.partitionBy(*keys).orderBy(F.col(ts_col))
+    order = [F.col(ts_col)] + [F.col(t) for t in (tiebreakers or [])]
+    w = W.partitionBy(*keys).orderBy(*order)
     nxt = F.lead(F.col(ts_col)).over(w)
     return combined.withColumn(end_col, nxt).withColumn(current_col, nxt.isNull())
 

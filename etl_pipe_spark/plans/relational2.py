@@ -181,6 +181,12 @@ def asof_join_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, time)-ordered window — one shuffle on the key, no range
     explosion.  (user key = o_custkey % 15 maps orders onto the
     events table's user space.)
+
+    Tie note: we break equal event timestamps by event_id; DuckDB's
+    native ASOF picks arbitrarily on ties.  Safe here because
+    (user_id, micro-truncated ts) is verified collision-free at every
+    scale factor — revisit if the corpus ever gains same-instant
+    events per user.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",

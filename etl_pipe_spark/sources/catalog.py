@@ -48,6 +48,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def since_to_ns(since) -> int:
+    """Watermark datetime -> int64 nanos, the single conversion point.
+
+    Microsecond-exact (timestamp() floats are rounded at the micro
+    digit before scaling); callers compare against the raw ts_ns
+    column so the parquet scan can prune row groups.
+    """
+    import datetime as dt
+
+    if isinstance(since, str):
+        since = dt.datetime.fromisoformat(since)
+    return round(since.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+
+
 def events_since(events: DataFrame, since) -> DataFrame:
     """Watermark filter on the events table that PUSHES DOWN.
 
@@ -58,12 +72,7 @@ def events_since(events: DataFrame, since) -> DataFrame:
     watermarks (floor(ns/1000) >= since_us  <=>  ns >= since_us*1000)
     and reaches the scan for row-group skipping.
     """
-    import datetime as dt
-
-    if isinstance(since, str):
-        since = dt.datetime.fromisoformat(since)
-    since_ns = int(since.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
-    return events.filter(F.col("ts_ns") >= F.lit(since_ns))
+    return events.filter(F.col("ts_ns") >= F.lit(since_to_ns(since)))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

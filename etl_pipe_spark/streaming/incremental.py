@@ -75,6 +75,7 @@ class IncrementalPipeline:
         return upsert(
             self.sinks["dim_users"].read(), updates,
             keys=["user_id"], order_col="updated_at",
+            tiebreakers=["last_event_id"],
         )
 
     def _flow_event_log(self, batch: DataFrame) -> DataFrame:
@@ -97,6 +98,7 @@ class IncrementalPipeline:
         return scd2_apply_versions(
             self.sinks["user_versions"].read(), updates,
             keys=["user_id"], ts_col="version_started_at",
+            tiebreakers=["event_id"],
         )
 
     # -- cycle -----------------------------------------------------------
@@ -114,6 +116,7 @@ class IncrementalPipeline:
             "user_versions": self._flow_versions,
         }
         for name, flow in flows.items():
+            batch = None
             try:
                 batch = self._batch(name, now_ts).cache()
                 stats = batch.agg(
@@ -121,8 +124,10 @@ class IncrementalPipeline:
                 ).collect()[0]
                 counts[name] = self.sinks[name].write(flow(batch))
                 self.store.advance(name, stats.mx, stats.n)
-                batch.unpersist()
             except Exception as exc:  # per-flow isolation (pipeline.py:41-49)
                 counts[name] = -1
                 print(f"[etl_pipe_spark] flow {name} failed: {exc}")
+            finally:
+                if batch is not None:
+                    batch.unpersist()  # a failed flow must not leak cache
         return counts

@@ -101,3 +101,30 @@ def test_scd2_out_of_order_late_version(spark):
     assert got[str(_t(1))] == ("v1", str(_t(2)), False)
     assert got[str(_t(2))] == ("v2", str(_t(3)), False)
     assert got[str(_t(3))][2] is True
+
+
+def test_upsert_timestamp_tie_deterministic(spark):
+    """Two updates sharing order_col must resolve by the tiebreaker."""
+    existing = spark.createDataFrame([], "id long, v string, ver long, seq long")
+    updates = spark.createDataFrame(
+        [(1, "low", 5, 10), (1, "high", 5, 11)], "id long, v string, ver long, seq long"
+    )
+    out = upsert(existing, updates, keys=["id"], order_col="ver", tiebreakers=["seq"])
+    assert _rows(out, "id", "v") == [(1, "high")]
+
+
+def test_scd2_same_instant_versions_both_survive(spark):
+    """Distinct versions sharing a start ts are kept (tiebreaker), while
+    an exact replay of one of them is still absorbed."""
+    existing = spark.createDataFrame(
+        [], "key string, ts timestamp_ntz, seq long, payload string, "
+            "version_ended_at timestamp_ntz, is_current_version boolean"
+    )
+    updates = spark.createDataFrame(
+        [("a", _t(1), 1, "v1"), ("a", _t(1), 2, "v2"), ("a", _t(1), 2, "v2")],
+        "key string, ts timestamp_ntz, seq long, payload string",
+    )
+    out = scd2_apply_versions(existing, updates, keys=["key"], ts_col="ts",
+                              tiebreakers=["seq"])
+    rows = sorted((r.seq, r.payload, r.is_current_version) for r in out.collect())
+    assert rows == [(1, "v1", False), (2, "v2", True)]
