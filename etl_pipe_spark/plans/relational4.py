@@ -1,0 +1,145 @@
+"""Fourth relational batch: part/supplier coverage, array aggregation
+and manipulation, GROUPING SETS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.parity import dsum, money
+from ..sources.catalog import load_table, register_views
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# TPC-H Q14-style promo revenue share (part ⋈ lineitem).
+# --------------------------------------------------------------------------
+
+_PROMO_ORACLE = """
+SELECT
+  CAST(round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue,
+  count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@register("promo_revenue_share", oracle=_PROMO_ORACLE)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue over a broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = money(F.col("l_extendedprice")) * (F.lit(1) - money(F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier rollup across nations (supplier + nation + lineitem).
+# --------------------------------------------------------------------------
+
+_SUPPLIER_ORACLE = """
+SELECT n.n_name AS nation_name, s.s_suppkey, s.s_name, s.s_acctbal,
+       count(l.l_orderkey) AS n_lines,
+       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("supplier_nation_rollup", oracle=_SUPPLIER_ORACLE)
+def supplier_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier shipment rollup with nation context (left join keeps
+    suppliers that never shipped)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(li, li.l_suppkey == supp.s_suppkey, "left")
+        .groupBy(
+            F.col("n_name").alias("nation_name"), "s_suppkey", "s_name", "s_acctbal"
+        )
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            dsum(money(F.col("l_quantity"))).alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Array aggregation + manipulation.
+# --------------------------------------------------------------------------
+
+_ARRAYS_ORACLE = """
+SELECT user_id,
+  list_sort(list(DISTINCT event_type)) AS event_types,
+  len(list_sort(list(DISTINCT event_type))) AS n_types,
+  list_contains(list(DISTINCT event_type), 'error') AS had_error,
+  list_sort(list(event_id)) AS event_ids,
+  list_sort(list(event_id))[1] AS first_event_id,
+  list_sort(list(event_id))[-1] AS last_event_id
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("array_aggregation", oracle=_ARRAYS_ORACLE)
+def array_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list with explicit sorting for determinism
+    (collection order is execution-dependent on every engine), plus
+    array predicates and element access."""
+    ev = load_table(spark, sf_dir, "events")
+    types_sorted = F.array_sort(F.collect_set("event_type"))
+    ids_sorted = F.array_sort(F.collect_list("event_id"))
+    return ev.groupBy("user_id").agg(
+        types_sorted.alias("event_types"),
+        F.size(types_sorted).alias("n_types"),
+        F.array_contains(types_sorted, "error").alias("had_error"),
+        ids_sorted.alias("event_ids"),
+        F.element_at(ids_sorted, 1).alias("first_event_id"),
+        F.element_at(ids_sorted, -1).alias("last_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS via the SQL API.
+# --------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT c_mktsegment, o_orderstatus,
+       CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), (c_mktsegment, o_orderstatus))
+"""
+
+
+@register("grouping_sets_orders", oracle=_GSETS_ORACLE)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus,
+               CAST(grouping_id(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+               count(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus),
+                                (c_mktsegment, o_orderstatus))
+        """
+    )
