@@ -54,3 +54,43 @@ def test_foreach_batch_merge_idempotent_restart(spark, sf_dir, tmp_path):
     stream_into_sink(spark, read_events_stream(spark, sf_dir), sink,
                      str(tmp_path / "ckpt1"))
     assert sink.read().count() == n_events
+
+
+def test_stream_static_dim_join(spark, sf_dir):
+    """Stream-static join: streaming events enriched against a static
+    user dimension (the streaming image of the broadcast dim join)."""
+    from pyspark.sql import functions as F
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream.join(dim, "user_id").select(
+        "event_id", "user_id", "ts", "first_seen"
+    )
+    from etl_pipe_spark.streaming.structured import run_stream_to_table
+
+    got = run_stream_to_table(spark, joined, output_mode="append")
+    assert got.count() == load_table(spark, sf_dir, "events").count()
+    assert got.filter("first_seen > ts").count() == 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark absorbs redelivered events inside
+    the lateness window (the reference's overlap dedup, in-stream)."""
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, sf_dir)
+    # simulate redelivery: each micro-batch row appears twice
+    doubled = stream.unionByName(stream)
+    deduped = (
+        doubled.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "90 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    from etl_pipe_spark.streaming.structured import run_stream_to_table
+
+    got = run_stream_to_table(spark, deduped, output_mode="append")
+    assert got.count() == load_table(spark, sf_dir, "events").count()
