@@ -1,0 +1,236 @@
+"""Training-data curation operators: chunking, redaction, mixture
+sampling, SimHash near-dup pairs.
+
+These are the document-prep steps a 100 TB corpus pipeline runs after
+dedup: split documents into model-window chunks, scrub PII-shaped
+substrings, and downsample sources to a target mixture — all as
+native expressions, all deterministic (hash-based sampling, not
+rand()), all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import DUCK_HASH60, hash60, ws_tokens
+from ..operators.dedup import simhash
+from ..sources.catalog import load_table
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# SimHash banding: near-dup candidate pairs by hamming distance.
+# --------------------------------------------------------------------------
+
+_SIMHASH_PAIRS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM toks GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
+  FROM fp, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+         a.simhash AS left_hash, b.simhash AS right_hash
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT left_id, right_id,
+       CAST(bit_count(xor(left_hash, right_hash)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(left_hash, right_hash)) <= 6
+"""
+
+
+def _duck_simhash_pieces(bits: int = 32):
+    h = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ({h} & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return sums, fp
+
+
+_sums, _fp = _duck_simhash_pieces()
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE.format(sums=_sums, fp=_fp))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band candidates, hamming <= 6 verify.
+
+    The 32-bit fingerprint splits into 4 byte bands; docs agreeing on
+    any band become candidates (pigeonhole: hamming <= 6 over 4 bands
+    guarantees at least one untouched band... for <= 3; <= 6 trades a
+    little recall for candidate volume), then exact popcount verifies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            F.col("a.simhash").alias("left_hash"),
+            F.col("b.simhash").alias("right_hash"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("left_hash").bitwiseXOR(F.col("right_hash")))
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= 6)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking: fixed token windows with overlap.
+# --------------------------------------------------------------------------
+
+_CHUNK = 32   # tokens per chunk
+_STRIDE = 24  # 8-token overlap
+
+_CHUNKING_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         t.i AS chunk_no,
+         array_to_string(ws[t.i * {_STRIDE} + 1 : t.i * {_STRIDE} + {_CHUNK}], ' ') AS chunk_text,
+         least(len(ws) - t.i * {_STRIDE}, {_CHUNK}) AS n_tokens
+  FROM words,
+       UNNEST(range(0, greatest((len(ws) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}, 0) + 1)) AS t(i)
+  WHERE t.i * {_STRIDE} < len(ws)
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, chunk_text, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM chunks
+"""
+
+
+@register("doc_chunking", oracle=_CHUNKING_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into 32-token chunks with 8-token overlap.
+
+    The standard pre-training window cut: chunk i covers tokens
+    [i*stride, i*stride + chunk); the final partial chunk is kept.
+    Pure array expressions + one explode — no Python, no shuffle
+    beyond the source partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - _CHUNK).cast("double") / _STRIDE).cast("int"), F.lit(0)
+    ) + 1
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("ws"),
+            F.explode(idx).alias("chunk_no"),
+        )
+        .filter(F.col("chunk_no") * _STRIDE < F.size("ws"))
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("chunk_no") * _STRIDE + 1, _CHUNK)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("ws") - F.col("chunk_no") * _STRIDE, F.lit(_CHUNK)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII-shaped redaction (regexp_replace, RE2-safe patterns only).
+# --------------------------------------------------------------------------
+
+_REDACT_ORACLE = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      'contact ' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0' || CAST(doc_id AS VARCHAR) || ' re: ' || substr(text, 1, 40),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+?[0-9][0-9()\-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
+@register("text_redact", oracle=_REDACT_ORACLE)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped scrubbing: email + phone patterns replaced with tags.
+
+    Patterns stay inside the RE2-compatible subset (no lookarounds) so
+    Java regex (Spark) and RE2 (DuckDB) agree; the synthetic prefix
+    plants one of each per row so the rule demonstrably fires.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("contact "), F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-0"),
+        F.col("doc_id").cast("string"), F.lit(" re: "), F.substring(F.col("text"), 1, 40),
+    )
+    emails = F.regexp_replace(
+        synth, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    phones = F.regexp_replace(emails, r"\+?[0-9][0-9()\-]{6,}[0-9]", "<PHONE>")
+    return docs.select("doc_id", phones.alias("redacted"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic mixture sampling per source.
+# --------------------------------------------------------------------------
+
+# target per-source keep rates (percent) — a curation mixture spec
+_MIX = {"src0": 100, "src1": 50, "src2": 25}
+_DEFAULT_RATE = 10
+
+_mix_cases = " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX.items())
+_MIXTURE_ORACLE = f"""
+SELECT doc_id, source, lang,
+       {DUCK_HASH60.format(col="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+FROM documents
+WHERE {DUCK_HASH60.format(col="CAST(doc_id AS VARCHAR)")} % 100
+      < CASE source {_mix_cases} ELSE {_DEFAULT_RATE} END
+"""
+
+
+@register("mixture_sampling", oracle=_MIXTURE_ORACLE)
+def mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling to a target mixture.
+
+    Hash-bucket sampling (hash(doc_id) % 100 < rate) instead of
+    rand(): reproducible across runs/engines/retries, stable under
+    repartitioning — the property corpus curation needs for auditable
+    mixtures.  Rates: src0 100%, src1 50%, src2 25%, others 10%.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    rate = F.when(F.col("source") == "src0", _MIX["src0"]) \
+        .when(F.col("source") == "src1", _MIX["src1"]) \
+        .when(F.col("source") == "src2", _MIX["src2"]) \
+        .otherwise(_DEFAULT_RATE)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "source", "lang", "bucket")
+    )
