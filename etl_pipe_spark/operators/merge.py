@@ -129,27 +129,61 @@ def scd2_apply_versions(
 
 
 class ParquetMergeSink:
-    """Read-apply-rewrite merge sink over a parquet snapshot path.
+    """Versioned-snapshot merge sink with an atomic commit pointer.
 
-    Production note: parquet rewrite is not atomic (no transaction
-    log); swap in Delta/Iceberg MERGE where available.  The staging
-    rename keeps the window small for the test harness.
+    A miniature of the Delta/Iceberg commit protocol, sufficient for
+    single-writer exactly-once sinks: each write lands in a fresh
+    ``snapshot-N`` directory, then a one-line ``CURRENT`` pointer file
+    is swapped via ``os.replace`` (atomic on POSIX).  A crash mid-write
+    leaves an orphan snapshot directory but never a torn table —
+    readers always see the last committed snapshot.  ``keep_snapshots``
+    bounds retention (time travel over the retained window).
     """
 
-    def __init__(self, spark, path: str, schema_ddl: str):
+    def __init__(self, spark, path: str, schema_ddl: str, keep_snapshots: int = 2):
         self.spark = spark
         self.path = path
         self.schema_ddl = schema_ddl
+        self.keep_snapshots = keep_snapshots
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def current_snapshot(self) -> str | None:
+        try:
+            with open(self._pointer()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        snap = self.current_snapshot()
+        if snap is None:
             return self.spark.createDataFrame([], self.schema_ddl)
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(os.path.join(self.path, snap))
 
     def write(self, df: DataFrame) -> int:
-        staged = self.path + ".staged"
-        df.write.mode("overwrite").parquet(staged)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(staged, self.path)
-        return self.spark.read.parquet(self.path).count()
+        snap = self.current_snapshot()
+        version = int(snap.rsplit("-", 1)[1]) + 1 if snap else 1
+        new_snap = f"snapshot-{version:08d}"
+        os.makedirs(self.path, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(self.path, new_snap))
+        # commit: write pointer sideways, atomically replace
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_snap)
+        os.replace(tmp, self._pointer())
+        self._vacuum(version)
+        return self.spark.read.parquet(os.path.join(self.path, new_snap)).count()
+
+    def _vacuum(self, current_version: int) -> None:
+        """Drop snapshots older than the retention window."""
+        cutoff = current_version - self.keep_snapshots
+        for name in os.listdir(self.path):
+            if name.startswith("snapshot-"):
+                try:
+                    v = int(name.rsplit("-", 1)[1])
+                except ValueError:
+                    continue
+                if v <= cutoff:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

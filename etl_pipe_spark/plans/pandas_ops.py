@@ -1,0 +1,80 @@
+"""Grouped-map Pandas operator (applyInPandas) with exact parity.
+
+Completes the UDF surface demonstration: mapInPandas (multimodal),
+applyInPandasWithState (streaming/stateful), and here the grouped-map
+shape — per-group normalization, the canonical "needs whole-group
+context" operator.
+
+Parity trick: all statistics derive from *integer* sums (n_chars is
+int64), which are exact under any execution order; the float math then
+runs on identical inputs on both engines, so even mean/std/z-scores
+hash-match without rounding.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import load_table
+from .catalog import register
+
+try:
+    from pyspark import cloudpickle as _cp
+except ImportError:  # pragma: no cover
+    import cloudpickle as _cp
+_cp.register_pickle_by_value(sys.modules[__name__])
+
+_ZSCORE_SCHEMA = (
+    "doc_id long, lang string, n_chars long, lang_mean double, "
+    "lang_std double, z_score double"
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # integer sums are order-independent => exact across engines
+    x = pdf["n_chars"].astype("int64")
+    n = len(x)
+    s = int(x.sum())
+    sq = int((x * x).sum())
+    mean = s / n  # IEEE double of exact ints: deterministic
+    var = (sq - (s * s) / n) / n  # population variance, same formula as oracle
+    std = var ** 0.5
+    out = pdf[["doc_id", "lang", "n_chars"]].copy()
+    out["lang_mean"] = mean
+    out["lang_std"] = std
+    out["z_score"] = (x - mean) / std if std > 0 else 0.0
+    return out
+
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT lang,
+         count(*) AS n,
+         sum(n_chars) AS s,
+         sum(n_chars * n_chars) AS sq
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+  CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS lang_mean,
+  sqrt((CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE)) AS lang_std,
+  (CAST(d.n_chars AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+    / sqrt((CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE)) AS z_score
+FROM documents d JOIN stats st ON d.lang = st.lang
+"""
+
+
+@register("pandas_group_zscore", oracle=_ZSCORE_ORACLE)
+def pandas_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length via applyInPandas.
+
+    Arrow ships each language group to one pandas call; statistics come
+    from exact integer sums so the result is bit-identical to the SQL
+    formulation (the oracle) — demonstrating that even Python-side
+    operators can stay inside the exactness contract.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(_zscore_group, _ZSCORE_SCHEMA)

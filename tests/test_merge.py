@@ -128,3 +128,49 @@ def test_scd2_same_instant_versions_both_survive(spark):
                               tiebreakers=["seq"])
     rows = sorted((r.seq, r.payload, r.is_current_version) for r in out.collect())
     assert rows == [(1, "v1", False), (2, "v2", True)]
+
+
+def test_sink_commit_is_atomic_under_failed_write(spark, tmp_path):
+    """A failed write must leave the previous committed snapshot intact."""
+    import os
+
+    from etl_pipe_spark.operators.merge import ParquetMergeSink
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), "id long, v string")
+    sink.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert [(r.id, r.v) for r in sink.read().collect()] == [(1, "a")]
+
+    class Boom(Exception):
+        pass
+
+    # simulate a crash between data write and pointer commit by writing
+    # a snapshot dir manually and never committing the pointer
+    os.makedirs(tmp_path / "t" / "snapshot-00000099")
+    assert sink.current_snapshot() == "snapshot-00000001"
+    assert [(r.id, r.v) for r in sink.read().collect()] == [(1, "a")]
+
+    # a real failed write (unwritable path) must also keep the old state
+    bad = spark.createDataFrame([(2, "b")], "id long, v string")
+    try:
+        orig = sink.path
+        sink.path = "/proc/definitely-not-writable/t"
+        try:
+            sink.write(bad)
+        except Exception:
+            pass
+    finally:
+        sink.path = orig
+    assert [(r.id, r.v) for r in sink.read().collect()] == [(1, "a")]
+
+
+def test_sink_vacuum_retention(spark, tmp_path):
+    import os
+
+    from etl_pipe_spark.operators.merge import ParquetMergeSink
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), "id long", keep_snapshots=2)
+    for i in range(5):
+        sink.write(spark.createDataFrame([(i,)], "id long"))
+    snaps = sorted(d for d in os.listdir(sink.path) if d.startswith("snapshot-"))
+    assert snaps == ["snapshot-00000004", "snapshot-00000005"]
+    assert sink.read().collect()[0].id == 4
