@@ -62,6 +62,8 @@ def main() -> None:
             spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
         except Exception:
             pass
+    # initialize the noop writer path so query 1 doesn't absorb it
+    spark.range(10).write.mode("overwrite").format("noop").save()
 
     # Best-of-2 per query: single-shot local[N] timings carry 5-10x
     # scheduler/GC noise; the minimum reflects the plan's real cost.
