@@ -168,22 +168,23 @@ WITH e AS (
 cent AS (
   SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 97 = 0
 ),
-assign AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT e.vec_id, c.cent_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, c.cv)
-                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-                    DESC,
-               c.cent_id) AS rn
-    FROM e CROSS JOIN cent c
-  ) WHERE rn = 1
+ranked AS (
+  SELECT e.vec_id, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  DESC,
+             c.cent_id) AS rn
+  FROM e CROSS JOIN cent c
 ),
-q AS (
-  SELECT a.vec_id AS query_id, a.cent_id, e.v AS qv
-  FROM assign a JOIN e ON e.vec_id = a.vec_id
-  WHERE a.vec_id % 100 = 0
+assign AS (
+  SELECT vec_id, cent_id FROM ranked WHERE rn = 1
+),
+q_cells AS (  -- nprobe=2: each query searches its two nearest cells
+  SELECT r.vec_id AS query_id, r.cent_id, e.v AS qv
+  FROM ranked r JOIN e ON e.vec_id = r.vec_id
+  WHERE r.vec_id % 100 = 0 AND r.rn <= 2
 ),
 scored AS (
   SELECT q.query_id, a.vec_id AS neighbor_id,
@@ -195,7 +196,7 @@ scored AS (
                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
                   DESC,
              a.vec_id) AS rnk
-  FROM q
+  FROM q_cells q
   JOIN assign a ON a.cent_id = q.cent_id AND a.vec_id != q.query_id
   JOIN e ON e.vec_id = a.vec_id
 )
@@ -210,10 +211,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic coarse quantizer: ~1% of vectors (vec_id % 97 == 0)
     act as centroids; every vector is assigned to its best-cosine
     centroid (broadcast centroid table — one pass over the data).
-    A query probes only its own cell (nprobe=1), so search cost is
-    |cell| instead of N.  Probed recall vs the brute-force baseline
-    (similarity_topk_cosine) is the quality metric; all arithmetic is
-    the bit-parity cosine from functions/vectors.py.
+    A query probes its two nearest cells (nprobe=2), so search cost is
+    ~2x mean cell size instead of N.  Probed recall vs the brute-force
+    baseline (similarity_topk_cosine) is the quality metric; all
+    arithmetic is the bit-parity cosine from functions/vectors.py.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.as_double(F.col("embedding")).alias("v")
@@ -221,17 +222,15 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    assign_scored = emb.crossJoin(F.broadcast(cent)).select(
+    ranked = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", VX.cosine(F.col("v"), F.col("cv")).alias("c")
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
-    assign = (
-        assign_scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
+    ranked = ranked.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     q = (
-        assign.filter(F.col("vec_id") % 100 == 0)
+        ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= 2))
+        .select("vec_id", "cent_id")
         .join(emb, "vec_id")
         .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv"))
     )

@@ -81,6 +81,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    batchsize: int = 500,
+    num_partitions: int | None = None,
+    **options,
+) -> None:
+    """JDBC sink (reference db.py:68-76 S3: execute_values page_size=500).
+
+    ``batchsize`` maps directly onto the reference's write page size;
+    ``num_partitions`` bounds concurrent connections the way its
+    connection pool did (db.py:14-30).  For upsert semantics, stage
+    through a temp table and MERGE server-side, or use the set-based
+    merges in operators/merge.py against a lakehouse table.
+    """
+    writer = (
+        df.coalesce(num_partitions) if num_partitions else df
+    ).write.format("jdbc").option("url", url).option("dbtable", table) \
+        .option("batchsize", str(batchsize)).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def load_jdbc(
     spark: SparkSession,
     url: str,

@@ -115,19 +115,21 @@ class IncrementalPipeline:
             "fact_event_log": self._flow_event_log,
             "user_versions": self._flow_versions,
         }
+        from pyspark.sql import Observation
+
         for name, flow in flows.items():
-            batch = None
             try:
-                batch = self._batch(name, now_ts).cache()
-                stats = batch.agg(
-                    F.max("ts").alias("mx"), F.count(F.lit(1)).alias("n")
-                ).collect()[0]
+                # observe() rides the sink write's own job (reference S10's
+                # row counters via the metrics API) — no extra pass over
+                # the batch, no cache needed
+                obs = Observation(f"batch_{name}")
+                batch = self._batch(name, now_ts).observe(
+                    obs, F.max("ts").alias("mx"), F.count(F.lit(1)).alias("n")
+                )
                 counts[name] = self.sinks[name].write(flow(batch))
-                self.store.advance(name, stats.mx, stats.n)
+                stats = obs.get
+                self.store.advance(name, stats["mx"], stats["n"])
             except Exception as exc:  # per-flow isolation (pipeline.py:41-49)
                 counts[name] = -1
                 print(f"[etl_pipe_spark] flow {name} failed: {exc}")
-            finally:
-                if batch is not None:
-                    batch.unpersist()  # a failed flow must not leak cache
         return counts
