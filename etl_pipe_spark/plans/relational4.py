@@ -143,3 +143,65 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (c_mktsegment, o_orderstatus))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide metrics -> long key/value rows).
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, metric, value
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount,
+         CAST(l_tax AS DOUBLE) AS tax
+  FROM lineitem
+) UNPIVOT (value FOR metric IN (quantity, extendedprice, discount, tax))
+"""
+
+
+@register("unpivot_lineitem_metrics", oracle=_UNPIVOT_ORACLE)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt four measure columns into (metric, value) rows via stack()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) AS (metric, value)"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING: filter on aggregate results (TPC-H Q18 shape).
+# --------------------------------------------------------------------------
+
+_HAVING_ORACLE = """
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150
+"""
+
+
+@register("having_large_orders", oracle=_HAVING_ORACLE)
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-level filter (HAVING): orders with > 150 total quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = money(F.col("l_quantity"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            dsum(qty).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(qty).alias("__raw_total"),
+        )
+        .filter(F.col("__raw_total") > 150)
+        .drop("__raw_total")
+    )

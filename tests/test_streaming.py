@@ -94,3 +94,48 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
 
     got = run_stream_to_table(spark, deduped, output_mode="append")
     assert got.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_stream_join_with_watermarks(spark, sf_dir):
+    """Stream-stream inner join: signups joined to same-user purchases
+    within 6h, both sides watermarked (state-bounded at scale)."""
+    from pyspark.sql import functions as F
+
+    base = read_events_stream(spark, sf_dir)
+    signups = (
+        base.filter("event_type = 'signup'")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").cast("timestamp").alias("s_ts"),
+                F.col("event_id").alias("s_id"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").cast("timestamp").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL '6' HOUR")),
+    )
+    from etl_pipe_spark.streaming.structured import run_stream_to_table
+
+    got = run_stream_to_table(spark, joined, output_mode="append")
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter("event_type = 'signup'").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"))
+    expected = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL '6' HOUR")),
+    ).count()
+    assert got.count() == expected > 0
