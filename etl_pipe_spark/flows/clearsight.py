@@ -120,7 +120,10 @@ def node_data_flow(src: Sources, since) -> DataFrame:
             mt.tab_display_name.alias("tab_name"),
             mt.tab_level, mt.tab_seq,
         )
-        .orderBy("version_started_at")
+        # the reference's ORDER BY nd.created_at (extract.py:150) only
+        # existed for its row-at-a-time upserts; a set-based merge is
+        # order-insensitive, and a global sort here would be a full
+        # shuffle whose ordering no parallel sink preserves anyway
     )
 
 

@@ -133,6 +133,18 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
+def duck_simhash_pieces(bits: int = 32) -> tuple[str, str]:
+    """DuckDB SQL fragments (per-bit sums, fingerprint fold) mirroring
+    :func:`simhash` — the single source for every SimHash oracle."""
+    h = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ({h} & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return sums, fp
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """Per-document SimHash fingerprint over whitespace tokens.

@@ -129,12 +129,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _duck_simhash_sql(bits: int = 32) -> str:
-    h = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
-    sums = ",\n    ".join(
-        f"sum(CASE WHEN ({h} & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(bits)
-    )
-    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    sums, fp = DD.duck_simhash_pieces(bits)
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok

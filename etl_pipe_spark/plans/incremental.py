@@ -90,9 +90,11 @@ def merge_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit(_SPLIT).cast("timestamp_ntz")
     batch1 = ev.filter(F.col("ts") < split)
     batch2 = ev.filter(F.col("ts") >= split - F.expr("INTERVAL '90' SECOND"))
+    from ..streaming.incremental import event_source_key
+
     merged = batch1.unionByName(batch2).dropDuplicates(["event_id"])
     return merged.select(
-        F.concat(F.lit("EV_"), F.col("event_id").cast("string")).alias("source_key"),
+        event_source_key().alias("source_key"),
         F.col("ts").alias("event_time"),
         "user_id",
         "event_type",

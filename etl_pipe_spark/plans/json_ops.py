@@ -25,7 +25,8 @@ _PROPS_ORACLE = """
 SELECT
   event_id,
   CASE WHEN json_valid(props)
-       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS prop_k,
+       THEN CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
+       END AS prop_k,
   props AS props_full_text
 FROM events
 """

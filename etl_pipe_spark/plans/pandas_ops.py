@@ -42,7 +42,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     sq = int((x * x).sum())
     mean = s / n  # IEEE double of exact ints: deterministic
     var = (sq - (s * s) / n) / n  # population variance, same formula as oracle
-    std = var ** 0.5
+    std = max(var, 0.0) ** 0.5  # clamp: float rounding must not go complex
     out = pdf[["doc_id", "lang", "n_chars"]].copy()
     out["lang_mean"] = mean
     out["lang_std"] = std
@@ -61,8 +61,10 @@ WITH stats AS (
 SELECT d.doc_id, d.lang, d.n_chars,
   CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS lang_mean,
   sqrt((CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE)) AS lang_std,
-  (CAST(d.n_chars AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
-    / sqrt((CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE)) AS z_score
+  CASE WHEN (CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE) > 0
+       THEN (CAST(d.n_chars AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+            / sqrt((CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE))
+       ELSE 0.0 END AS z_score
 FROM documents d JOIN stats st ON d.lang = st.lang
 """
 

@@ -51,17 +51,9 @@ WHERE bit_count(xor(left_hash, right_hash)) <= 6
 """
 
 
-def _duck_simhash_pieces(bits: int = 32):
-    h = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
-    sums = ",\n    ".join(
-        f"sum(CASE WHEN ({h} & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(bits)
-    )
-    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
-    return sums, fp
+from ..operators.dedup import duck_simhash_pieces
 
-
-_sums, _fp = _duck_simhash_pieces()
+_sums, _fp = duck_simhash_pieces()
 
 
 @register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE.format(sums=_sums, fp=_fp))

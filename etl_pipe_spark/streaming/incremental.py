@@ -34,6 +34,14 @@ _VERSIONS_DDL = (
 )
 
 
+def event_source_key(event_id_col=None):
+    """The event-log dedup key ('EV_' || event_id) — single definition
+    shared by the batch pipeline, the streaming foreachBatch sink, and
+    the merge_replay_dedup oracle query, so replays always match."""
+    col = F.col("event_id") if event_id_col is None else event_id_col
+    return F.concat(F.lit("EV_"), col.cast("string"))
+
+
 class IncrementalPipeline:
     def __init__(self, spark: SparkSession, source_sf_dir: str, target_dir: str,
                  overlap_sec: int = 90):
@@ -80,7 +88,7 @@ class IncrementalPipeline:
 
     def _flow_event_log(self, batch: DataFrame) -> DataFrame:
         updates = batch.select(
-            F.concat(F.lit("EV_"), F.col("event_id").cast("string")).alias("source_key"),
+            event_source_key().alias("source_key"),
             F.col("ts").alias("event_time"),
             "user_id",
             "event_type",

@@ -47,7 +47,9 @@ class CycleScheduler:
             print(f"[etl_pipe_spark] cycle error: {exc}")
         if failed:
             self.consecutive_failures += 1
-            if self.consecutive_failures >= self.max_consecutive_failures:
+            # latch: one page per incident, at the moment the threshold
+            # is crossed — not on every further failing cycle
+            if self.consecutive_failures == self.max_consecutive_failures:
                 self.alert(
                     f"{self.consecutive_failures} consecutive failed cycles"
                 )

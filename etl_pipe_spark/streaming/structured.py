@@ -92,8 +92,10 @@ def stream_into_sink(spark: SparkSession, stream: DataFrame, sink: ParquetMergeS
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from .incremental import event_source_key
+
         updates = batch_df.select(
-            F.concat(F.lit("EV_"), F.col("event_id").cast("string")).alias("source_key"),
+            event_source_key().alias("source_key"),
             F.col("ts").cast("timestamp_ntz").alias("event_time"),
             "user_id",
             "event_type",

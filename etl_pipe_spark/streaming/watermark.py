@@ -42,10 +42,21 @@ class WatermarkStore:
         self.path = path
         self.overlap_sec = overlap_sec
 
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _current_snapshot(self) -> str | None:
+        try:
+            with open(self._pointer()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
     def _read(self):
-        if not os.path.exists(self.path):
+        snap = self._current_snapshot()
+        if snap is None:
             return self.spark.createDataFrame([], _SCHEMA)
-        return self.spark.read.schema(_SCHEMA).parquet(self.path)
+        return self.spark.read.schema(_SCHEMA).parquet(os.path.join(self.path, snap))
 
     def get(self, table_name: str) -> dt.datetime:
         """Low watermark minus the late-data overlap (extract.py:10-31).
@@ -60,7 +71,14 @@ class WatermarkStore:
     def advance(self, table_name: str, max_ts_processed: dt.datetime | None,
                 rows_fetched: int) -> None:
         """Advance to max(ts) actually processed (fixes reference S6 ⚠),
-        accumulating the total_rows_ever counter (extract.py:40-47)."""
+        accumulating the total_rows_ever counter (extract.py:40-47).
+
+        Commit is crash-safe: the new state lands in a versioned
+        directory and an atomic pointer swap publishes it (same
+        protocol as ParquetMergeSink) — a crash mid-advance can never
+        wipe the previous watermarks and reset every flow to the 2020
+        epoch, which the old rmtree-then-rename sequence could.
+        """
         if max_ts_processed is None:
             return  # empty batch: watermark must not move
         state = {r.table_name: r for r in self._read().collect()}
@@ -71,12 +89,26 @@ class WatermarkStore:
             total_rows_ever=(prev.total_rows_ever if prev else 0) + rows_fetched,
             updated_at=dt.datetime.utcnow(),
         )
-        staged = self.path + ".staged"
+        snap = self._current_snapshot()
+        version = int(snap.rsplit("-", 1)[1]) + 1 if snap else 1
+        new_snap = f"state-{version:08d}"
+        os.makedirs(self.path, exist_ok=True)
         self.spark.createDataFrame(list(state.values()), _SCHEMA) \
-            .coalesce(1).write.mode("overwrite").parquet(staged)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(staged, self.path)
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(self.path, new_snap))
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_snap)
+        os.replace(tmp, self._pointer())
+        # retain one previous state for post-mortems, drop older
+        for name in os.listdir(self.path):
+            if name.startswith("state-"):
+                try:
+                    v = int(name.rsplit("-", 1)[1])
+                except ValueError:
+                    continue
+                if v <= version - 2:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     def total_rows(self, table_name: str) -> int:
         rows = self._read().filter(F.col("table_name") == table_name).collect()
