@@ -43,7 +43,16 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_cosine",
     "similarity_ann_ivf",
+    "similarity_srp_lsh",
     "multimodal_features",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "asof_join_last_event",
+    "range_join_bucketed",
+    "doc_chunking",
+    "tfidf_top_terms",
+    "pandas_group_zscore",
 ]
 
 
