@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None = None):
 _PLAN_MODULES = (
     "relational", "relational2", "relational3", "relational4", "json_ops",
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
-    "text_plans", "text_plans2", "pandas_ops",
+    "text_plans", "text_plans2", "pandas_ops", "curation_pipeline",
 )
 
 

@@ -117,16 +117,8 @@ FROM chunks
 """
 
 
-@register("doc_chunking", oracle=_CHUNKING_ORACLE)
-def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split documents into 32-token chunks with 8-token overlap.
-
-    The standard pre-training window cut: chunk i covers tokens
-    [i*stride, i*stride + chunk); the final partial chunk is kept.
-    Pure array expressions + one explode — no Python, no shuffle
-    beyond the source partitioning.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """Reusable chunking plan: (doc_id, chunk_no, chunk_text, n_tokens)."""
     toks = ws_tokens(F.col("text"))
     n = F.size(toks)
     n_chunks = F.greatest(
@@ -151,6 +143,18 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_tokens"),
         )
     )
+
+
+@register("doc_chunking", oracle=_CHUNKING_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into 32-token chunks with 8-token overlap.
+
+    The standard pre-training window cut: chunk i covers tokens
+    [i*stride, i*stride + chunk); the final partial chunk is kept.
+    Pure array expressions + one explode — no Python, no shuffle
+    beyond the source partitioning.
+    """
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -92,3 +92,26 @@ def test_date_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     import os
     dirs = [d for d in os.listdir(path) if d.startswith("__dt=")]
     assert len(dirs) >= 25  # ~30 days of events
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must hash-join with no
+    Exchange on either side — the co-located join layout.py promises."""
+    from etl_pipe_spark.operators.layout import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        write_bucketed_table(orders, "b_orders", "o_orderkey", n_buckets=4)
+        write_bucketed_table(li, "b_lineitem", "o_orderkey", n_buckets=4)
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
