@@ -228,6 +228,11 @@ SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast query set × candidate scan.
 
+    Baseline for the incremental/approximate top-k strategies surveyed
+    in PAPERS.md (EDBT 2020 incremental top-k similarity; SIGMOD 2020
+    continuously adaptive similarity search) — those motivate the
+    IVF/SRP variants as the adaptive scale paths.
+
     The baseline ANN path: the (small) query set broadcasts, the
     candidate side streams — one pass, no quadratic shuffle.  The
     bucketed variant (similarity_ann_bucketed) is the 100 TB path.
