@@ -160,3 +160,39 @@ def coercion_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         safe_int(F.col("raw")).alias("as_int"),
         safe_numeric(F.col("raw")).alias("as_double"),
     )
+
+
+# --------------------------------------------------------------------------
+# MapType handling: JSON payload as a map column.
+# --------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT event_id,
+       json_keys(props) AS prop_keys,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       json_extract_string(props, '$.k') AS k_value,
+       list_contains(json_keys(props), 'k') AS has_k
+FROM events
+"""
+
+
+@register("json_as_map", oracle=_MAP_ORACLE)
+def json_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsed as MapType: keys, size, lookup, membership.
+
+    The schema-free counterpart of the allowlist flatten (JS1) — for
+    payloads whose key set is open-ended, parse to map<string,string>
+    and operate with map functions.
+    """
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType()))
+    keys = F.map_keys(m)
+    return ev.select(
+        "event_id",
+        F.array_sort(keys).alias("prop_keys"),
+        F.size(keys).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.array_contains(keys, "k").alias("has_k"),
+    )

@@ -205,3 +205,36 @@ def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__raw_total") > 150)
         .drop("__raw_total")
     )
+
+
+# --------------------------------------------------------------------------
+# NULL-handling scalar family.
+# --------------------------------------------------------------------------
+
+_NULLFN_ORACLE = """
+SELECT o_orderkey,
+  nullif(o_orderstatus, 'O') AS status_unless_open,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+  greatest(o_totalprice, 100000.0) AS price_floor,
+  least(o_totalprice, 400000.0) AS price_cap,
+  o_totalprice IS NULL AS price_missing,
+  CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS deprioritized
+FROM orders
+"""
+
+
+@register("null_handling_functions", oracle=_NULLFN_ORACLE)
+def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nullif / coalesce / greatest / least / IS NULL family."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_unless_open"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN"))
+        .alias("status_or_open"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor"),
+        F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("price_cap"),
+        F.col("o_totalprice").isNull().alias("price_missing"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority")).alias("deprioritized"),
+    )
