@@ -168,7 +168,7 @@ def coercion_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAP_ORACLE = """
 SELECT event_id,
-       json_keys(props) AS prop_keys,
+       to_json(list_sort(json_keys(props))) AS prop_keys,
        CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
        json_extract_string(props, '$.k') AS k_value,
        list_contains(json_keys(props), 'k') AS has_k
@@ -183,6 +183,11 @@ def json_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     The schema-free counterpart of the allowlist flatten (JS1) — for
     payloads whose key set is open-ended, parse to map<string,string>
     and operate with map functions.
+
+    ``prop_keys`` is sorted on BOTH sides (``array_sort`` / DuckDB
+    ``list_sort``) so the comparison is key-order independent, then
+    serialized with ``to_json`` so the driver's pandas canonicalizer
+    can hash it (list cells are unhashable there).
     """
     from pyspark.sql import types as T
 
@@ -191,7 +196,7 @@ def json_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = F.map_keys(m)
     return ev.select(
         "event_id",
-        F.array_sort(keys).alias("prop_keys"),
+        F.to_json(F.array_sort(keys)).alias("prop_keys"),
         F.size(keys).alias("n_keys"),
         F.element_at(m, "k").alias("k_value"),
         F.array_contains(keys, "k").alias("has_k"),

@@ -87,10 +87,10 @@ def supplier_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAYS_ORACLE = """
 SELECT user_id,
-  list_sort(list(DISTINCT event_type)) AS event_types,
+  to_json(list_sort(list(DISTINCT event_type))) AS event_types,
   len(list_sort(list(DISTINCT event_type))) AS n_types,
   list_contains(list(DISTINCT event_type), 'error') AS had_error,
-  list_sort(list(event_id)) AS event_ids,
+  to_json(list_sort(list(event_id))) AS event_ids,
   list_sort(list(event_id))[1] AS first_event_id,
   list_sort(list(event_id))[-1] AS last_event_id
 FROM events
@@ -102,15 +102,22 @@ GROUP BY user_id
 def array_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set / collect_list with explicit sorting for determinism
     (collection order is execution-dependent on every engine), plus
-    array predicates and element access."""
+    array predicates and element access.
+
+    Array outputs are serialized with ``to_json`` at the query boundary:
+    the driver's pandas canonicalizer can't hash list cells, and both
+    engines render ``["a","b"]`` / ``[1,2]`` byte-identically, so the
+    JSON string IS the hashable canonical form.  Array-native variants
+    stay exercised in tests.
+    """
     ev = load_table(spark, sf_dir, "events")
     types_sorted = F.array_sort(F.collect_set("event_type"))
     ids_sorted = F.array_sort(F.collect_list("event_id"))
     return ev.groupBy("user_id").agg(
-        types_sorted.alias("event_types"),
+        F.to_json(types_sorted).alias("event_types"),
         F.size(types_sorted).alias("n_types"),
         F.array_contains(types_sorted, "error").alias("had_error"),
-        ids_sorted.alias("event_ids"),
+        F.to_json(ids_sorted).alias("event_ids"),
         F.element_at(ids_sorted, 1).alias("first_event_id"),
         F.element_at(ids_sorted, -1).alias("last_event_id"),
     )

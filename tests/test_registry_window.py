@@ -1,0 +1,51 @@
+"""Pin the driver-visible registration window.
+
+The driver's differential harness hard-checks only the FIRST 50
+registered queries.  These tests pin (a) every flagship LLM-pipeline
+operator inside that window and (b) the demotion list staying exactly
+the r01-green demo queries, so a future registration can't silently
+push a flagship out of hard-signal coverage.
+"""
+
+from etl_pipe_spark.plans.catalog import _DEMOTED, REGISTRY, _load_all, queries
+
+DRIVER_WINDOW = 50
+
+FLAGSHIPS = [
+    # LLM-data-pipeline north stars (VERDICT r01 "no hard-signal row").
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "similarity_topk_cosine",
+    "similarity_ann_ivf",
+    "similarity_srp_lsh",
+    "embedding_neardup_pairs",
+    "multimodal_features",
+    "tfidf_top_terms",
+    "approx_aggregates",
+    "doc_chunking",
+    "text_redact",
+    "mixture_sampling",
+    "pandas_group_zscore",
+    "corpus_curation_pipeline",
+    # Fixed this round — need fresh driver rows.
+    "array_aggregation",
+    "json_as_map",
+]
+
+
+def test_flagships_inside_driver_window():
+    names = list(queries())
+    window = set(names[:DRIVER_WINDOW])
+    missing = [f for f in FLAGSHIPS if f not in window]
+    assert not missing, f"flagships outside driver window: {missing}"
+
+
+def test_demoted_names_exist_and_ordering_is_a_permutation():
+    _load_all()
+    assert set(_DEMOTED) <= set(REGISTRY), "demoting a name that isn't registered"
+    names = list(queries())
+    assert sorted(names) == sorted(REGISTRY), "ordering dropped or duplicated a query"
+    assert names[-len(_DEMOTED):] == list(_DEMOTED)
