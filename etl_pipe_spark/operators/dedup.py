@@ -24,6 +24,12 @@ from ..functions.text import hash32, shingles
 
 MINHASH_P = 4294967311  # smallest prime > 2^32
 
+# Default hot-shingle document-frequency cap: a 3-gram appearing in more
+# than this many documents is boilerplate, not a similarity signal, and
+# its posting list would cost df^2 candidate pairs.  Single source of
+# truth for both the Spark operator and the DuckDB oracle SQL.
+MAX_DF = 256
+
 # Deterministic permutation coefficients (16 permutations = 4 bands x 4 rows).
 N_PERM = 16
 N_BANDS = 4
@@ -41,16 +47,60 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def capped_postings(sh: DataFrame, max_df: int) -> DataFrame:
+    """Posting list with hot shingles dropped (document frequency cap).
+
+    Candidate-pair cost through an inverted index is sum over shingles
+    of k^2 (k = posting-list length) — quadratic in bucket occupancy,
+    so one boilerplate phrase shared by k docs costs k^2 pairs.  The
+    standard dedup-at-scale fix: drop shingles whose df exceeds
+    ``max_df`` from CANDIDATE GENERATION (a hot shingle carries almost
+    no similarity signal anyway), bounding per-shingle cost at
+    max_df^2.  Verification still scores candidates on the FULL
+    shingle sets, so surviving pairs keep their exact Jaccard.
+    """
+    from pyspark.sql import Window as W
+
+    # One shuffle on shingle (window count), not groupBy + re-join —
+    # and the exchange is the same one the candidate self-join needs.
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    return (
+        sh.withColumn("__df", dfreq)
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+
+
+def index_candidates(sh: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Candidate pairs (left_id < right_id) sharing >=1 indexed shingle,
+    optionally under a hot-shingle df cap (see :func:`capped_postings`)."""
+    idx = sh if max_df is None else capped_postings(sh, max_df)
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .distinct()
+    )
+
+
 def jaccard_pairs(sh: DataFrame, threshold: float,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index.
 
     Pairs sharing >=1 shingle are enumerated by an equi-join on the
-    shingle (linear in index size, not quadratic in documents), then
-    |A ∩ B| / |A ∪ B| is computed exactly.  ``candidates`` (from LSH)
-    restricts the verify set.
+    shingle; per-shingle pair cost is k^2 in posting-list length, so
+    ``max_df`` (hot-shingle document-frequency cap, see
+    :func:`capped_postings`) bounds the worst bucket — without it a
+    single corpus-wide stop phrase costs O(N^2) pairs.  ``candidates``
+    (from LSH) restricts the verify set directly.  Either way the
+    Jaccard value |A ∩ B| / |A ∪ B| is computed exactly over the FULL
+    shingle sets of the surviving pairs.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if candidates is None and max_df is not None:
+        candidates = index_candidates(sh, max_df=max_df)
     if candidates is None:
         # Inverted-index path: every pair sharing >=1 shingle.
         a, b = sh.alias("a"), sh.alias("b")

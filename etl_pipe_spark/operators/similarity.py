@@ -20,9 +20,26 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.vectors import as_double, dot
 
-N_PLANES = 8
+N_PLANES = 8  # default; see srp_planes_for_corpus for the sizing rule
 DIM = 64
 _WEIGHT_MOD = 2001  # weights in [-1000, 1000]
+
+
+def srp_planes_for_corpus(n_docs: int, target_bucket: int = 1000) -> int:
+    """Plane count sized to the corpus: the occupancy/recall dial.
+
+    2^planes buckets, so mean occupancy is N / 2^planes; pick
+    planes ~= ceil(log2(N / target_bucket)) to hold mean bucket size at
+    ``target_bucket`` as the corpus grows (fixed planes => occupancy,
+    and thus pair-enumeration cost, grows linearly with N).  More
+    planes trade recall for cost — per plane, P[same bit] =
+    1 - angle/pi — so recall lost to extra planes is recovered by
+    OR-ing multiple independent bands (run srp_buckets with disjoint
+    plane-index offsets and union the candidate pairs), exactly like
+    MinHash banding.
+    """
+    planes = max(1, (n_docs // max(target_bucket, 1)).bit_length())
+    return max(N_PLANES, planes)
 
 
 def plane_weight(i: int, d: int) -> int:
@@ -39,28 +56,35 @@ def _plane_lit(i: int) -> Column:
     return F.array(*[F.lit(float(plane_weight(i, d))) for d in range(DIM)])
 
 
-def srp_bucket(vec: Column) -> Column:
-    """8-bit SRP bucket: bit i = sign of <v, plane_i>."""
+def srp_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """n-bit SRP bucket: bit i = sign of <v, plane_i>."""
     bucket = None
-    for i in range(N_PLANES):
+    for i in range(n_planes):
         bit = F.when(dot(vec, _plane_lit(i)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("bigint")
 
 
-def srp_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def srp_buckets(emb: DataFrame, vec_col: str = "embedding",
+                n_planes: int = N_PLANES) -> DataFrame:
     """Assign every vector its SRP bucket (one narrow projection)."""
     return emb.withColumn("v", as_double(F.col(vec_col))).withColumn(
-        "srp_bucket", srp_bucket(F.col("v"))
+        "srp_bucket", srp_bucket(F.col("v"), n_planes=n_planes)
     )
 
 
-DUCK_SRP_PLANES = f"""
+def duck_srp_planes(n_planes: int = N_PLANES) -> str:
+    """DuckDB CTE for the same hyperplanes — generated from the same
+    constants as the Spark side (single source of truth)."""
+    return f"""
 planes AS (
   SELECT t.i,
          list_transform(range(0, {DIM}), d ->
            CAST(CAST(concat('0x', substr(md5(CAST(t.i AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
                 % {_WEIGHT_MOD} - {_WEIGHT_MOD // 2} AS DOUBLE)) AS w
-  FROM (SELECT unnest(range(0, {N_PLANES})) AS i) t
+  FROM (SELECT unnest(range(0, {n_planes})) AS i) t
 )
 """
+
+
+DUCK_SRP_PLANES = duck_srp_planes()

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions import vectors as VX
 from ..operators import dedup as DD
-from ..operators.similarity import DUCK_SRP_PLANES, srp_buckets
+from ..operators import similarity as SIM
+from ..operators.similarity import srp_buckets
 from ..sources.catalog import load_table
 from .catalog import register
 
@@ -49,8 +50,23 @@ jac AS (
 """
 
 _NGRAM_JACCARD_ORACLE = f"""
-WITH {_SHINGLE_CTE}, {_JACCARD_TAIL}
-SELECT left_id, right_id, jaccard FROM jac WHERE jaccard >= 0.5
+WITH {_SHINGLE_CTE},
+dfreq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+),
+cold AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+  WHERE d.df <= {DD.MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+SELECT c.left_id, c.right_id, j.jaccard
+FROM cand c JOIN jac j ON j.left_id = c.left_id AND j.right_id = c.right_id
+WHERE j.jaccard >= 0.5
 """
 
 
@@ -58,13 +74,16 @@ SELECT left_id, right_id, jaccard FROM jac WHERE jaccard >= 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted shingle index.
 
-    Candidate pairs come from the shingle equi-join (linear in index
-    size), never an all-pairs cross join — the shape that survives a
-    100 TB corpus.
+    Candidate pairs come from the shingle equi-join (never an all-pairs
+    cross join), with hot shingles (document frequency > MAX_DF = 256)
+    dropped from candidate generation so no single boilerplate phrase
+    can cost df^2 pairs — the cap that makes the inverted index survive
+    a 100 TB corpus.  Surviving pairs are scored exactly on full
+    shingle sets.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = DD.shingle_sets(docs, n=3)
-    return DD.jaccard_pairs(sh, threshold=0.5)
+    return DD.jaccard_pairs(sh, threshold=0.5, max_df=DD.MAX_DF)
 
 
 # --------------------------------------------------------------------------
@@ -155,13 +174,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN scale path: IVF-style deterministic coarse quantizer.
 # --------------------------------------------------------------------------
 
-_ANN_IVF_ORACLE = """
+# Fixed centroid count, independent of corpus size: assignment cost is
+# N x N_CENTROIDS (linear in N), never N^2/k.  The deterministic
+# "k-means seed" is the 32 vectors ranking first by md5(vec_id) — a
+# uniform pseudo-random sample both engines compute identically.  The
+# production path swaps this seed for k-means|| centroids; the plan
+# shape (broadcast centroid table, one assignment pass) is unchanged.
+N_CENTROIDS = 32
+
+_ANN_IVF_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 97 = 0
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CENTROIDS}
 ),
 ranked AS (
   SELECT e.vec_id, c.cent_id,
@@ -203,19 +231,25 @@ SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor (the 100 TB path).
 
-    Deterministic coarse quantizer: ~1% of vectors (vec_id % 97 == 0)
-    act as centroids; every vector is assigned to its best-cosine
-    centroid (broadcast centroid table — one pass over the data).
-    A query probes its two nearest cells (nprobe=2), so search cost is
-    ~2x mean cell size instead of N.  Probed recall vs the brute-force
-    baseline (similarity_topk_cosine) is the quality metric; all
-    arithmetic is the bit-parity cosine from functions/vectors.py.
+    Coarse quantizer with a FIXED centroid count (N_CENTROIDS = 32,
+    independent of corpus size): centroids are a deterministic uniform
+    sample (first 32 vectors by md5(vec_id)); every vector is assigned
+    to its best-cosine centroid via a broadcast centroid table — one
+    linear assignment pass, cost N x 32, at any N.  A query probes its
+    two nearest cells (nprobe=2), so search cost is ~2x mean cell size
+    instead of N.  Production swaps the sampled seed for k-means||
+    centroids sized ~sqrt(N); the plan shape is identical.  Probed
+    recall vs the brute-force baseline (similarity_topk_cosine) is the
+    quality metric; all arithmetic is the bit-parity cosine from
+    functions/vectors.py.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.as_double(F.col("embedding")).alias("v")
     )
-    cent = emb.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    cent = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
     )
     ranked = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", VX.cosine(F.col("v"), F.col("cv")).alias("c")
@@ -228,14 +262,19 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cent_id")
         .join(emb, "vec_id")
         .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv"))
+        .alias("q")
     )
-    cand = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v")
+    cand = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v").alias("cand")
     scored = (
-        cand.join(F.broadcast(q), (cand.cent_id == q.cent_id) & (cand.vec_id != q.query_id))
+        cand.join(
+            F.broadcast(q),
+            (F.col("cand.cent_id") == F.col("q.cent_id"))
+            & (F.col("cand.vec_id") != F.col("q.query_id")),
+        )
         .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            VX.cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            F.col("q.query_id").alias("query_id"),
+            F.col("cand.vec_id").alias("neighbor_id"),
+            VX.cosine(F.col("q.qv"), F.col("cand.v")).alias("cosine"),
         )
     )
     w_rank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -246,8 +285,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN scale path 2: signed-random-projection LSH buckets.
 # --------------------------------------------------------------------------
 
-_SRP_ORACLE = f"""
-WITH {DUCK_SRP_PLANES},
+def srp_oracle(n_planes: int = SIM.N_PLANES, min_cosine: float = 0.3) -> str:
+    """DuckDB twin of :func:`srp_pairs`, any plane count."""
+    return f"""
+WITH {SIM.duck_srp_planes(n_planes)},
 e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -270,22 +311,14 @@ pairs AS (
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
 )
-SELECT left_id, right_id, srp_bucket, cosine FROM pairs WHERE cosine >= 0.3
+SELECT left_id, right_id, srp_bucket, cosine FROM pairs WHERE cosine >= {min_cosine}
 """
 
 
-@register("similarity_srp_lsh", oracle=_SRP_ORACLE)
-def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH near-neighbor pairs (ANN scale path 2).
-
-    8 md5-derived integer hyperplanes bucket each vector (one narrow
-    projection over the data); only same-bucket pairs are scored, so
-    the pair count tracks bucket occupancy instead of N^2.  Random
-    hyperplanes preserve cosine locality: P[same bit] =
-    1 - angle/pi per plane.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    b = srp_buckets(emb).select("vec_id", "v", "srp_bucket")
+def srp_pairs(emb: DataFrame, n_planes: int = SIM.N_PLANES,
+              min_cosine: float = 0.3) -> DataFrame:
+    """Same-bucket SRP pairs scored by exact cosine, any plane count."""
+    b = srp_buckets(emb, n_planes=n_planes).select("vec_id", "v", "srp_bucket")
     left = b.alias("a")
     right = b.alias("b")
     cos = VX.cosine(F.col("a.v"), F.col("b.v"))
@@ -301,5 +334,22 @@ def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.srp_bucket").alias("srp_bucket"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.3)
+        .filter(F.col("cosine") >= min_cosine)
     )
+
+
+@register("similarity_srp_lsh", oracle=srp_oracle())
+def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-neighbor pairs (ANN scale path 2).
+
+    md5-derived integer hyperplanes bucket each vector (one narrow
+    projection over the data); only same-bucket pairs are scored, so
+    the pair count tracks bucket occupancy instead of N^2.  Random
+    hyperplanes preserve cosine locality: P[same bit] = 1 - angle/pi
+    per plane.  Plane count is the occupancy/recall dial — size it with
+    operators.similarity.srp_planes_for_corpus (planes ~
+    log2(N / target_bucket)) so mean occupancy stays flat as the corpus
+    grows; this query pins the 8-plane default for oracle parity.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_pairs(emb, n_planes=SIM.N_PLANES)
