@@ -45,10 +45,16 @@ def safe_bool(col: Column) -> Column:
 def safe_numeric(col: Column) -> Column:
     """Lenient float (reference transform.py:30-37): ``float(val)`` or NULL.
 
-    ``try_cast`` to double matches Python ``float``: numeric strings
-    parse, garbage -> NULL, inf/nan strings parse on both sides.
+    ``try_cast`` to double matches Python ``float`` including special
+    spellings: "inf" / "infinity" / "nan" parse case-insensitively,
+    signed and whitespace-trimmed, on both sides (verified on Spark
+    4.1 — SPARK-27768 special floating-point literals).  The one gap is
+    SIGNED NaN: Python ``float("-nan")`` == nan while Spark's cast
+    rejects the sign — normalized here so both agree.  The full matrix
+    is pinned in tests/test_coercions.py.
     """
-    return col.try_cast("double")
+    signed_nan = F.lower(F.trim(col)).isin("-nan", "+nan")
+    return F.when(signed_nan, F.lit("nan")).otherwise(col).try_cast("double")
 
 
 def safe_int(col: Column) -> Column:

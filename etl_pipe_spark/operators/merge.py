@@ -61,6 +61,12 @@ def upsert(
     cols = existing.columns
     if order_col is not None:
         updates = _latest_per_key(updates, keys, order_col, tiebreakers)
+    else:
+        # One-row-per-key contract even without an ordering column:
+        # duplicate keys in the batch would otherwise fan out through
+        # the full_outer join.  Which duplicate wins is unspecified —
+        # pass order_col (+ tiebreakers) for a deterministic winner.
+        updates = updates.dropDuplicates(keys)
     update_cols = [c for c in (update_cols or cols) if c not in keys]
 
     e = existing.withColumn("__e", F.lit(1)).alias("e")
@@ -117,15 +123,45 @@ def scd2_apply_versions(
     distinct same-instant versions would collapse to one in the
     replay-dedup step; with them both survive, ordered by the
     tiebreaker.
+
+    A source-provided ``end_col`` is honored (reference load.py:50-83
+    DO UPDATE persists version_ended_at): a version closed at the
+    source WITHOUT a successor — a deletion — stays closed, instead of
+    being resurrected as current by the recompute.  When a successor
+    exists, its start timestamp is authoritative (that's the closure
+    the reference loader itself would apply on the next version), so
+    the merge uses coalesce(lead(ts), source_end).
     """
     version_key = keys + [ts_col] + (tiebreakers or [])
-    combined = existing.drop(end_col, current_col).unionByName(
-        updates.drop(*[c for c in (end_col, current_col) if c in updates.columns])
-    ).dropDuplicates(version_key)
+
+    def _with_src_end(df: DataFrame) -> DataFrame:
+        src = (
+            F.col(end_col) if end_col in df.columns
+            else F.lit(None).cast(dict(df.dtypes)[ts_col])
+        )
+        return df.withColumn("__src_end", src).drop(
+            *[c for c in (end_col, current_col) if c in df.columns]
+        )
+
+    combined = _with_src_end(existing).unionByName(_with_src_end(updates))
+    # Replay dedup, preferring the row that carries an explicit end
+    # (a closed version record beats its open replay twin).
+    w_dup = W.partitionBy(*version_key).orderBy(
+        F.col("__src_end").isNull().cast("int"), F.col("__src_end").desc()
+    )
+    combined = (
+        combined.withColumn("__rn", F.row_number().over(w_dup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     order = [F.col(ts_col)] + [F.col(t) for t in (tiebreakers or [])]
     w = W.partitionBy(*keys).orderBy(*order)
-    nxt = F.lead(F.col(ts_col)).over(w)
-    return combined.withColumn(end_col, nxt).withColumn(current_col, nxt.isNull())
+    end = F.coalesce(F.lead(F.col(ts_col)).over(w), F.col("__src_end"))
+    return (
+        combined.withColumn(end_col, end)
+        .withColumn(current_col, end.isNull())
+        .drop("__src_end")
+    )
 
 
 class ParquetMergeSink:

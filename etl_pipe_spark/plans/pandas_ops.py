@@ -37,12 +37,17 @@ _ZSCORE_SCHEMA = (
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # integer sums are order-independent => exact across engines
     x = pdf["n_chars"].astype("int64")
-    n = len(x)
-    s = int(x.sum())
-    sq = int((x * x).sum())
-    mean = s / n  # IEEE double of exact ints: deterministic
-    var = (sq - (s * s) / n) / n  # population variance, same formula as oracle
-    std = max(var, 0.0) ** 0.5  # clamp: float rounding must not go complex
+    # Round each sum to double BEFORE any arithmetic — the oracle's
+    # CAST(... AS DOUBLE) does exactly that, and mirroring its rounding
+    # sequence keeps parity bit-for-bit even when s*s exceeds 2^53
+    # (arbitrary-precision (s*s)/n rounds once; double (s*s)/n rounds
+    # at the multiply too).
+    n = float(len(x))
+    s = float(int(x.sum()))
+    sq = float(int((x * x).sum()))
+    mean = s / n
+    var = (sq - (s * s) / n) / n  # population variance, same expr as oracle
+    std = var**0.5 if var > 0 else 0.0  # clamp mirrored in the oracle's CASE
     out = pdf[["doc_id", "lang", "n_chars"]].copy()
     out["lang_mean"] = mean
     out["lang_std"] = std
@@ -60,7 +65,9 @@ WITH stats AS (
 )
 SELECT d.doc_id, d.lang, d.n_chars,
   CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS lang_mean,
-  sqrt((CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE)) AS lang_std,
+  CASE WHEN (CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE) > 0
+       THEN sqrt((CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE))
+       ELSE 0.0 END AS lang_std,
   CASE WHEN (CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE) > 0
        THEN (CAST(d.n_chars AS DOUBLE) - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
             / sqrt((CAST(st.sq AS DOUBLE) - (CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE))

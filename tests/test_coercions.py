@@ -53,6 +53,32 @@ def test_safe_numeric(spark):
     assert got == [e for _, e in NUM_CASES]
 
 
+def test_safe_numeric_special_spellings_match_python_float(spark):
+    """Python float() accepts inf/infinity/nan (any case, sign, outer
+    whitespace); every such spelling must parse identically here —
+    including signed NaN, which Spark's raw cast rejects and
+    safe_numeric normalizes."""
+    import math
+
+    spellings = [
+        "inf", "Inf", "INFINITY", "-infinity", "+inf", " -Inf ",
+        "nan", "NaN", "-nan", "+NAN", " nan ",
+        "infi", "na", "+-inf",  # garbage on both sides
+    ]
+    got = _eval(spark, safe_numeric, spellings)
+    for raw, out in zip(spellings, got):
+        try:
+            expect = float(raw)
+        except ValueError:
+            expect = None
+        if expect is None:
+            assert out is None, (raw, out)
+        elif math.isnan(expect):
+            assert out is not None and math.isnan(out), (raw, out)
+        else:
+            assert out == expect, (raw, out)
+
+
 @pytest.mark.parametrize(
     "payload,expect",
     [

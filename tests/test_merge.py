@@ -174,3 +174,55 @@ def test_sink_vacuum_retention(spark, tmp_path):
     snaps = sorted(d for d in os.listdir(sink.path) if d.startswith("snapshot-"))
     assert snaps == ["snapshot-00000004", "snapshot-00000005"]
     assert sink.read().collect()[0].id == 4
+
+
+def test_upsert_no_order_col_collapses_duplicate_keys(spark):
+    """Duplicate keys in a batch without order_col must not fan out
+    through the full_outer join (one-row-per-key upsert contract)."""
+    existing = spark.createDataFrame([(1, "x")], "id long, status string")
+    updates = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, status string"
+    )
+    out = upsert(existing, updates, keys=["id"])
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 2]  # exactly one row per key
+
+
+def test_scd2_source_end_without_successor_stays_closed(spark):
+    """Deletion semantics: a version closed at the source with no
+    successor keeps its end timestamp and is_current=false (reference
+    load.py:50-83 persists version_ended_at)."""
+    schema = (
+        "entity_id long, ts timestamp, attr string, "
+        "version_ended_at timestamp, is_current_version boolean"
+    )
+    existing = spark.createDataFrame([], schema)
+    updates = spark.createDataFrame(
+        [
+            (1, _t(1), "v1", _t(2), False),   # closed at source, no successor row
+            (2, _t(1), "w1", None, True),     # ordinary open version
+        ],
+        schema,
+    )
+    out = scd2_apply_versions(existing, updates, keys=["entity_id"], ts_col="ts")
+    got = {r["entity_id"]: (r["version_ended_at"], r["is_current_version"])
+           for r in out.collect()}
+    assert got[1] == (_t(2), False)
+    assert got[2] == (None, True)
+    # and the closure survives a replay merge
+    again = scd2_apply_versions(out, updates, keys=["entity_id"], ts_col="ts")
+    got2 = {r["entity_id"]: (r["version_ended_at"], r["is_current_version"])
+            for r in again.collect()}
+    assert got2 == got
+
+
+def test_scd2_successor_start_overrides_source_end(spark):
+    """When a successor exists, its start is the authoritative closure."""
+    schema = "entity_id long, ts timestamp, attr string, version_ended_at timestamp"
+    existing = spark.createDataFrame([], schema)
+    updates = spark.createDataFrame(
+        [(1, _t(1), "v1", _t(5)), (1, _t(3), "v2", None)], schema
+    )
+    out = scd2_apply_versions(existing, updates, keys=["entity_id"], ts_col="ts")
+    got = _rows(out, "ts", "version_ended_at", "is_current_version")
+    assert got == [(_t(1), _t(3), False), (_t(3), None, True)]
