@@ -63,26 +63,36 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
 
 
 def run_stream_to_table(spark: SparkSession, agg: DataFrame,
-                        output_mode: str = "complete") -> DataFrame:
+                        output_mode: str = "complete",
+                        metrics: bool = False) -> DataFrame:
     """Drain a finite stream into an in-memory table and return it.
 
     ``AvailableNow`` processes everything then stops — the batch-like
     execution mode used by tests and the driver's correctness harness.
+    ``metrics=True`` attaches the S10 ``EtlMetricsListener`` for the
+    run, logging per-micro-batch input rows (streaming/metrics.py).
     """
+    from .metrics import attach_metrics_listener
+
+    listener = attach_metrics_listener(spark) if metrics else None
     name = f"etl_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if listener is not None:
+            listener.detach(spark)
     return spark.table(name)
 
 
 def stream_into_sink(spark: SparkSession, stream: DataFrame, sink: ParquetMergeSink,
-                     checkpoint_dir: str) -> None:
+                     checkpoint_dir: str, metrics: bool = False) -> None:
     """foreachBatch -> idempotent merge (ST3/ST4).
 
     Each micro-batch is insert-if-absent merged on source_key, so
@@ -90,6 +100,8 @@ def stream_into_sink(spark: SparkSession, stream: DataFrame, sink: ParquetMergeS
     reference's ON CONFLICT DO NOTHING recipe, with the checkpoint
     replacing the watermark table.
     """
+
+    from .metrics import attach_metrics_listener
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from .incremental import event_source_key
@@ -103,10 +115,15 @@ def stream_into_sink(spark: SparkSession, stream: DataFrame, sink: ParquetMergeS
         )
         sink.write(insert_if_absent(sink.read(), updates, ["source_key"]))
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    listener = attach_metrics_listener(spark) if metrics else None
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if listener is not None:
+            listener.detach(spark)
