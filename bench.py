@@ -21,9 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Representative, scale-sensitive subset of the registry: scans, joins,
-# aggregation, union, windows, JSON, streaming-shaped sessionization,
-# dedup (exact + LSH), similarity (brute force + IVF), multimodal.
+# The round-1 headline subset — timed since BENCH_r01, kept as a named
+# group so round-over-round regressions in the long tail don't hide a
+# regression here (docs/BENCH_COMPARE.md tracks the diff).  The bench
+# itself now times EVERY registered query.
 HEADLINE = [
     "run_summary_rollup",
     "pricing_summary",
@@ -77,7 +78,7 @@ def main() -> None:
     # Best-of-2 per query: single-shot local[N] timings carry 5-10x
     # scheduler/GC noise; the minimum reflects the plan's real cost.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in qs:  # the FULL registry, registration order
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -87,11 +88,15 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
-        "metric": "headline_queries_total_sec",
+        "metric": "registry_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r01-comparable subset total (BENCH_r01 timed exactly these 28)
+        "headline_total_sec": round(
+            sum(timings[n] for n in HEADLINE if n in timings), 3
+        ),
     }))
     spark.stop()
 

@@ -38,12 +38,27 @@ PERM_A = [(1000003 * (i + 1) + 333) % (2**30) for i in range(N_PERM)]
 PERM_B = [(998244353 * (i + 7) + 777) % MINHASH_P for i in range(N_PERM)]
 
 
+def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """Per-document distinct shingle set as ONE array row: (doc_id, shingles).
+
+    ``array_distinct`` dedups inside the row, so the whole shingle-set
+    construction is narrow (no shuffle) — the exploded form used to pay
+    a global ``distinct()`` exchange for the same result, since
+    duplicate (doc_id, shingle) pairs can only come from within one
+    document.  Docs shorter than n tokens (empty shingle array) drop
+    out, matching the exploded form where they simply have no rows.
+    """
+    return docs.select(
+        id_col, F.array_distinct(shingles(F.col(text_col), n)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    return (
-        docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    return shingle_arrays(docs, id_col, text_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
     )
 
 
@@ -59,16 +74,17 @@ def capped_postings(sh: DataFrame, max_df: int) -> DataFrame:
     max_df^2.  Verification still scores candidates on the FULL
     shingle sets, so surviving pairs keep their exact Jaccard.
     """
-    from pyspark.sql import Window as W
-
-    # One shuffle on shingle (window count), not groupBy + re-join —
-    # and the exchange is the same one the candidate self-join needs.
-    dfreq = F.count(F.lit(1)).over(W.partitionBy("shingle"))
-    return (
-        sh.withColumn("__df", dfreq)
-        .filter(F.col("__df") <= max_df)
-        .drop("__df")
+    # The HOT list (df > cap) is tiny by construction — aggregate the
+    # index once, keep only the offenders, and broadcast a left-anti
+    # join.  The posting list itself is never re-shuffled by shingle
+    # here (a window-count formulation would exchange the full index).
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
     )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def index_candidates(sh: DataFrame, max_df: int | None = None) -> DataFrame:
@@ -133,6 +149,123 @@ def jaccard_pairs(sh: DataFrame, threshold: float,
         inter.join(sa, "left_id").join(sb, "right_id")
         .select("left_id", "right_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_capped(sharr: DataFrame, threshold: float, max_df: int) -> DataFrame:
+    """Exact Jaccard under a hot-shingle cap, at index scale.
+
+    The self-join + per-pair count runs ONLY over cold postings
+    (df <= max_df), so no bucket costs more than max_df^2 pairs; the
+    intersection is then completed exactly by adding the hot-shingle
+    overlap, computed from tiny per-doc hot arrays (each doc carries at
+    most a handful of > max_df shingles, joined narrow).  Output =
+    pairs sharing >=1 cold shingle, scored on FULL shingle sets —
+    byte-identical to the capped-candidates oracle, but without ever
+    shipping full shingle arrays onto the (large) candidate set or
+    self-joining hot postings.
+    """
+    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
+    )
+    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    inter_cold = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .agg(F.count(F.lit(1)).alias("n_cold"))
+    )
+    sizes = sharr.select("doc_id", F.size("shingles").alias("n_sh"))
+    hot_per_doc = (
+        sh.join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hot_sh"))
+    )
+    empty = F.array().cast("array<string>")
+    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("n_sh").alias("n_left"))
+    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("n_sh").alias("n_right"))
+    ha = hot_per_doc.select(F.col("doc_id").alias("left_id"), F.col("hot_sh").alias("hot_a"))
+    hb = hot_per_doc.select(F.col("doc_id").alias("right_id"), F.col("hot_sh").alias("hot_b"))
+    n_common = F.col("n_cold") + F.size(
+        F.array_intersect(F.coalesce(F.col("hot_a"), empty), F.coalesce(F.col("hot_b"), empty))
+    )
+    jac = n_common.cast("double") / (
+        F.col("n_left") + F.col("n_right") - n_common
+    ).cast("double")
+    return (
+        inter_cold.join(sa, "left_id").join(sb, "right_id")
+        .join(ha, "left_id", "left")
+        .join(hb, "right_id", "left")
+        .select("left_id", "right_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_verify(sharr: DataFrame, candidates: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs via array intersection.
+
+    Two equi-joins pull each side's shingle ARRAY onto the candidate
+    row; |A ∩ B| is ``array_intersect`` inside the row — no exploded
+    index is shuffled and no per-pair groupBy runs, so verification
+    cost is |candidates| x shingles-per-doc with zero wide stages
+    beyond the two hash joins.  Exactly equivalent to the exploded
+    intersection count (arrays are per-doc distinct).
+    """
+    a = sharr.select(F.col("doc_id").alias("left_id"), F.col("shingles").alias("__sh_a"))
+    b = sharr.select(F.col("doc_id").alias("right_id"), F.col("shingles").alias("__sh_b"))
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    jac = inter.cast("double") / (
+        F.size("__sh_a") + F.size("__sh_b") - inter
+    ).cast("double")
+    return (
+        candidates.join(a, "left_id").join(b, "right_id")
+        .select("left_id", "right_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures_arrays(sharr: DataFrame) -> DataFrame:
+    """Shuffle-free MinHash signatures from shingle arrays.
+
+    One ``aggregate`` fold computes all 16 permutation minimums in a
+    single traversal of ``transform(shingles, md5-hash)`` — the hash
+    array is the fold's input child, so md5 runs ONCE per shingle (16
+    separate array_min(transform(...)) expressions get inlined by the
+    optimizer and re-hash per permutation — measured 2x slower).  The
+    fold lands behind an alias barrier in its own projection:
+    CollapseProject refuses to merge a non-cheap producer referenced 16
+    times, pinning single evaluation.  No explode, no groupBy, no
+    exchange; same values as :func:`minhash_signatures`, so the banding
+    oracle is unchanged.
+    """
+    zero = F.struct(
+        *[F.lit(MINHASH_P).cast("bigint").alias(f"m{i}") for i in range(N_PERM)]
+    )
+
+    def merge(acc, h):
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"m{i}"],
+                    (F.lit(PERM_A[i]) * h + F.lit(PERM_B[i])) % F.lit(MINHASH_P),
+                ).alias(f"m{i}")
+                for i in range(N_PERM)
+            ]
+        )
+
+    sig = F.aggregate(
+        F.transform(F.col("shingles"), lambda s: hash32(s)), zero, merge
+    )
+    staged = sharr.select("doc_id", sig.alias("__sig"))
+    return staged.select(
+        "doc_id",
+        *[F.col("__sig").getField(f"m{i}").alias(f"mh{i}") for i in range(N_PERM)],
     )
 
 

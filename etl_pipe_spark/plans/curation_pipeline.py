@@ -91,7 +91,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(_DEFAULT_RATE)
     kept = docs.filter(bucket < rate)
 
-    pairs = jaccard_pairs(shingle_sets(kept, n=3), threshold=_DUP_TAU)
+    # spread the sampled docs across the shuffle width: the shingle
+    # pipeline is narrow and would otherwise run at the scan's (single
+    # row-group) parallelism — see dedup_plans._spread
+    from .dedup_plans import _spread
+
+    pairs = jaccard_pairs(shingle_sets(_spread(spark, kept), n=3), threshold=_DUP_TAU)
     dropped = pairs.select(F.col("right_id").alias("doc_id")).distinct()
     survivors = kept.join(dropped, "doc_id", "left_anti")
 

@@ -18,6 +18,20 @@ from ..operators.similarity import srp_buckets
 from ..sources.catalog import load_table
 from .catalog import register
 
+def _spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Round-robin the docs across the session's shuffle width.
+
+    The shingle/md5 pipeline is narrow (array expressions, no shuffle),
+    so without this it inherits the scan's partitioning — one or two
+    parquet row groups at test SFs — and runs nearly serial.  One cheap
+    exchange of the raw docs buys full-width CPU parallelism for every
+    downstream narrow stage.  (On a real multi-file 100 TB table the
+    scan is already wide and this is a no-op cost.)
+    """
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return docs.repartition(width)
+
+
 # Shared shingle CTE (3-gram word shingles, distinct per doc) — the SQL
 # twin of operators/dedup.py shingle_sets().
 _SHINGLE_CTE = """
@@ -79,11 +93,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped from candidate generation so no single boilerplate phrase
     can cost df^2 pairs — the cap that makes the inverted index survive
     a 100 TB corpus.  Surviving pairs are scored exactly on full
-    shingle sets.
+    shingle sets via array_intersect (no exploded-index re-shuffle).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = DD.shingle_sets(docs, n=3)
-    return DD.jaccard_pairs(sh, threshold=0.5, max_df=DD.MAX_DF)
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sharr = DD.shingle_arrays(docs, n=3)
+    return DD.jaccard_pairs_capped(sharr, threshold=0.5, max_df=DD.MAX_DF)
 
 
 # --------------------------------------------------------------------------
@@ -137,10 +151,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint near 0.84, so this demonstrates the recall-vs-cost dial
     (exact pass: dedup_ngram_jaccard).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = DD.shingle_sets(docs, n=3)
-    cand = DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
-    return DD.jaccard_pairs(sh, threshold=0.5, candidates=cand)
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sharr = DD.shingle_arrays(docs, n=3)
+    cand = DD.lsh_candidate_pairs(DD.minhash_signatures_arrays(sharr))
+    return DD.jaccard_verify(sharr, cand, threshold=0.5)
 
 
 # --------------------------------------------------------------------------
