@@ -81,15 +81,39 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead (tests/test_text_extras.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # The distinct count is computed in its own two-level aggregation
+    # rather than as COUNT(DISTINCT ...) inside the sketch agg: a
+    # distinct aggregate mixed with other aggregates forces Spark's
+    # Expand-based multi-phase plan, which duplicates every input row
+    # per aggregate group and drags the accuracy-10000 QuantileSummaries
+    # sketch through the expanded rows (measured 26 s combined vs
+    # 2.7 s + 0.4 s separately at sf0.1 — and Expand doubles shuffled
+    # bytes, which is a scale-killer at 100 TB).  Pre-aggregating on
+    # (flag, orderkey) gets map-side combine on both shuffles.
+    exact = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_exact_rows"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         # sketch over double, not decimal: QuantileSummaries compares
-        # boxed Decimals ~50x slower than primitive doubles (measured
-        # 23.7 s -> 0.4 s at sf0.1, accuracy 10000), and an approximate
-        # quantile gains nothing from exact decimal arithmetic
-        F.percentile_approx(
-            F.col("l_extendedprice").cast("double"), [0.5, 0.95, 0.99], 10000
+        # boxed Decimals ~50x slower than primitive doubles, and an
+        # approximate quantile gains nothing from exact decimal
+        # arithmetic.  to_json at the output boundary: the harness
+        # canonicalizer hashes cells and cannot hash raw arrays.
+        F.to_json(
+            F.percentile_approx(
+                F.col("l_extendedprice").cast("double"), [0.5, 0.95, 0.99], 10000
+            )
         ).alias("price_quantiles"),
+    )
+    return sketches.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "n_exact_rows",
+        "exact_orders",
+        "approx_orders",
+        "price_quantiles",
     )

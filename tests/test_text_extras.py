@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 from etl_pipe_spark.plans.catalog import queries
 
 
@@ -11,5 +13,5 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
     for r in rows:
         rel_err = abs(r.approx_orders - r.exact_orders) / r.exact_orders
         assert rel_err < 0.05, f"HLL error {rel_err:.3f} for {r.l_returnflag}"
-        q50, q95, q99 = r.price_quantiles
+        q50, q95, q99 = json.loads(r.price_quantiles)
         assert q50 <= q95 <= q99
