@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import DUCK_HASH60, hash60
-from ..operators.dedup import jaccard_pairs, shingle_sets
+from ..operators import dedup as DD
+from ..operators.dedup import jaccard_pairs_capped, shingle_arrays
 from ..sources.catalog import load_table
 from .catalog import register
 from .text_plans2 import _MIX, _DEFAULT_RATE, chunk_documents
@@ -22,6 +23,10 @@ _DUP_TAU = 0.8  # strong near-dups only
 
 _mix_cases = " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX.items())
 
+# The dedup stage composes the CAPPED operator (hot-shingle document
+# frequency <= MAX_DF for candidate generation, exact Jaccard on full
+# sets for scoring) — same dfreq/cold/cand shape as the standalone
+# _NGRAM_JACCARD_ORACLE in dedup_plans.py, over the sampled `kept` set.
 _PIPELINE_ORACLE = f"""
 WITH kept AS (
   SELECT * FROM documents
@@ -35,6 +40,16 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(ws[t.i : t.i + 2], ' ') AS shingle
   FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
 ),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+cold AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+  WHERE d.df <= {DD.MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS n_common
@@ -44,6 +59,7 @@ inter AS (
 dropped AS (
   SELECT DISTINCT i.right_id AS doc_id
   FROM inter i
+  JOIN cand c ON c.left_id = i.left_id AND c.right_id = i.right_id
   JOIN sizes sa ON sa.doc_id = i.left_id
   JOIN sizes sb ON sb.doc_id = i.right_id
   WHERE CAST(i.n_common AS DOUBLE)
@@ -80,8 +96,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id loses) -> chunk survivors -> per-source corpus stats.
 
     One lazy plan end to end; at scale each stage keeps its bucketed
-    shape (hash sampling is a scan filter, dedup is the inverted-index
-    join, chunking a single explode).
+    shape: hash sampling is a scan filter, dedup is the CAPPED
+    inverted-index join (hot shingles with df > MAX_DF excluded from
+    candidate generation, so one boilerplate phrase can't cost O(N^2)
+    pairs — scoring still uses full shingle sets), chunking a single
+    explode.
     """
     docs = load_table(spark, sf_dir, "documents")
     bucket = hash60(F.col("doc_id").cast("string")) % 100
@@ -96,7 +115,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-group) parallelism — see dedup_plans._spread
     from .dedup_plans import _spread
 
-    pairs = jaccard_pairs(shingle_sets(_spread(spark, kept), n=3), threshold=_DUP_TAU)
+    pairs = jaccard_pairs_capped(
+        shingle_arrays(_spread(spark, kept), n=3),
+        threshold=_DUP_TAU,
+        max_df=DD.MAX_DF,
+    )
     dropped = pairs.select(F.col("right_id").alias("doc_id")).distinct()
     survivors = kept.join(dropped, "doc_id", "left_anti")
 

@@ -71,3 +71,21 @@ def test_jaccard_value_exact_despite_cap(spark):
     # uncapped computation, not the capped-index intersection.
     assert capped.keys() == {(6, 7)}
     assert capped[(6, 7)] == full[(6, 7)]
+
+
+def test_pipeline_dedup_stage_is_capped(spark):
+    """The composed curation pipeline must call the CAPPED dedup shape:
+    a corpus-wide boilerplate shingle (df > MAX_DF) may not generate
+    candidate pairs, while genuine near-dups still drop."""
+    from etl_pipe_spark.operators.dedup import jaccard_pairs_capped, shingle_arrays
+
+    sharr = shingle_arrays(spark.createDataFrame(_DOCS, ["doc_id", "text"]), n=3)
+    pairs = jaccard_pairs_capped(sharr, threshold=0.0, max_df=4)
+    assert {(r.left_id, r.right_id) for r in pairs.collect()} == {(6, 7)}
+    # and the pipeline module composes exactly this operator
+    import inspect
+
+    from etl_pipe_spark.plans import curation_pipeline as CP
+
+    src = inspect.getsource(CP.corpus_curation_pipeline)
+    assert "jaccard_pairs_capped" in src and "max_df=DD.MAX_DF" in src
