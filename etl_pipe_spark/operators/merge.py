@@ -145,9 +145,15 @@ def scd2_apply_versions(
 
     combined = _with_src_end(existing).unionByName(_with_src_end(updates))
     # Replay dedup, preferring the row that carries an explicit end
-    # (a closed version record beats its open replay twin).
+    # (a closed version record beats its open replay twin).  The final
+    # payload-hash key makes the surviving duplicate deterministic when
+    # two rows share the version key AND source end but differ in
+    # payload — row_number over a tie would otherwise pick a
+    # partition-order-dependent winner.
     w_dup = W.partitionBy(*version_key).orderBy(
-        F.col("__src_end").isNull().cast("int"), F.col("__src_end").desc()
+        F.col("__src_end").isNull().cast("int"),
+        F.col("__src_end").desc(),
+        F.xxhash64(*[F.col(c) for c in combined.columns]),
     )
     combined = (
         combined.withColumn("__rn", F.row_number().over(w_dup))

@@ -15,6 +15,7 @@ which makes the whole LSH pipeline oracle-checkable.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -38,7 +39,8 @@ def srp_planes_for_corpus(n_docs: int, target_bucket: int = 1000) -> int:
     plane-index offsets and union the candidate pairs), exactly like
     MinHash banding.
     """
-    planes = max(1, (n_docs // max(target_bucket, 1)).bit_length())
+    ratio = max(1.0, n_docs / max(target_bucket, 1))
+    planes = max(1, math.ceil(math.log2(ratio)))
     return max(N_PLANES, planes)
 
 
