@@ -241,22 +241,11 @@ SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
 """
 
 
-@register("similarity_ann_ivf", oracle=_ANN_IVF_ORACLE)
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbor (the 100 TB path).
-
-    Coarse quantizer with a FIXED centroid count (N_CENTROIDS = 32,
-    independent of corpus size): centroids are a deterministic uniform
-    sample (first 32 vectors by md5(vec_id)); every vector is assigned
-    to its best-cosine centroid via a broadcast centroid table — one
-    linear assignment pass, cost N x 32, at any N.  A query probes its
-    two nearest cells (nprobe=2), so search cost is ~2x mean cell size
-    instead of N.  Production swaps the sampled seed for k-means||
-    centroids sized ~sqrt(N); the plan shape is identical.  Probed
-    recall vs the brute-force baseline (similarity_topk_cosine) is the
-    quality metric; all arithmetic is the bit-parity cosine from
-    functions/vectors.py.
-    """
+def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
+    """IVF top-5 at a given probe count — ``nprobe`` is the
+    recall/cost dial (search cost ~ nprobe x mean cell size); see
+    :func:`similarity_ann_ivf` for the registered nprobe=2 form and
+    tests/test_ivf_recall.py for the measured recall curve."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.as_double(F.col("embedding")).alias("v")
     )
@@ -272,7 +261,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ranked.withColumn("rn", F.row_number().over(w_assign))
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     q = (
-        ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= 2))
+        ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= nprobe))
         .select("vec_id", "cent_id")
         .join(emb, "vec_id")
         .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv"))
@@ -293,6 +282,25 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w_rank)).filter(F.col("rnk") <= 5)
+
+
+@register("similarity_ann_ivf", oracle=_ANN_IVF_ORACLE)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor (the 100 TB path).
+
+    Coarse quantizer with a FIXED centroid count (N_CENTROIDS = 32,
+    independent of corpus size): centroids are a deterministic uniform
+    sample (first 32 vectors by md5(vec_id)); every vector is assigned
+    to its best-cosine centroid via a broadcast centroid table — one
+    linear assignment pass, cost N x 32, at any N.  A query probes its
+    two nearest cells (nprobe=2), so search cost is ~2x mean cell size
+    instead of N.  Production swaps the sampled seed for k-means||
+    centroids sized ~sqrt(N); the plan shape is identical.  Probed
+    recall vs the brute-force baseline (similarity_topk_cosine) is the
+    quality metric, pinned by tests/test_ivf_recall.py; all arithmetic
+    is the bit-parity cosine from functions/vectors.py.
+    """
+    return ann_ivf(spark, sf_dir, nprobe=2)
 
 
 # --------------------------------------------------------------------------
