@@ -78,7 +78,16 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("etl-pipe-cycle")
         pipe = IncrementalPipeline(spark, args.sf_dir, args.target)
         sched = CycleScheduler(pipe.run_cycle, interval_sec=args.interval)
-        sched.run_forever(max_cycles=args.loops)
+        # surface the S10 metrics sink per cycle: the same
+        # flow=<name> rows_out=<n> lines FlowObserver.emit() writes,
+        # fed from run_cycle's per-flow merged-row counts
+        while sched.cycles_run < args.loops:
+            counts = sched.run_once()
+            for name, n in (counts or {}).items():
+                status = "rows_out" if n >= 0 else "FAILED code"
+                print(f"[etl_pipe_spark] cycle={sched.cycles_run} flow={name} {status}={n}")
+            if sched.cycles_run < args.loops and args.interval:
+                sched.sleep(args.interval)
         print(f"cycles={sched.cycles_run} consecutive_failures={sched.consecutive_failures}")
         spark.stop()
         return 0

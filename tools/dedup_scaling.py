@@ -1,0 +1,133 @@
+"""Dedup/LSH scaling stress: synthetic sf1/sf5-scale corpora.
+
+The driver testdata tops out at sf0.1 (5,000 documents), so this tool
+generates boilerplate-heavy corpora at 1x/10x/50x that size (= sf0.1 /
+sf1 / sf5 document counts) and times the dedup family on them,
+verifying (a) near-linear runtime scaling and (b) the hot-shingle df
+cap keeping candidate counts sub-quadratic when 30% of the corpus
+shares a boilerplate preamble.
+
+Corpus recipe (deterministic, numpy PCG64 seed 7):
+  * ~50-word docs over a 2,000-word vocabulary (random docs share
+    almost no 3-gram, like real text);
+  * 30% of docs open with the same 8-word boilerplate phrase — every
+    boilerplate shingle has df ~ 0.3N, thousands of times the cap;
+  * 1% of docs are near-duplicates (a copy with one word changed) —
+    the real pairs dedup must still find under the cap.
+
+Usage:  python tools/dedup_scaling.py [--scales 5000,50000,250000]
+Writes /tmp/dedup_scale/n{N}/documents.parquet and prints a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BOILER = "all rights reserved unauthorized reproduction strictly prohibited worldwide"
+OUT_ROOT = "/tmp/dedup_scale"
+
+
+def gen_corpus(n: int, seed: int = 7) -> str:
+    out_dir = os.path.join(OUT_ROOT, f"n{n}")
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    texts: list[str] = []
+    n_base = n - n // 100  # last 1% are near-dups of earlier docs
+    for i in range(n_base):
+        words = list(vocab[rng.integers(0, len(vocab), size=50)])
+        if i % 10 < 3:  # 30% boilerplate-headed
+            text = BOILER + " " + " ".join(words)
+        else:
+            text = " ".join(words)
+        texts.append(text)
+    for j in range(n - n_base):  # near-dup: one word swapped
+        src = texts[j * 97 % n_base].split()
+        src[len(src) // 2] = "wXXXX"
+        texts.append(" ".join(src))
+    sources = [f"src{i % 3}" for i in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return out_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="5000,50000,250000")
+    ap.add_argument("--uncapped-at", type=int, default=5000,
+                    help="also count uncapped candidates at this scale (expensive)")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from pyspark.sql import functions as F
+
+    from etl_pipe_spark.operators import dedup as DD
+    from etl_pipe_spark.plans.catalog import queries
+    from etl_pipe_spark.session import get_spark
+
+    spark = get_spark("dedup-scaling")
+    qs = queries()
+    results = []
+    for n in scales:
+        sf_dir = gen_corpus(n)
+        row: dict = {"n_docs": n}
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sharr = DD.shingle_arrays(docs.repartition(32), n=3)
+
+        # candidate counts: capped always; uncapped only at the small scale
+        t0 = time.time()
+        sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+        row["cand_capped"] = DD.index_candidates(sh, max_df=DD.MAX_DF).count()
+        row["cand_capped_sec"] = round(time.time() - t0, 2)
+        if n <= args.uncapped_at:
+            t0 = time.time()
+            row["cand_uncapped"] = DD.index_candidates(sh).count()
+            row["cand_uncapped_sec"] = round(time.time() - t0, 2)
+        n_boiler = int(0.3 * n)
+        row["uncapped_lower_bound"] = n_boiler * (n_boiler - 1) // 2
+
+        for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh",
+                     "corpus_curation_pipeline"):
+            t0 = time.time()
+            cnt = qs[name](spark, sf_dir).count()
+            row[name] = round(time.time() - t0, 2)
+            row[f"{name}_rows"] = cnt
+        results.append(row)
+        print(json.dumps(row))
+
+    print("\nn_docs  jaccard  minhash  pipeline  cand_capped  (sec per stage)")
+    base = results[0]
+    for r in results:
+        k = r["n_docs"] / base["n_docs"]
+        print(
+            f'{r["n_docs"]:7d} {r["dedup_ngram_jaccard"]:8.1f} '
+            f'{r["dedup_minhash_lsh"]:8.1f} {r["corpus_curation_pipeline"]:9.1f} '
+            f'{r["cand_capped"]:12d}  scale x{k:.0f}: jaccard ratio '
+            f'{r["dedup_ngram_jaccard"] / base["dedup_ngram_jaccard"]:.1f}x'
+        )
+
+
+if __name__ == "__main__":
+    main()
