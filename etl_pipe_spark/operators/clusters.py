@@ -1,0 +1,111 @@
+"""Connected components over near-dup pair graphs (dedup clustering).
+
+Pair emitters (Jaccard / MinHash-LSH / SimHash) answer "which docs are
+near-dups of each other"; an actual dedup pass needs the transitive
+closure — every doc labeled with its cluster, one canonical survivor
+per cluster.  Reference scope: the dedup family of SURVEY.md §2.12
+(the reference deduplicates by key only; clustering is the near-dup
+generalization its users need at corpus scale).
+
+Spark-first shape: iterative min-label propagation on DataFrames.
+Each round is ONE shuffle (groupBy over the symmetrized edge list);
+a cluster's label converges in rounds ~ its graph diameter, and
+near-dup clusters are shallow (a dup of a dup of a dup is rare), so
+3-6 rounds close real corpora.  Convergence is checked with a 1-row
+aggregate per round — the only driver-side data is that scalar, never
+the label table.  For adversarial long-chain graphs the alternating
+large-star/small-star scheme (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014) drops rounds to O(log N) with the
+same per-round plan shape; propagation is used here because shallow
+diameters make it strictly cheaper (fewer, identical-cost rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    left: str = "left_id",
+    right: str = "right_id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Label every vertex of the pair graph with min(id) of its component.
+
+    Returns (vertex_id, cluster_id).  Only vertices appearing in
+    ``edges`` are labeled (singletons are their own implicit cluster —
+    callers union them back if needed).
+
+    Each round: label(v) := min(label(v), min over neighbors' labels)
+    — one symmetric edge join + one groupBy.  Early-stops when a round
+    changes nothing (checked via a count aggregate, a driver scalar).
+    """
+    # Symmetrize once; cache the (small relative to corpus) edge list —
+    # it is re-joined every round.
+    sym = (
+        edges.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .unionByName(
+            edges.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("src").alias("vertex_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("vertex_id"))
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.vertex_id)
+            .groupBy(F.col("src").alias("vertex_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        # localCheckpoint (eager) truncates the lineage each round —
+        # without it the label plan nests one more join per round and
+        # Catalyst re-analysis cost grows superlinearly with rounds.
+        new_labels = (
+            labels.join(neighbor_min, "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(
+            F.count_if(F.col("__changed")).alias("n")
+        ).collect()[0]["n"]
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def duck_components_sql(edges_cte: str, left: str = "left_id",
+                        right: str = "right_id") -> str:
+    """DuckDB recursive-CTE twin: transitive closure -> min(id) label.
+
+    ``edges_cte`` must be the NAME of a CTE in the enclosing WITH that
+    yields (left_id, right_id) pairs.  UNION (not UNION ALL) dedups
+    frontier states so the recursion terminates on cyclic graphs.
+    Exact at oracle scale; the Spark side is the one that scales.
+    """
+    return f"""
+sym AS (
+  SELECT {left} AS src, {right} AS dst FROM {edges_cte}
+  UNION
+  SELECT {right} AS src, {left} AS dst FROM {edges_cte}
+),
+reach(vertex_id, peer) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.vertex_id, s.dst FROM reach r JOIN sym s ON s.src = r.peer
+),
+components AS (
+  SELECT vertex_id, min(peer) AS cluster_id FROM reach GROUP BY vertex_id
+)"""

@@ -59,8 +59,10 @@ _PLAN_MODULES = (
 # Round-3 rotation: cube_lineitem / grouping_sets_orders /
 # window_frames / sliding_window_agg rotate IN (demoted r2, unwatched
 # since r1); four r2-green near-duplicates of in-window shapes rotate
-# OUT in exchange.
+# OUT in exchange, plus doc_fingerprint to make room for the new
+# dedup_clusters flagship (16 demoted, 66 registered, 50 in-window).
 _DEMOTED = (
+    "doc_fingerprint",           # rolling-hash demo; dedup_simhash covers fingerprints
     "set_ops_membership",        # family rep in-window: semi join + EXCEPT-shape anti
     "pivot_status_revenue",      # wide/long reshaping demo
     "unpivot_lineitem_metrics",  # wide/long reshaping demo

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions import vectors as VX
+from ..operators import clusters as CC
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators.similarity import srp_buckets
@@ -375,3 +376,62 @@ def similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return srp_pairs(emb, n_planes=SIM.N_PLANES)
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: connected components over the near-dup pair graph.
+# --------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+dfreq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+),
+cold AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+  WHERE d.df <= {DD.MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL},
+pairs AS (
+  SELECT c.left_id, c.right_id
+  FROM cand c JOIN jac j ON j.left_id = c.left_id AND j.right_id = c.right_id
+  WHERE j.jaccard >= 0.5
+),
+{CC.duck_components_sql("pairs")}
+SELECT vertex_id AS doc_id, cluster_id,
+       vertex_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM components
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: transitive closure of the capped-Jaccard pair
+    graph, one canonical doc (min doc_id) per cluster.
+
+    Pair emission answers "are these two docs near-dups"; an actual
+    corpus dedup needs clusters — A~B and B~C must put A, B, C in ONE
+    group with ONE survivor, even when A~C itself scores below the
+    threshold.  Components come from iterative min-label propagation
+    (operators/clusters.py: one shuffle per round, rounds ~ graph
+    diameter, convergence checked by a scalar aggregate); the oracle is
+    DuckDB's recursive transitive closure over the same pair SQL.
+    Non-canonical members (is_canonical = false) are the drop set.
+    """
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sharr = DD.shingle_arrays(docs, n=3)
+    pairs = DD.jaccard_pairs_capped(sharr, threshold=0.5, max_df=DD.MAX_DF)
+    comp = CC.connected_components(pairs.select("left_id", "right_id"))
+    w_sz = W.partitionBy("cluster_id")
+    return comp.select(
+        F.col("vertex_id").alias("doc_id"),
+        "cluster_id",
+        (F.col("vertex_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w_sz).alias("cluster_size"),
+    )

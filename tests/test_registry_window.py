@@ -30,6 +30,7 @@ FLAGSHIPS = [
     "mixture_sampling",
     "pandas_group_zscore",
     "corpus_curation_pipeline",
+    "dedup_clusters",
     # Fixed this round — need fresh driver rows.
     "array_aggregation",
     "json_as_map",
