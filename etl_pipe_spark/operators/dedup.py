@@ -46,19 +46,48 @@ def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     construction is narrow (no shuffle) — the exploded form used to pay
     a global ``distinct()`` exchange for the same result, since
     duplicate (doc_id, shingle) pairs can only come from within one
-    document.  Docs shorter than n tokens (empty shingle array) drop
-    out, matching the exploded form where they simply have no rows.
+    document.  Docs shorter than n tokens drop out, matching the
+    exploded form where they simply have no rows.
+
+    Two load-bearing plan shapes here:
+
+    * the short-doc guard filters on token COUNT, not on the built
+      shingle array — ``filter(size(shingles) > 0)`` gets pushed below
+      the caller's repartition exchange, evaluating the entire shingle
+      expression a second time on the scan's (serial at test SF)
+      partitioning (measured: 2.9 s -> 0.3 s at sf0.1);
+    * tokenization lands in its own projection (the ``__toks`` alias
+      barrier — CollapseProject refuses to merge a non-cheap producer
+      referenced from the lambda), so ``split`` runs once per document
+      instead of once per window inside the interpreted
+      higher-order-function transform.
     """
-    return docs.select(
-        id_col, F.array_distinct(shingles(F.col(text_col), n)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    from ..functions.text import ws_tokens
+
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    toked = docs.filter(F.size(toks) >= n).select(
+        id_col, toks.alias("__toks")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+    )
+    return toked.select(id_col, F.array_distinct(windows).alias("shingles"))
 
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    ``explode_outer``, not ``explode``: a plain explode makes Catalyst
+    infer a ``size(shingles) > 0`` filter (InferFiltersFromGenerate)
+    and push the ENTIRE shingle expression below the caller's
+    repartition exchange — re-evaluated serially at the scan's
+    partitioning (measured 2.8 s -> 0.5 s at sf0.1).  The outer form
+    skips the inference and is identical here: shingle_arrays already
+    guarantees non-empty arrays (token-count guard)."""
     return shingle_arrays(docs, id_col, text_col, n).select(
-        id_col, F.explode("shingles").alias("shingle")
+        id_col, F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -165,7 +194,9 @@ def jaccard_pairs_capped(sharr: DataFrame, threshold: float, max_df: int) -> Dat
     shipping full shingle arrays onto the (large) candidate set or
     self-joining hot postings.
     """
-    sh = sharr.select("doc_id", F.explode("shingles").alias("shingle"))
+    # explode_outer: see shingle_sets — avoids the inferred-filter
+    # re-evaluation of the shingle expression below the exchange
+    sh = sharr.select("doc_id", F.explode_outer("shingles").alias("shingle"))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
