@@ -247,16 +247,26 @@ def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
     recall/cost dial (search cost ~ nprobe x mean cell size); see
     :func:`similarity_ann_ivf` for the registered nprobe=2 form and
     tests/test_ivf_recall.py for the measured recall curve."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VX.as_double(F.col("embedding")).alias("v")
+    # per-vector norms precomputed once — the N x 32 assignment and the
+    # probe scoring then fold only the cross-dot per pair (bit-identical
+    # cosine; see embedding_neardup_pairs)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", VX.as_double(F.col("embedding")).alias("v"))
+        .withColumn("v_norm", VX.norm(F.col("v")))
     )
     cent = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(N_CENTROIDS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("v_norm").alias("cv_norm"),
+        )
     )
+    assign_cos = VX.dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("cv_norm"))
     ranked = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cent_id", VX.cosine(F.col("v"), F.col("cv")).alias("c")
+        "vec_id", "cent_id", assign_cos.alias("c")
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
     ranked = ranked.withColumn("rn", F.row_number().over(w_assign))
@@ -265,10 +275,18 @@ def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
         ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= nprobe))
         .select("vec_id", "cent_id")
         .join(emb, "vec_id")
-        .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("v").alias("qv"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cent_id",
+            F.col("v").alias("qv"),
+            F.col("v_norm").alias("qv_norm"),
+        )
         .alias("q")
     )
-    cand = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v").alias("cand")
+    cand = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v", "v_norm").alias("cand")
+    probe_cos = VX.dot(F.col("q.qv"), F.col("cand.v")) / (
+        F.col("q.qv_norm") * F.col("cand.v_norm")
+    )
     scored = (
         cand.join(
             F.broadcast(q),
@@ -278,7 +296,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
         .select(
             F.col("q.query_id").alias("query_id"),
             F.col("cand.vec_id").alias("neighbor_id"),
-            VX.cosine(F.col("q.qv"), F.col("cand.v")).alias("cosine"),
+            probe_cos.alias("cosine"),
         )
     )
     w_rank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
