@@ -177,7 +177,7 @@ def jaccard_pairs(sh: DataFrame, threshold: float,
     return (
         inter.join(sa, "left_id").join(sb, "right_id")
         .select("left_id", "right_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.coalesce(F.col("jaccard") >= threshold, F.lit(False)))
     )
 
 
@@ -233,7 +233,7 @@ def jaccard_pairs_capped(sharr: DataFrame, threshold: float, max_df: int) -> Dat
         .join(ha, "left_id", "left")
         .join(hb, "right_id", "left")
         .select("left_id", "right_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.coalesce(F.col("jaccard") >= threshold, F.lit(False)))
     )
 
 
@@ -257,7 +257,7 @@ def jaccard_verify(sharr: DataFrame, candidates: DataFrame,
     return (
         candidates.join(a, "left_id").join(b, "right_id")
         .select("left_id", "right_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.coalesce(F.col("jaccard") >= threshold, F.lit(False)))
     )
 
 

@@ -76,3 +76,28 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     # the bucket decomposition must keep the range join an equi-join
     plan = _plan(spark, sf_dir, "range_join_bucketed")
     assert "NestedLoop" not in plan
+
+
+def test_shingle_pipeline_has_no_serial_reevaluation(spark, sf_dir):
+    # The dedup family's base stage: the only filter below the spread
+    # exchange must be the cheap token-count guard — if the full
+    # shingle expression (transform/array_distinct) appears in a
+    # Filter, Catalyst re-evaluates it serially at the scan's
+    # partitioning (the 2-4x round-3 regression shape).
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "transform(" not in line, f"shingle expr in a Filter: {line[:160]}"
+    # Generate prints outer as the boolean before the output column:
+    # every shingle explode must be outer (skips InferFiltersFromGenerate)
+    assert ", false, [shingle" not in plan
+    assert ", true, [shingle" in plan
+
+
+def test_cosine_pair_stages_fold_only_cross_dot(spark, sf_dir):
+    # Norms must be precomputed per vector: a post-join projection that
+    # folds aggregate(zip_with(v, v)) (self-dot) on the pair stream
+    # means the 3-folds-per-pair shape regressed.  The join output
+    # should reference the precomputed v_norm columns instead.
+    plan = _plan(spark, sf_dir, "embedding_neardup_pairs")
+    assert "v_norm" in plan
