@@ -27,6 +27,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
+from .. import schemas
 from ..functions.json_flatten import flatten_event_data, flatten_input_data
 
 Sources = dict[str, DataFrame]
@@ -103,9 +104,13 @@ def node_data_flow(src: Sources, since) -> DataFrame:
         .join(F.broadcast(mn), nd.model_node_id == mn.id)
         .join(F.broadcast(mg), mn.model_node_group_id == mg.id)
         .join(F.broadcast(mt), mg.model_node_tab_id == mt.id)
+        .withColumn(
+            "__parsed_input",
+            F.from_json(nd.input_data, schemas.INPUT_DATA_PAYLOAD),
+        )
         .select(
             nd.id, nd.scenario_id, nd.model_node_id,
-            *flatten_input_data(nd.input_data),
+            *flatten_input_data(nd.input_data, parsed=F.col("__parsed_input")),
             nd.input_hash,
             nd.input_validated,
             nd.input_validation_message.alias("validation_message"),
@@ -222,6 +227,10 @@ def event_data_flow(src: Sources, since) -> DataFrame:
         .join(F.broadcast(et), st.event_type_id == et.id)
         .join(F.broadcast(pn), ed.population_node_id == F.col("pn.id"), "left")
         .join(F.broadcast(ppn), ed.parent_product_node_id == F.col("ppn.id"), "left")
+        .withColumn(
+            "__parsed_event",
+            F.from_json(ed.event_data, schemas.EVENT_DATA_PAYLOAD),
+        )
         .select(
             ed.id,
             st.scenario_id,
@@ -233,7 +242,7 @@ def event_data_flow(src: Sources, since) -> DataFrame:
             ed.end_at.alias("version_ended_at"),
             ed.end_at.isNull().alias("is_current_version"),
             ed.created_by.alias("edited_by"),
-            *flatten_event_data(ed.event_data),
+            *flatten_event_data(ed.event_data, parsed=F.col("__parsed_event")),
             ed.event_data_hash,
             ed.is_overridden,
             ed.event_shares_overridden.cast("string").alias("override_data_text"),

@@ -114,8 +114,15 @@ def json_flatten_input_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     payload = F.expr(_PAYLOAD_CASE_SQL)
-    return ev.withColumn("payload", payload).select(
-        "event_id", *flatten_input_data(F.col("payload"))
+    # parse once per row behind a projection barrier (see
+    # functions/json_flatten._flatten)
+    return (
+        ev.withColumn("payload", payload)
+        .withColumn("__parsed", F.from_json("payload", schemas.INPUT_DATA_PAYLOAD))
+        .select(
+            "event_id",
+            *flatten_input_data(F.col("payload"), parsed=F.col("__parsed")),
+        )
     )
 
 
