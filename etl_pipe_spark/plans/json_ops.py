@@ -199,12 +199,19 @@ def json_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     ev = load_table(spark, sf_dir, "events")
-    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType()))
-    keys = F.map_keys(m)
-    return ev.select(
-        "event_id",
-        F.to_json(F.array_sort(keys)).alias("prop_keys"),
-        F.size(keys).alias("n_keys"),
-        F.element_at(m, "k").alias("k_value"),
-        F.array_contains(keys, "k").alias("has_k"),
+    # parse + key-extract once per row behind projection barriers (the
+    # inlined form re-parses the payload per output column; see
+    # functions/json_flatten._flatten)
+    return (
+        ev.withColumn(
+            "__m", F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType()))
+        )
+        .withColumn("__keys", F.array_sort(F.map_keys("__m")))
+        .select(
+            "event_id",
+            F.to_json(F.col("__keys")).alias("prop_keys"),
+            F.size(F.col("__keys")).alias("n_keys"),
+            F.element_at(F.col("__m"), "k").alias("k_value"),
+            F.array_contains(F.col("__keys"), "k").alias("has_k"),
+        )
     )
