@@ -22,7 +22,7 @@ diameters make it strictly cheaper (fewer, identical-cost rounds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def connected_components(
@@ -56,7 +56,7 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("vertex_id"))
     )
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.vertex_id)
             .groupBy(F.col("src").alias("vertex_id"))
@@ -65,6 +65,9 @@ def connected_components(
         # localCheckpoint (eager) truncates the lineage each round —
         # without it the label plan nests one more join per round and
         # Catalyst re-analysis cost grows superlinearly with rounds.
+        # The convergence count rides the checkpoint's own job via
+        # observe(): one Spark job per round, no second aggregate pass.
+        obs = Observation(f"cc_round_{round_no}")
         new_labels = (
             labels.join(neighbor_min, "vertex_id", "left")
             .select(
@@ -74,13 +77,11 @@ def connected_components(
                 ).alias("cluster_id"),
                 (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
             )
+            .observe(obs, F.count_if(F.col("__changed")).alias("n"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.agg(
-            F.count_if(F.col("__changed")).alias("n")
-        ).collect()[0]["n"]
         labels = new_labels.drop("__changed")
-        if changed == 0:
+        if obs.get["n"] == 0:
             break
     sym.unpersist()
     return labels
