@@ -42,9 +42,10 @@ def register(name: str, oracle: str | None = None):
 
 
 _PLAN_MODULES = (
-    "relational", "relational2", "relational3", "relational4", "json_ops",
+    "relational", "relational2", "relational3", "relational4", "relational5",
+    "json_ops",
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
-    "text_plans", "text_plans2", "pandas_ops", "curation_pipeline",
+    "text_plans", "text_plans2", "text_plans3", "pandas_ops", "curation_pipeline",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -53,32 +54,45 @@ _PLAN_MODULES = (
 # ROTATE round over round so every demoted query regains hard signal
 # periodically.  Out-of-window queries stay covered by the local oracle
 # parity suite (tests/test_oracle_parity.py runs ALL registered
-# queries).  Exactly 15 names: 65 registered − 15 demoted = 50
+# queries).  Exactly 26 names: 76 registered − 26 demoted = 50
 # in-window.
 #
 # Round-3 rotation: cube_lineitem / grouping_sets_orders /
 # window_frames / sliding_window_agg rotate IN (demoted r2, unwatched
-# since r1); four r2-green near-duplicates of in-window shapes rotate
-# OUT in exchange, plus doc_fingerprint to make room for the new
-# dedup_clusters flagship (16 demoted, 66 registered, 50 in-window).
+# since r1), as do all TEN round-3 additions (5 TPC-H shapes, 5
+# corpus-construction flagships — none has ever had a driver row);
+# in exchange, ten r1+r2-green queries whose shape another in-window
+# query still exercises rotate OUT (each annotated with its in-window
+# cover).
 _DEMOTED = (
     "doc_fingerprint",           # rolling-hash demo; dedup_simhash covers fingerprints
     "set_ops_membership",        # family rep in-window: semi join + EXCEPT-shape anti
     "pivot_status_revenue",      # wide/long reshaping demo
     "unpivot_lineitem_metrics",  # wide/long reshaping demo
-    "having_large_orders",       # agg+filter demo
+    "having_large_orders",       # agg+filter demo; tpch_q18's HAVING subquery covers
     "string_functions",          # function-family demo
     "datetime_functions",        # function-family demo
     "ranking_functions",         # family rep: topk_per_group
     "sql_api_segment_revenue",   # SQL-API demo of an in-window shape
-    "promo_revenue_share",       # single-row agg demo (TPC-H Q14 shape)
+    "promo_revenue_share",       # single-row agg demo; tpch_q17/q19 cover the shape
     "supplier_nation_rollup",    # family rep: run_summary_rollup
     "null_handling_functions",   # function-family demo
     # rotated out r3 (all r2-green, code unchanged):
     "streaming_tumbling_counts",  # same window shape as tumbling_window_agg
     "json_flatten_input_data",    # JS1 demo; json_flatten_props + coercion_kitchen_sink cover the ladder
-    "anti_join_orderless_customers",  # 0 rows at sf0.01 → no hash signal; semi join stays in
+    "anti_join_orderless_customers",  # 0 rows at sf0.01 → no hash signal; tpch_q22 anti join covers
     "text_token_stats",           # doc_quality_score covers the token/ratio stats
+    # rotated out r3 in exchange for the ten new queries (r2-green):
+    "topk_orders",               # TakeOrdered covered by tpch_q10/q18 + topk_per_group
+    "denorm_join",               # 3-table join covered by tpch_q5/q10 + double_role_dim_join
+    "semi_join_urgent_customers",  # EXISTS covered by tpch_q4's correlated semi join
+    "rollup_orders",             # hierarchy agg covered by cube_lineitem + grouping_sets_orders
+    "wide_projection",           # P2/P3 demo; incremental_scan + coercion queries cover
+    "merge_upsert_snapshot",     # L1 merge; scd2_version_chain + merge_replay_dedup stay in
+    "json_as_map",               # r2-green fix confirmed; json_flatten_props covers JSON family
+    "array_aggregation",         # r2-green fix confirmed; tfidf/doc_chunking cover array outputs
+    "current_version_window",    # derived-flag window covered by scd2_version_chain
+    "tpch_q3_shipping_priority", # TPC-H family: q4/q5/q10/q17/q18/q19/q22 all in-window
 )
 
 

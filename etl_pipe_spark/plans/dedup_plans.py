@@ -197,8 +197,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape (broadcast centroid table, one assignment pass) is unchanged.
 N_CENTROIDS = 32
 
-_ANN_IVF_ORACLE = f"""
-WITH e AS (
+# Shared IVF-assignment CTE prefix: deterministic 32-centroid sample,
+# best-cosine cell per vector — the SQL twin of _ivf_ranked() below,
+# reused by similarity_ann_ivf / semantic_dedup / kmeans_update_step.
+_IVF_ASSIGN_CTE = f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -218,7 +220,10 @@ ranked AS (
 ),
 assign AS (
   SELECT vec_id, cent_id FROM ranked WHERE rn = 1
-),
+)"""
+
+_ANN_IVF_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTE},
 q_cells AS (  -- nprobe=2: each query searches its two nearest cells
   SELECT r.vec_id AS query_id, r.cent_id, e.v AS qv
   FROM ranked r JOIN e ON e.vec_id = r.vec_id
@@ -242,19 +247,23 @@ SELECT query_id, neighbor_id, cosine, rnk FROM scored WHERE rnk <= 5
 """
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
-    """IVF top-5 at a given probe count — ``nprobe`` is the
-    recall/cost dial (search cost ~ nprobe x mean cell size); see
-    :func:`similarity_ann_ivf` for the registered nprobe=2 form and
-    tests/test_ivf_recall.py for the measured recall curve."""
-    # per-vector norms precomputed once — the N x 32 assignment and the
-    # probe scoring then fold only the cross-dot per pair (bit-identical
-    # cosine; see embedding_neardup_pairs)
-    emb = (
+def _emb_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, v_norm) — norms precomputed per VECTOR, not per
+    pair: the cosine's sqrt(dot(v,v)) folds are pair-invariant, so
+    the O(pairs) hot paths fold only the cross-dot (bit-identical
+    value; see embedding_neardup_pairs)."""
+    return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", VX.as_double(F.col("embedding")).alias("v"))
         .withColumn("v_norm", VX.norm(F.col("v")))
     )
+
+
+def _ivf_ranked(emb: DataFrame) -> DataFrame:
+    """Every (vector, centroid) pair ranked by cosine: rn = 1 is the
+    cell assignment, rn <= nprobe the probe set.  One broadcast of the
+    32-centroid table, one linear N x 32 pass — the Spark twin of
+    _IVF_ASSIGN_CTE."""
     cent = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(N_CENTROIDS)
@@ -269,7 +278,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
         "vec_id", "cent_id", assign_cos.alias("c")
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
-    ranked = ranked.withColumn("rn", F.row_number().over(w_assign))
+    return ranked.withColumn("rn", F.row_number().over(w_assign))
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
+    """IVF top-5 at a given probe count — ``nprobe`` is the
+    recall/cost dial (search cost ~ nprobe x mean cell size); see
+    :func:`similarity_ann_ivf` for the registered nprobe=2 form and
+    tests/test_ivf_recall.py for the measured recall curve."""
+    emb = _emb_with_norms(spark, sf_dir)
+    ranked = _ivf_ranked(emb)
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     q = (
         ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= nprobe))
@@ -452,4 +470,125 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("vertex_id") == F.col("cluster_id")).alias("is_canonical"),
         F.count(F.lit(1)).over(w_sz).alias("cluster_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup: cluster-blocked embedding-cosine duplicate marking.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTE},
+av AS (
+  SELECT a.vec_id, a.cent_id, e.v FROM assign a JOIN e ON e.vec_id = a.vec_id
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cent_id, d.vec_id IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+"""
+
+
+@register("semantic_dedup", oracle=_SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup: a vector is a duplicate when
+    an earlier same-cluster vector sits within cosine >= 0.35.
+
+    The published semantic-dedup recipe at scale: cluster first
+    (k-means-style cells — here the deterministic IVF quantizer), then
+    compare only WITHIN cells, so the pair count is sum of cell-size
+    squared, not N squared, and cell count grows with the corpus.
+    Earliest-id wins as the keeper, making the drop set deterministic
+    and idempotent across reruns.  One broadcast assignment pass + one
+    cell-blocked self-join; at 100 TB the cells are the shuffle key,
+    so each executor scores only its own cells.
+    """
+    emb = _emb_with_norms(spark, sf_dir)
+    ranked = _ivf_ranked(emb)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    av = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v", "v_norm")
+    a, b = av.alias("a"), av.alias("b")
+    cos = VX.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.v_norm") * F.col("b.v_norm"))
+    dups = (
+        a.join(b, (F.col("a.cent_id") == F.col("b.cent_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("d", F.lit(True))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select("vec_id", "cent_id", F.coalesce(F.col("d"), F.lit(False)).alias("is_dup"))
+    )
+
+
+# --------------------------------------------------------------------------
+# One Lloyd iteration: per-cell centroid means, fixed-point accumulation.
+# --------------------------------------------------------------------------
+
+# Fixed-point quantization scale for deterministic distributed sums:
+# float32 inputs scaled by 2^24 and rounded to integers sum exactly in
+# int64 regardless of aggregation order — the decimal-parity trick,
+# sized for embedding coordinates.
+_KMEANS_Q = 16777216.0  # 2^24
+
+_KMEANS_UPDATE_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTE},
+member AS (
+  SELECT a.cent_id, e.v FROM assign a JOIN e ON e.vec_id = a.vec_id
+),
+exploded AS (
+  SELECT cent_id, t.i - 1 AS dim,
+         CAST(round(v[t.i] * {_KMEANS_Q}) AS BIGINT) AS xq
+  FROM member, UNNEST(range(1, len(v) + 1)) AS t(i)
+)
+SELECT cent_id, CAST(dim AS INT) AS dim,
+       CAST(sum(xq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * {_KMEANS_Q})
+         AS mean_val,
+       count(*) AS n_members
+FROM exploded GROUP BY cent_id, dim
+"""
+
+
+@register("kmeans_update_step", oracle=_KMEANS_UPDATE_ORACLE)
+def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration: assign every vector to its
+    nearest centroid, then emit the new per-cell mean for each
+    dimension as (cent_id, dim, mean_val, n_members) rows.
+
+    The building block the IVF quantizer's production path iterates
+    (k-means||): assignment is the broadcast N x 32 pass, the update
+    is one groupBy(cent_id, dim) over the exploded coordinates —
+    map-side partial sums absorb the 64x explosion, so the shuffle
+    carries only cells x dims rows at any corpus size.  Coordinates
+    are quantized to 2^-24 fixed-point before summing so the mean is
+    bit-identical under any partitioning/aggregation order (float
+    sums are order-dependent; int64 sums are exact).
+    """
+    emb = _emb_with_norms(spark, sf_dir)
+    ranked = _ivf_ranked(emb)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    member = assign.join(emb, "vec_id").select("cent_id", "v")
+    exploded = member.select(
+        "cent_id", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "cent_id", "dim",
+        F.round(F.col("x") * _KMEANS_Q).cast("bigint").alias("xq"),
+    )
+    return (
+        exploded.groupBy("cent_id", "dim")
+        .agg(
+            (F.sum("xq").cast("double") / (F.count(F.lit(1)).cast("double") * _KMEANS_Q))
+            .alias("mean_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("cent_id", F.col("dim").cast("int").alias("dim"), "mean_val", "n_members")
     )

@@ -31,9 +31,12 @@ FLAGSHIPS = [
     "pandas_group_zscore",
     "corpus_curation_pipeline",
     "dedup_clusters",
-    # Fixed this round — need fresh driver rows.
-    "array_aggregation",
-    "json_as_map",
+    # Round-3 corpus-construction flagships — first driver rows pending.
+    "sequence_packing",
+    "contamination_check",
+    "quality_repetition_filter",
+    "semantic_dedup",
+    "kmeans_update_step",
 ]
 
 
