@@ -54,6 +54,21 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def spread_for_compute(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` across the session's shuffle width.
+
+    The small-input / heavy-expansion idiom: text pipelines (shingling,
+    token explodes) multiply bytes 10-100x AFTER the scan, so a table
+    that fits in one input split runs its entire expansion serially.
+    One cheap exchange of the raw rows buys full-width CPU parallelism
+    for every downstream narrow stage.  On a real multi-file 100 TB
+    table the scan is already wide and this costs one linear pass; two
+    consumers of the same spread share the exchange (ReuseExchange).
+    """
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(width)
+
+
 def compact(df: DataFrame, path: str, target_partitions: int) -> None:
     """Small-file compaction: rewrite a dataset at a chosen file count
     (the maintenance job every long-lived incremental sink needs)."""

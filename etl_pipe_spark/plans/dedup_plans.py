@@ -19,18 +19,7 @@ from ..operators.similarity import srp_buckets
 from ..sources.catalog import load_table
 from .catalog import register
 
-def _spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """Round-robin the docs across the session's shuffle width.
-
-    The shingle/md5 pipeline is narrow (array expressions, no shuffle),
-    so without this it inherits the scan's partitioning — one or two
-    parquet row groups at test SFs — and runs nearly serial.  One cheap
-    exchange of the raw docs buys full-width CPU parallelism for every
-    downstream narrow stage.  (On a real multi-file 100 TB table the
-    scan is already wide and this is a no-op cost.)
-    """
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return docs.repartition(width)
+from ..operators.layout import spread_for_compute as _spread
 
 
 # Shared shingle CTE (3-gram word shingles, distinct per doc) — the SQL

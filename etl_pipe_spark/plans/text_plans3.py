@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.text import shingles, ws_tokens
+from ..operators.layout import spread_for_compute
 from ..sources.catalog import load_table
 from .catalog import register
 
@@ -127,7 +128,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side hash-join pass over the training shingles — no
     all-pairs stage, linear at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
     toks = ws_tokens(F.lower(F.col("text")))
     m = F.size(toks) - 2
     arr = F.when(
@@ -217,7 +218,7 @@ def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are pure array expressions on the un-exploded doc — no extra
     shuffle, so the whole filter is one aggregation pass at any scale.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
     tok_stats = (
         docs.select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"))
         .groupBy("doc_id", "tok")
