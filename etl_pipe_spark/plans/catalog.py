@@ -43,7 +43,7 @@ def register(name: str, oracle: str | None = None):
 
 _PLAN_MODULES = (
     "relational", "relational2", "relational3", "relational4", "relational5",
-    "json_ops",
+    "relational6", "json_ops",
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
     "text_plans", "text_plans2", "text_plans3", "pandas_ops", "curation_pipeline",
 )
@@ -54,7 +54,7 @@ _PLAN_MODULES = (
 # ROTATE round over round so every demoted query regains hard signal
 # periodically.  Out-of-window queries stay covered by the local oracle
 # parity suite (tests/test_oracle_parity.py runs ALL registered
-# queries).  Exactly 26 names: 76 registered − 26 demoted = 50
+# queries).  Exactly 31 names: 81 registered − 31 demoted = 50
 # in-window.
 #
 # Round-3 rotation: cube_lineitem / grouping_sets_orders /
@@ -93,6 +93,12 @@ _DEMOTED = (
     "array_aggregation",         # r2-green fix confirmed; tfidf/doc_chunking cover array outputs
     "current_version_window",    # derived-flag window covered by scd2_version_chain
     "tpch_q3_shipping_priority", # TPC-H family: q4/q5/q10/q17/q18/q19/q22 all in-window
+    # rotated out r3 in exchange for the five relational6 queries (r2-green):
+    "double_role_dim_join",      # same-dim-twice role join covered by tpch_q7's two nation roles
+    "tpch_q5_local_supplier",    # multi-hop fact join family: q7 (superset) + q10 in-window
+    "dedup_simhash_pairs",       # hamming-pair variant; dedup_simhash + minhash verify stay in
+    "mixture_sampling",          # corpus_curation_pipeline's sampling stage covers it
+    "embedding_neardup_pairs",   # embedding near-dup covered by semantic_dedup (cluster-blocked)
 )
 
 

@@ -17,17 +17,14 @@ FLAGSHIPS = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_simhash_pairs",
     "similarity_topk_cosine",
     "similarity_ann_ivf",
     "similarity_srp_lsh",
-    "embedding_neardup_pairs",
     "multimodal_features",
     "tfidf_top_terms",
     "approx_aggregates",
     "doc_chunking",
     "text_redact",
-    "mixture_sampling",
     "pandas_group_zscore",
     "corpus_curation_pipeline",
     "dedup_clusters",
@@ -37,6 +34,10 @@ FLAGSHIPS = [
     "quality_repetition_filter",
     "semantic_dedup",
     "kmeans_update_step",
+    # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
+    # rotated out after TWO green driver rounds; each category keeps an
+    # in-window representative (dedup_simhash, semantic_dedup, the
+    # curation pipeline's sampling stage).
 ]
 
 
