@@ -272,6 +272,90 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Statistical moments from exact power sums — hash-stable stddev/corr.
+# --------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4)
+                   * 100 AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                   * 100 AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(28,4))
+                             * CAST(l_quantity AS DECIMAL(28,4))), 4)
+                   * 10000 AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(28,4))
+                             * CAST(l_extendedprice AS DECIMAL(28,4))), 4)
+                   * 10000 AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,4))
+                             * CAST(l_extendedprice AS DECIMAL(28,4))), 4)
+                   * 10000 AS BIGINT) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       sx / n / 100 AS mean_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1)) / 100 AS stddev_qty,
+       (sxy - sx * sy / n) / (n - 1) / 10000 AS covar_qty_price,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+FROM sums
+"""
+
+
+@register("stats_moments", oracle=_MOMENTS_ORACLE)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag mean / stddev / covariance / correlation that hash-match
+    across engines.
+
+    Native stddev/corr/covar aggregate doubles in partition order, so
+    no two runs (let alone two engines) produce identical bits.  The
+    parity recipe extends to second moments: accumulate the five power
+    sums (sx, sy, sxx, sxy, syy) as EXACT decimals — one shuffle, still
+    map-combinable — then surface each as a scaled BIGINT (values are
+    fixed-point: x2 digits for first moments, x4 for products) before
+    the one double cast.  The bigint detour is load-bearing: a
+    17+-digit DECIMAL->DOUBLE cast is correctly rounded on the JVM but
+    double-rounded in DuckDB (hugeint -> double -> /10^scale), and the
+    engines disagree by one ulp exactly at ties — int64 -> double is
+    single-rounded everywhere.  From identical doubles, identical IEEE
+    expression trees (corr is scale-invariant; mean/stddev/covar divide
+    the scale back out).  Deterministic at any parallelism, which is
+    what makes a statistical profile of a 100 TB corpus reproducible
+    run to run.  (Scaled second moments hold int64 up to ~sf1; past
+    that, step the fixed-point scale down one digit per 100x rows.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = money(F.col("l_quantity")), money(F.col("l_extendedprice"))
+
+    def d(expr, scale):  # exact decimal sum -> scaled int64 -> stable double
+        return (F.sum(expr) * F.lit(scale)).cast("bigint").cast("double")
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d(x, 100).alias("sx"), d(y, 100).alias("sy"),
+        d(x * x, 10000).alias("sxx"), d(x * y, 10000).alias("sxy"),
+        d(y * y, 10000).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_lines"),
+        (sx / n / F.lit(100)).alias("mean_qty"),
+        (F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))) / F.lit(100))
+        .alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - F.lit(1)) / F.lit(10000))
+        .alias("covar_qty_price"),
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        .alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Salted join: the skew recipe for pathologically hot keys.
 # --------------------------------------------------------------------------
 
