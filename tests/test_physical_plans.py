@@ -94,6 +94,39 @@ def test_shingle_pipeline_has_no_serial_reevaluation(spark, sf_dir):
     assert ", true, [shingle" in plan
 
 
+def test_q7_broadcasts_both_dimension_lineages(spark, sf_dir):
+    # supplier-nation and customer-nation lineages are pre-filtered and
+    # broadcast; the only shuffle join left is lineitem |><| orders.
+    plan = _plan(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_has_no_fact_self_join(spark, sf_dir):
+    # The aggregation re-expression: lineitem appears ONCE (one scan of
+    # its parquet file), never joined to itself.
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_stays_shuffled_hash(spark, sf_dir):
+    # Broadcasting the replicated dim would silently defeat the demo:
+    # the point is a shuffle join whose keys carry the salt.
+    plan = _plan(spark, sf_dir, "skew_salted_join")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_stats_moments_is_one_pass(spark, sf_dir):
+    # Five power sums in a single partial-aggregate pass: one scan, one
+    # exchange, no Expand (the distinct-aggregate pathology).
+    plan = _plan(spark, sf_dir, "stats_moments")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" not in plan
+    assert "partial_sum" in plan
+
+
 def test_cosine_pair_stages_fold_only_cross_dot(spark, sf_dir):
     # Norms must be precomputed per vector: a post-join projection that
     # folds aggregate(zip_with(v, v)) (self-dot) on the pair stream
