@@ -66,8 +66,13 @@ def run_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join input ~4x and keeps the count_distinct expand off the
     # joined width — the shape that survives 100 TB (both sides then
     # shuffle-partition on the same key).
+    # size(collect_set), not count_distinct: the distinct aggregate
+    # plans an Expand that doubles every shuffled row for ONE column's
+    # distinctness (the approx_aggregates pathology).  Per-order
+    # supplier sets are tiny and bounded (lineitems per order <= 7),
+    # so a set accumulator is a plain map-combinable aggregate.
     per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("supplier_count"),
+        F.size(F.collect_set("l_suppkey")).cast("long").alias("supplier_count"),
         F.count("l_linenumber").alias("line_count"),
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
         .cast("long").alias("lines_returned"),
