@@ -196,15 +196,25 @@ def json_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized with ``to_json`` so the driver's pandas canonicalizer
     can hash it (list cells are unhashable there).
     """
+    ev = load_table(spark, sf_dir, "events")
+    return map_project(ev)
+
+
+def map_project(ev: DataFrame, payload_col: str = "props") -> DataFrame:
+    """The json_as_map projection over any (event_id, payload) frame.
+
+    Factored out so the multi-key fixture test can drive the exact
+    production expressions on payloads richer than the testdata's
+    single-key props.  Parse + key-extract happen once per row behind
+    projection barriers (the inlined form re-parses the payload per
+    output column; see functions/json_flatten._flatten).
+    """
     from pyspark.sql import types as T
 
-    ev = load_table(spark, sf_dir, "events")
-    # parse + key-extract once per row behind projection barriers (the
-    # inlined form re-parses the payload per output column; see
-    # functions/json_flatten._flatten)
     return (
         ev.withColumn(
-            "__m", F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType()))
+            "__m",
+            F.from_json(F.col(payload_col), T.MapType(T.StringType(), T.StringType())),
         )
         .withColumn("__keys", F.array_sort(F.map_keys("__m")))
         .select(
