@@ -54,7 +54,7 @@ _PLAN_MODULES = (
 # ROTATE round over round so every demoted query regains hard signal
 # periodically.  Out-of-window queries stay covered by the local oracle
 # parity suite (tests/test_oracle_parity.py runs ALL registered
-# queries).  Exactly 32 names: 82 registered − 32 demoted = 50
+# queries).  Exactly 33 names: 83 registered − 33 demoted = 50
 # in-window.
 #
 # Round-3 rotation: cube_lineitem / grouping_sets_orders /
@@ -100,6 +100,7 @@ _DEMOTED = (
     "mixture_sampling",          # corpus_curation_pipeline's sampling stage covers it
     "embedding_neardup_pairs",   # embedding near-dup covered by semantic_dedup (cluster-blocked)
     "tumbling_window_agg",       # r1+r2-green; sliding_window_agg (superset) + session stay in
+    "doc_quality_score",         # r1+r2-green; quality_repetition_filter is the quality rep now
 )
 
 

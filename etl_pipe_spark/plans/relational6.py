@@ -356,6 +356,45 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact percentiles on a bounded-domain column.
+# --------------------------------------------------------------------------
+
+_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.50) AS p50_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty,
+       quantile_cont(l_quantity, 0.90) AS p90_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("exact_percentiles", oracle=_PERCENTILES_ORACLE)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of l_quantity per return flag.
+
+    The exact complement of approx_aggregates' sketch family: for a
+    BOUNDED domain (quantity takes ~50 distinct integer values),
+    Spark's exact ``percentile`` aggregates a per-group value->count
+    map — memory ~ domain size, not row count, so it map-combines and
+    survives any row scale.  For open domains (prices, latencies) the
+    sketch path is the scale answer; this pair of queries documents
+    the decision rule.  Both engines interpolate (1-f)*lo + f*hi at
+    rank (n-1)p, and ties between adjacent ranks on a dense bounded
+    domain make the comparison ulp-robust.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+        F.percentile("l_quantity", F.lit(0.90)).alias("p90_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Salted join: the skew recipe for pathologically hot keys.
 # --------------------------------------------------------------------------
 
