@@ -44,6 +44,22 @@ def srp_planes_for_corpus(n_docs: int, target_bucket: int = 1000) -> int:
     return max(N_PLANES, planes)
 
 
+def ivf_centroids_for_corpus(n_vecs: int, floor: int = 32) -> int:
+    """Centroid count sized to the corpus: k ~ ceil(sqrt(N)).
+
+    Balances the two linear terms of IVF cost: assignment is N x k,
+    probing is queries x nprobe x (N / k).  A FIXED k means cell size
+    N/k grows with the corpus, and every cell-blocked consumer
+    (probe scoring, within-cell semantic dedup) goes quadratic — the
+    250k-vector sweep measured 59x runtime at 50x docs for the pinned
+    32-cell form vs near-linear when k follows this rule
+    (docs/BENCH_COMPARE.md).  sqrt(N) makes both terms N^1.5/bounded —
+    the standard IVF sizing in the ANN literature.  ``floor`` keeps
+    tiny corpora at the oracle-pinned default.
+    """
+    return max(floor, math.ceil(math.sqrt(max(1, n_vecs))))
+
+
 def plane_weight(i: int, d: int) -> int:
     """Deterministic integer weight for hyperplane i, dimension d.
 

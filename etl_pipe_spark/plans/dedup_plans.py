@@ -248,14 +248,16 @@ def _emb_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_ranked(emb: DataFrame) -> DataFrame:
+def _ivf_ranked(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     """Every (vector, centroid) pair ranked by cosine: rn = 1 is the
     cell assignment, rn <= nprobe the probe set.  One broadcast of the
-    32-centroid table, one linear N x 32 pass — the Spark twin of
-    _IVF_ASSIGN_CTE."""
+    centroid table, one linear N x k pass — the Spark twin of
+    _IVF_ASSIGN_CTE (which pins k = N_CENTROIDS for the static
+    oracle); production sizes k via
+    operators.similarity.ivf_centroids_for_corpus."""
     cent = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(N_CENTROIDS)
+        .limit(n_centroids)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
@@ -270,13 +272,27 @@ def _ivf_ranked(emb: DataFrame) -> DataFrame:
     return ranked.withColumn("rn", F.row_number().over(w_assign))
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
+def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2,
+            n_centroids: int = N_CENTROIDS) -> DataFrame:
     """IVF top-5 at a given probe count — ``nprobe`` is the
-    recall/cost dial (search cost ~ nprobe x mean cell size); see
-    :func:`similarity_ann_ivf` for the registered nprobe=2 form and
-    tests/test_ivf_recall.py for the measured recall curve."""
+    recall/cost dial (search cost ~ nprobe x mean cell size) and
+    ``n_centroids`` the cell-size dial (size ~sqrt(N) via
+    ivf_centroids_for_corpus: the 250k-doc sweep measured the pinned
+    32-cell form going quadratic once cells grow with the corpus);
+    see :func:`similarity_ann_ivf` for the registered nprobe=2 form
+    and tests/test_ivf_recall.py for the measured recall curve."""
     emb = _emb_with_norms(spark, sf_dir)
-    ranked = _ivf_ranked(emb)
+    ranked = _ivf_ranked(emb, n_centroids=n_centroids)
+    return _ann_from_assignment(emb, ranked, nprobe)
+
+
+def _ann_from_assignment(emb: DataFrame, ranked: DataFrame,
+                         nprobe: int) -> DataFrame:
+    """Probe + score stage shared by the expression-fold and the
+    vectorized (numpy matmul) quantizers: ``ranked`` supplies
+    (vec_id, cent_id, rn).  Scoring stays on the bit-parity expression
+    cosine — per-cell pair counts are bounded, only the N x k
+    assignment needed a numeric kernel."""
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     q = (
         ranked.filter((F.col("vec_id") % 100 == 0) & (F.col("rn") <= nprobe))
@@ -308,6 +324,27 @@ def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
     )
     w_rank = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w_rank)).filter(F.col("rnk") <= 5)
+
+
+def ann_ivf_scaled(spark: SparkSession, sf_dir: str, nprobe: int = 2,
+                   n_centroids: int | None = None) -> DataFrame:
+    """The production ANN path: numpy-matmul assignment (Arrow batches,
+    operators/ann.py) + sqrt(N)-sized centroids + expression-cosine
+    scoring.  The expression-fold quantizer costs N x k x dim scalar
+    ops — raising k to keep cells bounded makes the assignment itself
+    the wall (measured: k=224 at 50k vectors was 4x SLOWER than k=32
+    despite smaller cells).  A dense matmul belongs in a BLAS kernel;
+    the sweep's 250k corpus runs this path ~20x faster than the
+    expression form at the same k (docs/BENCH_COMPARE.md)."""
+    from ..operators.ann import centroid_matrix, ivf_assign_vectorized
+    from ..operators.similarity import ivf_centroids_for_corpus
+
+    emb = _emb_with_norms(spark, sf_dir)
+    if n_centroids is None:
+        n_centroids = ivf_centroids_for_corpus(emb.count())
+    cent_ids, cent_mat = centroid_matrix(emb, n_centroids)
+    ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=nprobe)
+    return _ann_from_assignment(emb, ranked, nprobe)
 
 
 @register("similarity_ann_ivf", oracle=_ANN_IVF_ORACLE)
@@ -499,9 +536,23 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-blocked self-join; at 100 TB the cells are the shuffle key,
     so each executor scores only its own cells.
     """
+    return semantic_dedup_sized(spark, sf_dir, n_centroids=N_CENTROIDS)
+
+
+def semantic_dedup_sized(spark: SparkSession, sf_dir: str,
+                         n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """semantic_dedup with a caller-sized cell count (the scale dial:
+    cells must grow ~sqrt(N) or within-cell pair cost goes quadratic —
+    measured in the 250k-doc sweep, see docs/BENCH_COMPARE.md).  The
+    registered query pins N_CENTROIDS for the static oracle."""
     emb = _emb_with_norms(spark, sf_dir)
-    ranked = _ivf_ranked(emb)
+    ranked = _ivf_ranked(emb, n_centroids=n_centroids)
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    return _semantic_from_assignment(emb, assign)
+
+
+def _semantic_from_assignment(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """Cell-blocked duplicate marking shared by both quantizers."""
     av = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v", "v_norm")
     a, b = av.alias("a"), av.alias("b")
     cos = VX.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.v_norm") * F.col("b.v_norm"))
@@ -517,6 +568,23 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.join(dups, "vec_id", "left")
         .select("vec_id", "cent_id", F.coalesce(F.col("d"), F.lit(False)).alias("is_dup"))
     )
+
+
+def semantic_dedup_scaled(spark: SparkSession, sf_dir: str,
+                          n_centroids: int | None = None) -> DataFrame:
+    """Production semantic dedup: numpy-matmul assignment + sqrt(N)
+    cells (see ann_ivf_scaled — same two dials, same measured
+    rationale), expression-cosine within-cell scoring."""
+    from ..operators.ann import centroid_matrix, ivf_assign_vectorized
+    from ..operators.similarity import ivf_centroids_for_corpus
+
+    emb = _emb_with_norms(spark, sf_dir)
+    if n_centroids is None:
+        n_centroids = ivf_centroids_for_corpus(emb.count())
+    cent_ids, cent_mat = centroid_matrix(emb, n_centroids)
+    ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=1)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    return _semantic_from_assignment(emb, assign)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,56 @@
+"""Vectorized (numpy matmul) IVF quantizer vs the expression fold.
+
+The two paths compute the same argmax over the same deterministic
+centroid seed; float64 matmul vs sequential fold can disagree only at
+cosine near-ties, so agreement on the well-separated testdata must be
+total, and the scaled entrypoints must keep the output contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipe_spark.operators.ann import centroid_matrix, ivf_assign_vectorized
+from etl_pipe_spark.plans.dedup_plans import (
+    N_CENTROIDS,
+    _emb_with_norms,
+    _ivf_ranked,
+    ann_ivf_scaled,
+    semantic_dedup,
+    semantic_dedup_scaled,
+)
+
+
+def test_vectorized_assignment_matches_expression_fold(spark, sf_dir):
+    emb = _emb_with_norms(spark, sf_dir)
+    expr = (
+        _ivf_ranked(emb)
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "rn", F.col("cent_id").alias("e_cent"))
+    )
+    ids, mat = centroid_matrix(emb, N_CENTROIDS)
+    vec = ivf_assign_vectorized(emb, ids, mat, nprobe=2).select(
+        "vec_id", "rn", F.col("cent_id").alias("v_cent")
+    )
+    j = expr.join(vec, ["vec_id", "rn"], "full")
+    assert j.filter(
+        F.col("e_cent").isNull()
+        | F.col("v_cent").isNull()
+        | (F.col("e_cent") != F.col("v_cent"))
+    ).count() == 0
+
+
+def test_ann_scaled_returns_topk_per_query(spark, sf_dir):
+    per_q = ann_ivf_scaled(spark, sf_dir, nprobe=2).groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] == 5 for r in per_q)
+
+
+def test_semantic_scaled_agrees_with_pinned_at_same_k(spark, sf_dir):
+    # With the same centroid count the two quantizers assign the same
+    # cells here, so the dup verdicts must match row for row.
+    pinned = semantic_dedup(spark, sf_dir).select("vec_id", "is_dup")
+    scaled = semantic_dedup_scaled(spark, sf_dir, n_centroids=N_CENTROIDS).select(
+        "vec_id", F.col("is_dup").alias("s_dup")
+    )
+    j = pinned.join(scaled, "vec_id", "full")
+    assert j.filter(F.col("is_dup") != F.col("s_dup")).count() == 0

@@ -69,6 +69,22 @@ def gen_corpus(n: int, seed: int = 7) -> str:
         }
     )
     pq.write_table(tbl, path)
+
+    # Matching embeddings table (16 clusters + noise, unit-normalized)
+    # so the vector family (semantic_dedup / IVF / k-means) sweeps too.
+    centers = rng.normal(size=(16, 64)).astype(np.float32)
+    vecs = centers[rng.integers(0, 16, size=n)] + 0.3 * rng.normal(
+        size=(n, 64)
+    ).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 16).astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
     return out_dir
 
 
@@ -109,24 +125,44 @@ def main() -> None:
         row["uncapped_lower_bound"] = n_boiler * (n_boiler - 1) // 2
 
         for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh",
-                     "corpus_curation_pipeline"):
+                     "corpus_curation_pipeline", "dedup_clusters",
+                     "contamination_check", "quality_repetition_filter",
+                     "sequence_packing", "kmeans_update_step"):
             t0 = time.time()
             cnt = qs[name](spark, sf_dir).count()
+            row[name] = round(time.time() - t0, 2)
+            row[f"{name}_rows"] = cnt
+
+        # Vector family: the PRODUCTION entrypoints (numpy-matmul
+        # assignment, sqrt(N) cells).  The registered pinned-k=32
+        # expression forms are the oracle surface, not the scale path —
+        # they were measured once going quadratic here (505 s ANN at
+        # 250k) and that finding lives in docs/BENCH_COMPARE.md.
+        from etl_pipe_spark.plans.dedup_plans import (
+            ann_ivf_scaled, semantic_dedup_scaled)
+        for name, fn in (("ann_ivf_scaled", ann_ivf_scaled),
+                         ("semantic_dedup_scaled", semantic_dedup_scaled)):
+            t0 = time.time()
+            cnt = fn(spark, sf_dir).count()
             row[name] = round(time.time() - t0, 2)
             row[f"{name}_rows"] = cnt
         results.append(row)
         print(json.dumps(row))
 
-    print("\nn_docs  jaccard  minhash  pipeline  cand_capped  (sec per stage)")
+    print("\nscaling ratios vs first row (runtime multiple at Nx docs):")
     base = results[0]
+    names = ("dedup_ngram_jaccard", "dedup_minhash_lsh",
+             "corpus_curation_pipeline", "dedup_clusters",
+             "contamination_check", "quality_repetition_filter",
+             "sequence_packing", "semantic_dedup_scaled", "ann_ivf_scaled",
+             "kmeans_update_step")
     for r in results:
         k = r["n_docs"] / base["n_docs"]
-        print(
-            f'{r["n_docs"]:7d} {r["dedup_ngram_jaccard"]:8.1f} '
-            f'{r["dedup_minhash_lsh"]:8.1f} {r["corpus_curation_pipeline"]:9.1f} '
-            f'{r["cand_capped"]:12d}  scale x{k:.0f}: jaccard ratio '
-            f'{r["dedup_ngram_jaccard"] / base["dedup_ngram_jaccard"]:.1f}x'
+        ratios = " ".join(
+            f"{name.split('_')[0][:8]}={r[name] / max(base[name], 0.01):.1f}x"
+            for name in names
         )
+        print(f'{r["n_docs"]:7d} (x{k:.0f} docs, cand_capped={r["cand_capped"]}): {ratios}')
 
 
 if __name__ == "__main__":
