@@ -48,6 +48,95 @@ def centroid_matrix(emb: DataFrame, n_centroids: int,
     return ids, mat
 
 
+_KMEANS_Q = 16777216.0  # 2^24 fixed-point scale, see plans/dedup_plans._KMEANS_Q
+
+
+def _seed_farthest_point(emb: DataFrame, k: int,
+                         id_col: str = "vec_id", vec_col: str = "v") -> np.ndarray:
+    """Deterministic farthest-point seeds over a bounded sample.
+
+    A uniform md5 sample can drop two seeds into one cluster and leave
+    another unclaimed (the classic collapse).  Greedy max-min seeding
+    on the md5-ordered first max(8k, 256) vectors fixes that while
+    keeping driver data bounded by the sample, not the corpus — the
+    sample-based cousin of k-means|| initialization.
+    """
+    n_sample = max(8 * k, 256)
+    ids, sample = centroid_matrix(emb, n_sample, id_col=id_col, vec_col=vec_col)
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = sample / norms[:, None]
+    chosen = [0]
+    # running max cosine of every sample vector to the chosen set
+    best = unit @ unit[0]
+    for _ in range(1, min(k, len(sample))):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, unit @ unit[nxt])
+    return sample[chosen].copy()
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    max_iters: int = 10,
+    tol: float = 1e-3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> tuple:
+    """Full spherical-k-means Lloyd loop (the iterative-algorithm shape).
+
+    Per iteration: one vectorized cosine-argmax assignment pass
+    (numpy matmul over Arrow batches) + one exact fixed-point mean
+    update (coordinates quantized to 2^-24 and summed in int64, so
+    the means — and therefore the whole fit — are bit-deterministic
+    under any partitioning).  The ONLY driver-side data per round is
+    the k x dim mean table (same footprint as the broadcast centroid
+    matrix), never the corpus: the same driver-sees-scalars stance as
+    operators/clusters.connected_components.  Cosine assignment makes
+    mean updates coherent without normalizing (cosine is
+    scale-invariant in the centroid), i.e. spherical k-means.
+
+    Returns (centroids ndarray k x dim, assignment DataFrame
+    (vec_id, cent_id), n_iters_run).  Seeds from deterministic
+    farthest-point selection over a bounded md5-ordered sample, so
+    fits are reproducible run to run.
+    """
+    cent = _seed_farthest_point(emb, k, id_col=id_col, vec_col=vec_col)
+    ids = np.arange(len(cent), dtype=np.int64)
+    assign = None
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        assign = ivf_assign_vectorized(
+            emb, ids, cent, nprobe=1, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "cent_id")
+        member = assign.join(emb.select(id_col, vec_col), id_col)
+        means = (
+            member.select("cent_id", F.posexplode(vec_col).alias("dim", "x"))
+            .select(
+                "cent_id", "dim",
+                F.round(F.col("x") * _KMEANS_Q).cast("bigint").alias("xq"),
+            )
+            .groupBy("cent_id", "dim")
+            .agg(
+                (F.sum("xq").cast("double")
+                 / (F.count(F.lit(1)).cast("double") * _KMEANS_Q)).alias("m")
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        touched = set()
+        for r in means:
+            new_cent[r["cent_id"], r["dim"]] = r["m"]
+            touched.add(r["cent_id"])
+        # empty cells keep their previous centroid
+        shift = float(np.abs(new_cent - cent).max()) if touched else 0.0
+        cent = new_cent
+        if shift < tol:
+            break
+    return cent, assign, iters
+
+
 def ivf_assign_vectorized(
     emb: DataFrame,
     cent_ids: np.ndarray,

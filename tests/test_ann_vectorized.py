@@ -45,6 +45,31 @@ def test_ann_scaled_returns_topk_per_query(spark, sf_dir):
     assert per_q and all(r["count"] == 5 for r in per_q)
 
 
+def test_kmeans_fit_converges_and_separates_blobs(spark):
+    # Three well-separated directions; 60 vectors each with tiny
+    # deterministic jitter.  Spherical k-means must converge well
+    # inside max_iters and put each blob in exactly one cell.
+    from etl_pipe_spark.operators.ann import kmeans_fit
+
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for i in range(180):
+        b = i % 3
+        jit = [((i * 37 + d * 11) % 7 - 3) * 0.01 for d in range(3)]
+        rows.append((i, [base[b][d] + jit[d] for d in range(3)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "v"])
+
+    cent, assign, iters = kmeans_fit(emb, k=3, max_iters=8, tol=1e-3)
+    assert iters < 8, "did not converge"
+    got = assign.collect()
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cent_id"])
+    # each blob maps to exactly one cell, and the cells are distinct
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len({next(iter(c)) for c in by_blob.values()}) == 3
+
+
 def test_semantic_scaled_agrees_with_pinned_at_same_k(spark, sf_dir):
     # With the same centroid count the two quantizers assign the same
     # cells here, so the dup verdicts must match row for row.
