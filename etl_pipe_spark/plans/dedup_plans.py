@@ -570,6 +570,32 @@ def _semantic_from_assignment(emb: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = 2,
+                   n_centroids: int | None = None,
+                   max_iters: int = 5) -> DataFrame:
+    """IVF with FITTED centroids — the quality upgrade the pinned
+    query's docstring promises ("production swaps the sampled seed
+    for k-means centroids").  kmeans_fit learns the quantizer
+    (farthest-point seed, vectorized Lloyd rounds), then the probe +
+    score stage is identical to every other IVF path.  Fitted cells
+    track the corpus structure, so probed recall at the same nprobe
+    dominates the sampled-seed form (pinned by
+    tests/test_ivf_recall.py::test_kmeans_centroids_beat_sampled_seed).
+    """
+    from ..operators.ann import ivf_assign_vectorized, kmeans_fit
+    from ..operators.similarity import ivf_centroids_for_corpus
+
+    emb = _emb_with_norms(spark, sf_dir)
+    if n_centroids is None:
+        n_centroids = ivf_centroids_for_corpus(emb.count())
+    cent, _, _ = kmeans_fit(emb, k=n_centroids, max_iters=max_iters)
+    import numpy as np
+
+    ids = np.arange(len(cent), dtype=np.int64)
+    ranked = ivf_assign_vectorized(emb, ids, cent, nprobe=nprobe)
+    return _ann_from_assignment(emb, ranked, nprobe)
+
+
 def semantic_dedup_scaled(spark: SparkSession, sf_dir: str,
                           n_centroids: int | None = None) -> DataFrame:
     """Production semantic dedup: numpy-matmul assignment + sqrt(N)

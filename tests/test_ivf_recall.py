@@ -49,3 +49,18 @@ def test_probing_all_cells_is_exact(spark, sf_dir, brute_top5):
     # top-5 must equal the brute-force top-5 exactly (both use the
     # same bit-parity cosine and neighbor_id tie-break).
     assert _recall(spark, sf_dir, brute_top5, nprobe=N_CENTROIDS) == 1.0
+
+
+def test_kmeans_centroids_beat_sampled_seed(spark, sf_dir, brute_top5):
+    # Fitted cells track the corpus structure: at the same nprobe the
+    # learned quantizer's probed recall must dominate (or at worst
+    # match) the md5-sampled seed's.
+    from etl_pipe_spark.plans.dedup_plans import ann_ivf_kmeans
+
+    sampled = _recall(spark, sf_dir, brute_top5, nprobe=2)
+    fitted = (
+        ann_ivf_kmeans(spark, sf_dir, nprobe=2, n_centroids=N_CENTROIDS)
+        .select("query_id", "neighbor_id")
+    )
+    km = brute_top5.join(fitted, ["query_id", "neighbor_id"]).count() / brute_top5.count()
+    assert km >= sampled
