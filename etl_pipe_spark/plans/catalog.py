@@ -54,8 +54,10 @@ _PLAN_MODULES = (
 # ROTATE round over round so every demoted query regains hard signal
 # periodically.  Out-of-window queries stay covered by the local oracle
 # parity suite (tests/test_oracle_parity.py runs ALL registered
-# queries).  Exactly 33 names: 83 registered − 33 demoted = 50
-# in-window.
+# queries) and by the per-round driver-format artifact
+# (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
+# auditable row/schema/hash flags for every query, demoted included).
+# Exactly 33 names: 83 registered − 33 demoted = 50 in-window.
 #
 # Round-3 rotation: cube_lineitem / grouping_sets_orders /
 # window_frames / sliding_window_agg rotate IN (demoted r2, unwatched
