@@ -169,8 +169,12 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
 
 @register("dedup_simhash", oracle=_duck_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document (integer-exact)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """32-bit SimHash fingerprint per document (integer-exact).
+
+    Spread first: the per-token md5 + 32-bit accumulation is the
+    expensive narrow stage, and the scan is one input split at test
+    SFs (see operators/layout.spread_for_compute)."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     return DD.simhash(docs)
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import DUCK_HASH60, hash60, ws_tokens
 from ..operators.dedup import simhash
+from ..operators.layout import spread_for_compute
 from ..sources.catalog import load_table
 from .catalog import register
 
@@ -65,7 +66,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees at least one untouched band... for <= 3; <= 6 trades a
     little recall for candidate volume), then exact popcount verifies.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
     fp = simhash(docs)
     bands = fp.select(
         "doc_id", "simhash",
