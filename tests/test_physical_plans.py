@@ -127,6 +127,19 @@ def test_stats_moments_is_one_pass(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["contamination_check", "quality_repetition_filter", "dedup_simhash"],
+)
+def test_text_pipelines_spread_before_expansion(spark, sf_dir, name):
+    # Compute-heavy text pipelines must round-robin the docs before the
+    # 10-100x expansion stage; without the exchange the whole shingle/
+    # token stage inherits the scan's single test-SF input split and
+    # runs serial (measured 2-4x at sf0.1).
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange RoundRobinPartitioning" in plan, f"{name} lost its spread"
+
+
 def test_cosine_pair_stages_fold_only_cross_dot(spark, sf_dir):
     # Norms must be precomputed per vector: a post-join projection that
     # folds aggregate(zip_with(v, v)) (self-dot) on the pair stream
