@@ -75,6 +75,17 @@ def main() -> None:
     # initialize the noop writer path so query 1 doesn't absorb it
     spark.range(10).write.mode("overwrite").format("noop").save()
 
+    # One UNTIMED execution of a representative heavy text query:
+    # the first wide codegen pipeline of the session absorbs ~10 s of
+    # JIT/codegen warmup that best-of-2 cannot amortize (measured
+    # dedup_minhash_lsh trace: 12.9 -> 4.5 -> 2.6 -> 2.4 s), which
+    # reads as a phantom regression in round-over-round diffs.
+    try:
+        qs["dedup_minhash_lsh"](spark, SF_DIR).write.mode(
+            "overwrite").format("noop").save()
+    except Exception:
+        pass
+
     # Best-of-2 per query: single-shot local[N] timings carry 5-10x
     # scheduler/GC noise; the minimum reflects the plan's real cost.
     timings: dict[str, float] = {}

@@ -54,18 +54,31 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
-def spread_for_compute(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin ``df`` across the session's shuffle width.
+def spread_for_compute(
+    spark: SparkSession, df: DataFrame, min_ratio: float = 0.5
+) -> DataFrame:
+    """Round-robin ``df`` across the session's shuffle width — but only
+    when the scan is narrower than the compute width.
 
     The small-input / heavy-expansion idiom: text pipelines (shingling,
     token explodes) multiply bytes 10-100x AFTER the scan, so a table
     that fits in one input split runs its entire expansion serially.
     One cheap exchange of the raw rows buys full-width CPU parallelism
     for every downstream narrow stage.  On a real multi-file 100 TB
-    table the scan is already wide and this costs one linear pass; two
-    consumers of the same spread share the exchange (ReuseExchange).
+    table the scan is already wide, so the exchange would be a full
+    extra shuffle of the corpus that buys nothing: it is SKIPPED when
+    the planned scan partition count is already >= ``min_ratio`` of
+    the shuffle width.  The partition count comes from Spark's file-
+    split planning (no job is triggered).  Two consumers of the same
+    spread share the exchange (ReuseExchange).
     """
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        planned = df.rdd.getNumPartitions()
+    except Exception:
+        planned = 1  # un-plannable input: assume narrow, spread it
+    if planned >= max(1, int(width * min_ratio)):
+        return df
     return df.repartition(width)
 
 

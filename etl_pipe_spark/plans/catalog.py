@@ -59,26 +59,27 @@ _PLAN_MODULES = (
 # auditable row/schema/hash flags for every query, demoted included).
 # Exactly 33 names: 83 registered − 33 demoted = 50 in-window.
 #
-# Round-3 rotation: cube_lineitem / grouping_sets_orders /
-# window_frames / sliding_window_agg rotate IN (demoted r2, unwatched
-# since r1), as do all TEN round-3 additions (5 TPC-H shapes, 5
-# corpus-construction flagships — none has ever had a driver row);
-# in exchange, ten r1+r2-green queries whose shape another in-window
-# query still exercises rotate OUT (each annotated with its in-window
-# cover).
+# Round-4 rotation: the TEN function/reshaping demos unwatched since
+# r1 (string/datetime/ranking/null-handling functions, pivot/unpivot,
+# set ops, HAVING, SQL-API, promo share) rotate IN for their first
+# driver row since r1; in exchange ten r3-green queries whose shape
+# another in-window query still exercises rotate OUT (each annotated
+# with its in-window cover).
 _DEMOTED = (
     "doc_fingerprint",           # rolling-hash demo; dedup_simhash covers fingerprints
-    "set_ops_membership",        # family rep in-window: semi join + EXCEPT-shape anti
-    "pivot_status_revenue",      # wide/long reshaping demo
-    "unpivot_lineitem_metrics",  # wide/long reshaping demo
-    "having_large_orders",       # agg+filter demo; tpch_q18's HAVING subquery covers
-    "string_functions",          # function-family demo
-    "datetime_functions",        # function-family demo
-    "ranking_functions",         # family rep: topk_per_group
-    "sql_api_segment_revenue",   # SQL-API demo of an in-window shape
-    "promo_revenue_share",       # single-row agg demo; tpch_q17/q19 cover the shape
     "supplier_nation_rollup",    # family rep: run_summary_rollup
-    "null_handling_functions",   # function-family demo
+    # rotated out r4 (all r3-green, in-window cover noted):
+    "stats_moments",             # stats family rep in-window: exact_percentiles
+    "tpch_q4_order_priority",    # correlated EXISTS covered by tpch_q21's exists/not-exists
+    "tpch_q17_small_qty_revenue",  # scalar-subquery agg covered by tpch_q15's max-subquery
+    "tpch_q18_large_volume",     # HAVING-IN covered by having_large_orders (promoted) + tpch_q10 top-k
+    "tpch_q22_dormant_customers",  # anti join covered by tpch_q21 NOT EXISTS + tpch_q13 left-outer
+    "cube_lineitem",             # grouping machinery covered by grouping_sets_orders (superset)
+    "window_frames",             # window family: ranking_functions (promoted) + session_window_agg
+    "sliding_window_agg",        # time-window family rep in-window: session_window_agg
+    "range_join_bucketed",       # inequality-join family rep in-window: asof_join_last_event
+    "skew_salted_join",          # oracle-equal-to-plain-join recipe; join family heavily covered
+    "tpch_q13_count_distribution",  # left-outer two-level agg covered by run_summary_rollup
     # rotated out r3 (all r2-green, code unchanged):
     "streaming_tumbling_counts",  # same window shape as tumbling_window_agg
     "json_flatten_input_data",    # JS1 demo; json_flatten_props + coercion_kitchen_sink cover the ladder

@@ -679,3 +679,44 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cent_id", F.col("dim").cast("int").alias("dim"), "mean_val", "n_members")
     )
+
+
+@register("kmeans_fit_clusters")  # rows-only: a Lloyd LOOP is not one SQL query
+def kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL spherical-k-means fit as a registered query: run the
+    Lloyd loop to convergence (operators/ann.kmeans_fit — vectorized
+    matmul assignment, bit-deterministic fixed-point means,
+    farthest-point seeding), then report per-cluster quality:
+    (cent_id, n_members, mean_cos_q, n_iters).
+
+    No SQL oracle — an iterative fixed-point algorithm is the one
+    query family that is genuinely not a single ANSI statement; the
+    driver records the weaker rows-only check, and determinism is
+    what makes even that meaningful: the fit is bit-stable run to run
+    (quantized means, deterministic seeds), and the mean member→
+    centroid cosine is averaged in 2^-24 fixed point so the output
+    never depends on partitioning.  tests/test_ann_vectorized.py and
+    tests/test_ivf_recall.py pin the fit's quality; this entry gives
+    the driver the iterative execution path itself.
+    """
+    from ..operators.ann import kmeans_fit
+
+    emb = _emb_with_norms(spark, sf_dir)
+    cent, assign, iters = kmeans_fit(emb, k=8, max_iters=5)
+    cent_rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)]
+    cdf = spark.createDataFrame(cent_rows, "cent_id bigint, cv array<double>")
+    cdf = cdf.withColumn("cv_norm", VX.norm(F.col("cv")))
+    cos = VX.dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("cv_norm"))
+    return (
+        assign.join(emb, "vec_id")
+        .join(F.broadcast(cdf), "cent_id")
+        .select("cent_id", F.round(cos * _KMEANS_Q).cast("bigint").alias("cq"))
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum("cq").cast("double")
+             / (F.count(F.lit(1)).cast("double") * _KMEANS_Q)).alias("mean_cos_q"),
+        )
+        .withColumn("n_iters", F.lit(iters).cast("int"))
+        .orderBy("cent_id")
+    )

@@ -123,14 +123,14 @@ def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet scan (row-group skipping on ts statistics) — the Spark
     analogue of shipping the WHERE clause to the source database.
     """
-    from ..sources.catalog import since_to_ns
+    from ..sources.catalog import watermark_predicate
 
     ev = load_table(spark, sf_dir, "events")
-    # compare the RAW nanos column, not the derived timestamp: an
-    # expression-wrapped column defeats parquet pushdown (the plan gate
-    # in tests/test_physical_plans.py pins this)
+    # compare the column that is verbatim in the file, not its derived
+    # twin: an expression-wrapped column defeats parquet pushdown (the
+    # plan gate in tests/test_physical_plans.py pins this)
     return ev.filter(
-        (F.col("ts_ns") >= F.lit(since_to_ns(_INCR_SINCE)))
+        watermark_predicate(ev, _INCR_SINCE)
         | ((F.col("event_type") == "error") & (F.col("value") >= 50))
     ).select("event_id", "ts", "user_id", "event_type", "value")
 

@@ -71,49 +71,104 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggregates")  # no oracle: sketch outputs are engine-specific
-def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The approximate-aggregate family (HLL distinct, quantile sketch).
+_APPROX_RSD = 0.02        # HLL++ relative standard deviation
+_APPROX_Q_ACC = 10000     # QuantileSummaries accuracy (rank err 1/acc)
+_APPROX_RANK_EPS = 0.002  # accepted rank error: 20x the theoretical bound
 
-    Sketch results are engine-specific by design (Spark HLL++ vs
-    DuckDB's HLL differ), so the driver records a rows-only check;
-    the test suite bounds the HLL error against the exact count
-    instead (tests/test_text_extras.py).
+_APPROX_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_exact_rows,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_within_bounds,
+       TRUE AS q50_within_bounds,
+       TRUE AS q95_within_bounds,
+       TRUE AS q99_within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("approx_aggregates", oracle=_APPROX_ORACLE)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregate family (HLL distinct, quantile sketch),
+    hash-checkable via error-bound booleans.
+
+    Raw sketch values are engine-specific (Spark HLL++ vs DuckDB HLL
+    differ by design), so the query outputs the EXACT per-group stats
+    (DuckDB-matchable) plus booleans asserting each sketch landed
+    inside its published error bound: the HLL estimate within 3·rsd of
+    the exact distinct count, and each approximate quantile's rank
+    within _APPROX_RANK_EPS of its target percentile.  The oracle
+    asserts the same booleans TRUE, so the row hashes match exactly
+    when — and only when — the sketches are within bounds.
+
+    The distinct count is computed in its own two-level aggregation
+    rather than as COUNT(DISTINCT ...) inside the sketch agg: a
+    distinct aggregate mixed with other aggregates forces Spark's
+    Expand-based multi-phase plan, which duplicates every input row
+    per aggregate group and drags the accuracy-10000 QuantileSummaries
+    sketch through the expanded rows (measured 26 s combined vs
+    2.7 s + 0.4 s separately at sf0.1 — and Expand doubles shuffled
+    bytes, which is a scale-killer at 100 TB).  Pre-aggregating on
+    (flag, orderkey) gets map-side combine on both shuffles.  The
+    rank-check pass re-scans lineitem once against the broadcast 3-row
+    sketch table — the verification cost lives in this query, not in a
+    production consumer of the sketches.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    # The distinct count is computed in its own two-level aggregation
-    # rather than as COUNT(DISTINCT ...) inside the sketch agg: a
-    # distinct aggregate mixed with other aggregates forces Spark's
-    # Expand-based multi-phase plan, which duplicates every input row
-    # per aggregate group and drags the accuracy-10000 QuantileSummaries
-    # sketch through the expanded rows (measured 26 s combined vs
-    # 2.7 s + 0.4 s separately at sf0.1 — and Expand doubles shuffled
-    # bytes, which is a scale-killer at 100 TB).  Pre-aggregating on
-    # (flag, orderkey) gets map-side combine on both shuffles.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey",
+        # sketch over double, not decimal: QuantileSummaries compares
+        # boxed Decimals ~50x slower than primitive doubles
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
     exact = (
         li.groupBy("l_returnflag", "l_orderkey")
         .agg(F.lit(1))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_orders"))
     )
-    sketches = li.groupBy("l_returnflag").agg(
+    pcts = {"q50": 0.5, "q95": 0.95, "q99": 0.99}
+    sk = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_exact_rows"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        # sketch over double, not decimal: QuantileSummaries compares
-        # boxed Decimals ~50x slower than primitive doubles, and an
-        # approximate quantile gains nothing from exact decimal
-        # arithmetic.  to_json at the output boundary: the harness
-        # canonicalizer hashes cells and cannot hash raw arrays.
-        F.to_json(
-            F.percentile_approx(
-                F.col("l_extendedprice").cast("double"), [0.5, 0.95, 0.99], 10000
-            )
-        ).alias("price_quantiles"),
+        F.approx_count_distinct("l_orderkey", rsd=_APPROX_RSD).alias("approx_orders"),
+        F.percentile_approx("price", list(pcts.values()), _APPROX_Q_ACC).alias("qs"),
+    ).select(
+        "l_returnflag", "n_exact_rows", "approx_orders",
+        *[F.col("qs")[i].alias(q) for i, q in enumerate(pcts)],
     )
-    return sketches.join(F.broadcast(exact), "l_returnflag").select(
-        "l_returnflag",
-        "n_exact_rows",
-        "exact_orders",
-        "approx_orders",
-        "price_quantiles",
+    # Rank check: the sketch guarantees the returned value's rank is
+    # within eps*N of p*N, i.e. count(< v)/N <= p+eps AND
+    # count(<= v)/N >= p-eps (the lt/le pair is tie-robust).
+    rank_aggs = []
+    for q in pcts:
+        rank_aggs.append(
+            F.sum(F.when(F.col("price") < F.col(q), 1).otherwise(0)).alias(f"{q}_lt"))
+        rank_aggs.append(
+            F.sum(F.when(F.col("price") <= F.col(q), 1).otherwise(0)).alias(f"{q}_le"))
+    ranks = (
+        li.join(F.broadcast(sk.select("l_returnflag", *pcts)), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(*rank_aggs)
+    )
+    hll_ok = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        <= F.lit(3 * _APPROX_RSD) * F.col("exact_orders").cast("double")
+    )
+    out_cols = [
+        F.col("l_returnflag"),
+        F.col("n_exact_rows"),
+        F.col("exact_orders"),
+        hll_ok.alias("hll_within_bounds"),
+    ]
+    n = F.col("n_exact_rows").cast("double")
+    for q, p in pcts.items():
+        ok = (
+            (F.col(f"{q}_lt").cast("double") / n <= F.lit(p + _APPROX_RANK_EPS))
+            & (F.col(f"{q}_le").cast("double") / n >= F.lit(p - _APPROX_RANK_EPS))
+        )
+        out_cols.append(ok.alias(f"{q}_within_bounds"))
+    return (
+        sk.join(F.broadcast(exact), "l_returnflag")
+        .join(F.broadcast(ranks), "l_returnflag")
+        .select(*out_cols)
     )

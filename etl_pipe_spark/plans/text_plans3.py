@@ -33,16 +33,19 @@ WITH sized AS (
   FROM documents
 ),
 packed AS (
+  -- CAST the window sum: DuckDB's sum(BIGINT) OVER returns HUGEINT,
+  -- whose pandas conversion changed across DuckDB versions (int64 vs
+  -- float64) and breaks value-hash comparison in the harness.
   SELECT doc_id, source, n_tokens,
-         sum(n_tokens) OVER (
+         CAST(sum(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
            ROWS UNBOUNDED PRECEDING
-         ) - n_tokens AS stream_offset
+         ) - n_tokens AS BIGINT) AS stream_offset
   FROM sized
 )
 SELECT doc_id, source, n_tokens, stream_offset,
-       CAST(floor(stream_offset * 1.0 / {_BIN_TOKENS}) AS BIGINT) AS first_bin,
-       CAST(floor((stream_offset + n_tokens - 1) * 1.0 / {_BIN_TOKENS}) AS BIGINT)
+       CAST(stream_offset // {_BIN_TOKENS} AS BIGINT) AS first_bin,
+       CAST((stream_offset + n_tokens - 1) // {_BIN_TOKENS} AS BIGINT)
          AS last_bin
 FROM packed
 """
@@ -73,12 +76,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = sized.withColumn(
         "stream_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
     )
-    b = float(_BIN_TOKENS)
+    # Pure integer division (offsets are non-negative) — no float
+    # intermediate exists on either engine, so the bins hash stably.
     return packed.select(
         "doc_id", "source", "n_tokens", "stream_offset",
-        F.floor(F.col("stream_offset") / b).cast("bigint").alias("first_bin"),
-        F.floor((F.col("stream_offset") + F.col("n_tokens") - 1) / b)
-        .cast("bigint").alias("last_bin"),
+        F.expr(f"CAST(stream_offset DIV {_BIN_TOKENS} AS BIGINT)")
+        .alias("first_bin"),
+        F.expr(f"CAST((stream_offset + n_tokens - 1) DIV {_BIN_TOKENS} AS BIGINT)")
+        .alias("last_bin"),
     )
 
 

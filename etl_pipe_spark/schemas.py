@@ -75,7 +75,11 @@ LINEITEM = T.StructType([
     T.StructField("l_shipdate", T.TimestampNTZType()),
 ])
 
-# Raw on-disk shape (ts = int64 nanos via nanosAsLong).
+# Raw on-disk shape.  The ts column's physical layout varies by data
+# generation (TIMESTAMP(NANOS) read as int64 under nanosAsLong, or
+# plain TIMESTAMP(MICROS)); readers take the footer schema at runtime
+# and normalize via sources.catalog._events_normalize.  This constant
+# documents the NANOS variant.
 EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),

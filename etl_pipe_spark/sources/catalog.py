@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..session import pin_conf
 
@@ -24,27 +24,63 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: StructField metadata key marking the column that exists verbatim in
+#: the parquet file (predicates on it push down to the scan; predicates
+#: on the derived twin do not).
+RAW_TS_META = "etl_pipe_raw_source_column"
+
+
+def _events_normalize(df: DataFrame) -> DataFrame:
+    """Present events with BOTH a ``ts`` TIMESTAMP_NTZ and a ``ts_ns``
+    int64-nanos column regardless of the file's physical layout.
+
+    Two layouts exist in the wild: TIMESTAMP(NANOS), which Spark reads
+    (under nanosAsLong) as int64, and plain TIMESTAMP(MICROS).  Either
+    way the derived twin is exact — micros*1000 and nanos-div-1000 are
+    lossless for micro-aligned data — and the column that is verbatim
+    in the file is tagged with RAW_TS_META so watermark predicates can
+    target the pushable one (see :func:`watermark_predicate`).
+    """
+    from pyspark.sql import types as T
+
+    raw_meta = {RAW_TS_META: True}
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) layout: int64 nanos is the file column.
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .select(
+                "event_id",
+                F.timestamp_micros(F.expr("ts_ns div 1000"))
+                .cast("timestamp_ntz").alias("ts"),
+                "user_id", "event_type", "value", "props",
+                F.col("ts_ns").alias("ts_ns", metadata=raw_meta),
+            )
+        )
+    else:
+        # TIMESTAMP(MICROS) layout: ts is the file column; derive exact
+        # nanos for the ns-based watermark API (UTC session tz pinned,
+        # so the ntz->tz cast inside unix_micros is value-preserving).
+        df = df.select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts", metadata=raw_meta),
+            "user_id", "event_type", "value", "props",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+            .cast("bigint").alias("ts_ns"),
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a lazy DataFrame.
 
-    ``events`` needs special handling: the file stores TIMESTAMP(NANOS)
-    which Spark reads (under nanosAsLong) as int64.  We keep the exact
-    nanos as ``ts_ns`` and derive ``ts`` as the micro-truncated
-    TIMESTAMP_NTZ — bit-identical to what DuckDB produces when it
-    truncates the same file's nanos to micros, so oracle comparisons
-    on ``ts`` are exact.
+    ``events`` is normalized to carry both ``ts`` (TIMESTAMP_NTZ) and
+    ``ts_ns`` (int64 nanos) whatever the file's timestamp layout — see
+    :func:`_events_normalize`.
     """
     pin_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
-            )
-            .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
-        )
+        df = _events_normalize(df)
     return df
 
 
@@ -62,17 +98,42 @@ def since_to_ns(since) -> int:
     return round(since.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
 
 
-def events_since(events: DataFrame, since) -> DataFrame:
-    """Watermark filter on the events table that PUSHES DOWN.
+def _is_raw_column(events: DataFrame, col: str) -> bool:
+    try:
+        return bool(events.schema[col].metadata.get(RAW_TS_META, False))
+    except Exception:
+        return False
 
-    A predicate on the derived ``ts`` (timestamp_micros(ts_ns div
-    1000)) is an expression, so parquet gets PushedFilters: [] — a
-    full scan per micro-batch at scale.  Filtering the raw int64
-    nanos column is exactly equivalent for whole-microsecond
-    watermarks (floor(ns/1000) >= since_us  <=>  ns >= since_us*1000)
-    and reaches the scan for row-group skipping.
+
+def watermark_predicate(events: DataFrame, since) -> Column:
+    """Watermark predicate that PUSHES DOWN to the parquet scan.
+
+    A predicate on a *derived* timestamp column is an expression, so
+    parquet gets PushedFilters: [] — a full scan per micro-batch at
+    scale.  The loader tags whichever of ``ts``/``ts_ns`` is verbatim
+    in the file (RAW_TS_META); comparing that column is exactly
+    equivalent for whole-microsecond watermarks
+    (floor(ns/1000) >= since_us  <=>  ns >= since_us*1000) and reaches
+    the scan for row-group skipping.
     """
-    return events.filter(F.col("ts_ns") >= F.lit(since_to_ns(since)))
+    ns = since_to_ns(since)
+    if _is_raw_column(events, "ts_ns") or not _is_raw_column(events, "ts"):
+        return F.col("ts_ns") >= F.lit(ns)
+    us = ns // 1000
+    iso = _us_to_iso(us)
+    return F.col("ts") >= F.expr(f"TIMESTAMP_NTZ '{iso}'")
+
+
+def _us_to_iso(us: int) -> str:
+    import datetime as dt
+
+    base = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    return base.isoformat(sep=" ")
+
+
+def events_since(events: DataFrame, since) -> DataFrame:
+    """Watermark filter on the events table (pushdown-preserving)."""
+    return events.filter(watermark_predicate(events, since))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -23,28 +23,35 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .. import schemas
 from ..operators.merge import ParquetMergeSink, insert_if_absent
 from ..session import pin_conf
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
-    """Streaming scan of the events table with the exact-nanos handling
-    the batch loader uses (sources/catalog.py)."""
+    """Streaming scan of the events table with the same ts/ts_ns
+    normalization the batch loader applies (sources/catalog.py).
+
+    The stream source needs an explicit schema; the events file's
+    timestamp layout varies (TIMESTAMP(NANOS)-as-int64 vs MICROS), so
+    the batch reader's footer-derived schema — a metadata-only read —
+    is handed to the stream and the shared normalizer branches on it.
+    """
+    from ..sources.catalog import _events_normalize
+
     pin_conf(spark)
-    reader = spark.readStream.schema(schemas.EVENTS_RAW)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # the file source derives basePath from the non-glob path prefix and
     # requires it to be a directory; the catalog stores one parquet file
     # per table, so glob the filename to keep basePath at the sf dir
     raw = reader.parquet(f"{sf_dir.rstrip('/')}/events.[p]arquet")
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
-    )
+    # event-time watermarks require TIMESTAMP, not TIMESTAMP_NTZ; the
+    # session tz is pinned UTC so the cast is value-preserving
+    return _events_normalize(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(stream: DataFrame, window: str = "1 hour",

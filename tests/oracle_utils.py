@@ -43,6 +43,57 @@ def _norm(v):
     return str(v)
 
 
+def _audit_pandas_types(spark_df, con, sql: str, name: str) -> None:
+    """Catch engine-type divergence the fetchall path hides.
+
+    The driver canonicalizes through pandas, where DuckDB wide types
+    (HUGEINT from sum() windows, DECIMAL) may surface as float64 or
+    object while Spark hands back int64 — numerically equal values
+    that hash differently.  fetchall() converts HUGEINT to Python int
+    losslessly, so a fetchall-based compare passes while the driver
+    fails.  Flag any oracle column whose pandas dtype is floating
+    when the Spark schema says integral."""
+    import pandas as pd
+
+    duck_pd = con.execute(sql).df()
+    spark_int_cols = {
+        f.name for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+    bad = [
+        c for c in duck_pd.columns
+        if c in spark_int_cols and pd.api.types.is_float_dtype(duck_pd[c])
+        and not duck_pd[c].isna().any()
+    ]
+    if bad:
+        raise AssertionError(
+            f"[{name}] oracle type divergence: columns {bad} are integral in "
+            f"Spark but float in DuckDB's pandas conversion (HUGEINT/DECIMAL "
+            f"intermediate?) — CAST them to BIGINT in the oracle SQL."
+        )
+
+
+def _cell_multiset_diff(spark_rows, duck_rows, cols) -> str:
+    """Per-column multiset diff: names exactly which cells differ,
+    robust to the row misalignment a sorted positional zip can show."""
+    from collections import Counter
+
+    out = []
+    for j, c in enumerate(cols):
+        s = Counter(r[j] for r in spark_rows)
+        d = Counter(r[j] for r in duck_rows)
+        only_s = s - d
+        only_d = d - s
+        if only_s or only_d:
+            out.append(
+                f"  col {c}: {sum(only_s.values())} spark-only / "
+                f"{sum(only_d.values())} duck-only cells; "
+                f"spark-only sample={list(only_s)[:4]} "
+                f"duck-only sample={list(only_d)[:4]}"
+            )
+    return "\n".join(out) if out else "  (no per-column multiset diff: row composition differs)"
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
     spark_cols = sorted(spark_df.columns)
     spark_rows = [tuple(_norm(row[c]) for c in spark_cols) for row in spark_df.collect()]
@@ -69,5 +120,8 @@ def compare(spark_df, con, sql: str, name: str = "?") -> None:
         raise AssertionError(
             f"[{name}] value mismatch ({len(diffs)}+ differing rows shown):\n"
             + "\n".join(f"  row {i}:\n    spark={a}\n    duck ={b}" for i, a, b in diffs)
+            + f"\n cell multiset diff by column:\n"
+            + _cell_multiset_diff(s_sorted, d_sorted, spark_cols)
             + f"\n  cols={spark_cols}"
         )
+    _audit_pandas_types(spark_df, con, sql, name)

@@ -79,3 +79,17 @@ def test_semantic_scaled_agrees_with_pinned_at_same_k(spark, sf_dir):
     )
     j = pinned.join(scaled, "vec_id", "full")
     assert j.filter(F.col("is_dup") != F.col("s_dup")).count() == 0
+
+
+def test_kmeans_fit_clusters_query_partitions_corpus(spark, sf_dir):
+    # The registered rows-only query: every embedding lands in exactly
+    # one of the k=8 cells, and the fixed-point mean cosine is sane.
+    from etl_pipe_spark.plans.catalog import queries
+    from etl_pipe_spark.sources.catalog import load_table
+
+    rows = queries()["kmeans_fit_clusters"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert all(1 <= r.n_iters <= 5 for r in rows)
+    assert all(-1.0 <= r.mean_cos_q <= 1.0 for r in rows)

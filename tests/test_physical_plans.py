@@ -140,6 +140,26 @@ def test_text_pipelines_spread_before_expansion(spark, sf_dir, name):
     assert "Exchange RoundRobinPartitioning" in plan, f"{name} lost its spread"
 
 
+def test_spread_skipped_for_already_wide_input(spark, sf_dir):
+    # At 100 TB the scan is already wide: spreading it again is a full
+    # extra shuffle of the corpus that buys nothing.  The operator must
+    # return the input unchanged when its planned partition count is
+    # already >= half the shuffle width, and insert the exchange for a
+    # single-split input.
+    from etl_pipe_spark.operators.layout import spread_for_compute
+    from etl_pipe_spark.sources.catalog import load_table
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(0, 10_000, numPartitions=width)
+    assert spread_for_compute(spark, wide) is wide
+
+    narrow = load_table(spark, sf_dir, "documents")  # one test-SF split
+    assert narrow.rdd.getNumPartitions() < width // 2
+    spread = spread_for_compute(spark, narrow)
+    assert spread is not narrow
+    assert spread.rdd.getNumPartitions() == width
+
+
 def test_cosine_pair_stages_fold_only_cross_dot(spark, sf_dir):
     # Norms must be precomputed per vector: a post-join projection that
     # folds aggregate(zip_with(v, v)) (self-dot) on the pair stream
