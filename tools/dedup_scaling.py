@@ -88,12 +88,80 @@ def gen_corpus(n: int, seed: int = 7) -> str:
     return out_dir
 
 
+def gen_embeddings(n: int, seed: int = 7) -> str:
+    """Embeddings-only corpus for the vector-family sweep (1M vectors
+    is ~256 MB of float32; generating the matching text corpus would
+    dominate setup time and isn't read by the vector operators)."""
+    out_dir = os.path.join(OUT_ROOT, f"v{n}")
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centers = rng.normal(size=(16, 64)).astype(np.float32)
+    vecs = centers[rng.integers(0, 16, size=n)] + 0.3 * rng.normal(
+        size=(n, 64)
+    ).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 16).astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(emb, path)
+    return out_dir
+
+
+def vector_sweep(scales: list[int], families: list[str]) -> None:
+    """Time the production vector paths at each scale; one JSON row per
+    scale.  kmeans_fit reports time-to-converge (k=16 matching the
+    generated cluster count, tol=1e-3) plus the iteration count."""
+    import time as _t
+
+    from etl_pipe_spark.operators.ann import kmeans_fit
+    from etl_pipe_spark.plans.dedup_plans import (
+        _emb_with_norms, ann_ivf_scaled, semantic_dedup_scaled)
+    from etl_pipe_spark.session import get_spark
+
+    spark = get_spark("vector-scaling")
+    for n in scales:
+        sf_dir = gen_embeddings(n)
+        row: dict = {"n_vecs": n}
+        if "ann" in families:
+            t0 = _t.time()
+            row["ann_ivf_scaled_rows"] = ann_ivf_scaled(spark, sf_dir).count()
+            row["ann_ivf_scaled"] = round(_t.time() - t0, 2)
+        if "semantic" in families:
+            t0 = _t.time()
+            row["semantic_dedup_scaled_rows"] = semantic_dedup_scaled(
+                spark, sf_dir).count()
+            row["semantic_dedup_scaled"] = round(_t.time() - t0, 2)
+        if "kmeans" in families:
+            emb = _emb_with_norms(spark, sf_dir)
+            t0 = _t.time()
+            _, assign, iters = kmeans_fit(emb, k=16, max_iters=10, tol=1e-3)
+            row["kmeans_fit_assign_rows"] = assign.count()
+            row["kmeans_fit"] = round(_t.time() - t0, 2)
+            row["kmeans_fit_iters"] = iters
+        print(json.dumps(row), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="5000,50000,250000")
     ap.add_argument("--uncapped-at", type=int, default=5000,
                     help="also count uncapped candidates at this scale (expensive)")
+    ap.add_argument("--vector-scales", default=None,
+                    help="run ONLY the vector-family sweep at these sizes "
+                         "(e.g. 50000,250000,1000000)")
+    ap.add_argument("--vector-families", default="ann,semantic,kmeans")
     args = ap.parse_args()
+    if args.vector_scales:
+        vector_sweep([int(s) for s in args.vector_scales.split(",")],
+                     args.vector_families.split(","))
+        return
     scales = [int(s) for s in args.scales.split(",")]
 
     from pyspark.sql import functions as F
