@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 _ASSIGN_SCHEMA = "vec_id bigint, cent_id bigint, rn int"
 
@@ -104,37 +104,83 @@ def kmeans_fit(
     """
     cent = _seed_farthest_point(emb, k, id_col=id_col, vec_col=vec_col)
     ids = np.arange(len(cent), dtype=np.int64)
-    assign = None
     iters = 0
     for iters in range(1, max_iters + 1):
-        assign = ivf_assign_vectorized(
-            emb, ids, cent, nprobe=1, id_col=id_col, vec_col=vec_col
-        ).select(id_col, "cent_id")
-        member = assign.join(emb.select(id_col, vec_col), id_col)
-        means = (
-            member.select("cent_id", F.posexplode(vec_col).alias("dim", "x"))
-            .select(
-                "cent_id", "dim",
-                F.round(F.col("x") * _KMEANS_Q).cast("bigint").alias("xq"),
-            )
-            .groupBy("cent_id", "dim")
-            .agg(
-                (F.sum("xq").cast("double")
-                 / (F.count(F.lit(1)).cast("double") * _KMEANS_Q)).alias("m")
-            )
-            .collect()
-        )
+        sums, counts = _cell_sums_fused(emb, cent, vec_col=vec_col)
         new_cent = cent.copy()
-        touched = set()
-        for r in means:
-            new_cent[r["cent_id"], r["dim"]] = r["m"]
-            touched.add(r["cent_id"])
-        # empty cells keep their previous centroid
-        shift = float(np.abs(new_cent - cent).max()) if touched else 0.0
+        nonempty = counts > 0  # empty cells keep their previous centroid
+        new_cent[nonempty] = (
+            sums[nonempty] / (counts[nonempty, None] * _KMEANS_Q))
+        shift = float(np.abs(new_cent - cent).max()) if nonempty.any() else 0.0
         cent = new_cent
         if shift < tol:
             break
+    assign = ivf_assign_vectorized(
+        emb, ids, cent, nprobe=1, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cent_id")
     return cent, assign, iters
+
+
+def _cell_sums_fused(emb: DataFrame, cent_mat: np.ndarray,
+                     vec_col: str = "v") -> tuple:
+    """One Lloyd iteration's sufficient statistics in a single linear
+    pass: per-cell (sum of 2^24-quantized coordinates, member count).
+
+    The first kmeans_fit shape assigned via mapInPandas, then JOINED
+    the assignment back to the corpus and exploded N x dim coordinate
+    rows to aggregate means — at 1M vectors that re-shuffled the whole
+    corpus per iteration (measured 425 s for a 2-iteration fit; the
+    join + 64M-row explode dominated).  But the assignment batch
+    already holds the vectors: this op fuses assign + partial-sum, so
+    each Arrow batch emits only k x dim partial rows and the shuffle
+    carries batches x k x dim rows at ANY corpus size — the map-side
+    combine, done in numpy.  Quantized int64 partials keep the means
+    bit-identical to the unfused form under any partitioning
+    (HALF_UP rounding matching F.round, exact integer sums).
+    """
+    k, dim = cent_mat.shape
+    cnorm = np.linalg.norm(cent_mat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    cunit = (cent_mat / cnorm[:, None]).T  # dim x k (id order = col order)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.array(list(b[vec_col]), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0.0] = 1.0
+            # argmax picks the FIRST max -> smallest cent id on ties,
+            # same rule as ivf_assign_vectorized's lexsort
+            cell = np.argmax((x / xn[:, None]) @ cunit, axis=1)
+            scaled = x * _KMEANS_Q
+            # HALF_UP (away from zero), matching Spark's F.round
+            xq = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, cell, xq)
+            counts = np.bincount(cell, minlength=k).astype(np.int64)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({
+                "cent_id": np.repeat(nz, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                "xq_sum": sums[nz].ravel(),
+                "n": np.repeat(counts[nz], dim),
+            })
+
+    partial = emb.select(vec_col).mapInPandas(
+        op, "cent_id bigint, dim int, xq_sum bigint, n bigint")
+    rows = (
+        partial.groupBy("cent_id", "dim")
+        .agg(F.sum("xq_sum").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    sums = np.zeros((k, dim), dtype=np.float64)
+    counts = np.zeros(k, dtype=np.int64)
+    for r in rows:
+        sums[r["cent_id"], r["dim"]] = float(r["s"])
+        # every dim row of a cell carries the same summed member count
+        counts[r["cent_id"]] = r["n"]
+    return sums, counts
 
 
 def ivf_assign_vectorized(
@@ -191,3 +237,97 @@ def ivf_assign_vectorized(
             yield out
 
     return emb.select(id_col, vec_col).mapInPandas(op, schema=_ASSIGN_SCHEMA)
+
+
+_TOPK_SCHEMA = "query_id bigint, neighbor_id bigint, cosine double"
+
+
+def ann_probe_topk_blas(
+    emb: DataFrame,
+    ranked: DataFrame,
+    nprobe: int = 2,
+    top_k: int = 5,
+    every: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Probe + score as per-cell BLAS matmuls: top-``top_k`` neighbors
+    for every ``1/every``-sampled query, searched in its ``nprobe``
+    nearest cells.
+
+    The expression-cosine probe stage (plans/dedup_plans.
+    _ann_from_assignment) folds an interpreted HOF per candidate pair;
+    at 1M vectors that is ~20M folds x 64 dims and measured 645 s —
+    the pair scoring, not the N x k assignment, becomes the wall once
+    the assignment is vectorized.  Queries are the bounded side (the
+    expression path already broadcasts them), so here they collect to
+    a per-cell numpy map — N/every x dim, the same broadcast-dim
+    footprint — and each cell scores its members against its probing
+    queries with one matmul inside ``applyInPandas``.  Data motion is
+    one linear shuffle of the corpus (groupBy cent_id), replacing the
+    queries-x-cell-size joined pair stream.  The collect is valid
+    only while the query set is genuinely the small side — in
+    production ANN the queries are a user workload, not a corpus
+    fraction; a 1/``every`` sample of a 10^9-vector corpus would have
+    to raise ``every`` (or batch the query set) to keep the broadcast
+    bounded, exactly like any broadcast-join build side.
+
+    Output contract matches the expression path: (query_id,
+    neighbor_id, cosine, rnk), rnk 1..top_k by (cosine DESC,
+    neighbor_id ASC) — ties pinned by the same lexsort rule the
+    vectorized assignment uses.
+    """
+    assign = ranked.filter(F.col("rn") == 1).select(id_col, "cent_id")
+    q_rows = (
+        ranked.filter((F.col(id_col) % every == 0) & (F.col("rn") <= nprobe))
+        .join(emb.select(id_col, vec_col), id_col)
+        .select(id_col, "cent_id", vec_col)
+        .collect()
+    )
+    per_cell: dict[int, tuple[list, list]] = {}
+    for r in q_rows:
+        ids, vecs = per_cell.setdefault(r["cent_id"], ([], []))
+        ids.append(r[id_col])
+        vecs.append(r[vec_col])
+    qmap: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for cell, (ids, vecs) in per_cell.items():
+        qm = np.array(vecs, dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0.0] = 1.0
+        qmap[cell] = (np.array(ids, dtype=np.int64), qm / qn[:, None])
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        entry = qmap.get(key[0])
+        empty = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                              "neighbor_id": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64)})
+        if entry is None or not len(pdf):
+            return empty
+        qids, qunit = entry
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0.0] = 1.0
+        scores = qunit @ (m / mn[:, None]).T  # nq x members
+        nids = pdf[id_col].to_numpy(np.int64)
+        out_q, out_n, out_c = [], [], []
+        for i, qid in enumerate(qids):
+            s = scores[i]
+            idx = np.nonzero(nids != qid)[0]  # exclude self
+            if len(idx) > top_k:
+                idx = idx[np.argpartition(-s[idx], top_k - 1)[:top_k]]
+            order = np.lexsort((nids[idx], -s[idx]))
+            sel = idx[order]
+            out_q.extend([qid] * len(sel))
+            out_n.extend(nids[sel])
+            out_c.extend(s[sel])
+        if not out_q:
+            return empty
+        return pd.DataFrame({"query_id": np.array(out_q, np.int64),
+                             "neighbor_id": np.array(out_n, np.int64),
+                             "cosine": np.array(out_c, np.float64)})
+
+    member = assign.join(emb.select(id_col, vec_col), id_col)
+    scored = member.groupBy("cent_id").applyInPandas(score, _TOPK_SCHEMA)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= top_k)

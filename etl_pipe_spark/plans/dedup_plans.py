@@ -333,14 +333,19 @@ def _ann_from_assignment(emb: DataFrame, ranked: DataFrame,
 def ann_ivf_scaled(spark: SparkSession, sf_dir: str, nprobe: int = 2,
                    n_centroids: int | None = None) -> DataFrame:
     """The production ANN path: numpy-matmul assignment (Arrow batches,
-    operators/ann.py) + sqrt(N)-sized centroids + expression-cosine
+    operators/ann.py) + sqrt(N)-sized centroids + per-cell BLAS probe
     scoring.  The expression-fold quantizer costs N x k x dim scalar
     ops — raising k to keep cells bounded makes the assignment itself
     the wall (measured: k=224 at 50k vectors was 4x SLOWER than k=32
-    despite smaller cells).  A dense matmul belongs in a BLAS kernel;
-    the sweep's 250k corpus runs this path ~20x faster than the
-    expression form at the same k (docs/BENCH_COMPARE.md)."""
-    from ..operators.ann import centroid_matrix, ivf_assign_vectorized
+    despite smaller cells); with the assignment vectorized the NEXT
+    wall is the probe stage's interpreted cosine fold over the
+    queries x cell-size pair stream (measured 645 s at 1M vectors),
+    fixed the same way — ann_probe_topk_blas scores each cell's
+    members against its probing queries as one matmul, moving the
+    corpus through one linear shuffle instead of a pair-stream join
+    (docs/BENCH_COMPARE.md)."""
+    from ..operators.ann import (
+        ann_probe_topk_blas, centroid_matrix, ivf_assign_vectorized)
     from ..operators.similarity import ivf_centroids_for_corpus
 
     emb = _emb_with_norms(spark, sf_dir)
@@ -348,7 +353,7 @@ def ann_ivf_scaled(spark: SparkSession, sf_dir: str, nprobe: int = 2,
         n_centroids = ivf_centroids_for_corpus(emb.count())
     cent_ids, cent_mat = centroid_matrix(emb, n_centroids)
     ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=nprobe)
-    return _ann_from_assignment(emb, ranked, nprobe)
+    return ann_probe_topk_blas(emb, ranked, nprobe=nprobe)
 
 
 @register("similarity_ann_ivf", oracle=_ANN_IVF_ORACLE)

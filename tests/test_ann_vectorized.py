@@ -93,3 +93,22 @@ def test_kmeans_fit_clusters_query_partitions_corpus(spark, sf_dir):
     assert sum(r.n_members for r in rows) == n_vecs
     assert all(1 <= r.n_iters <= 5 for r in rows)
     assert all(-1.0 <= r.mean_cos_q <= 1.0 for r in rows)
+
+
+def test_blas_probe_topk_matches_expression_scoring(spark, sf_dir):
+    # Same assignment in, same (query, neighbor, rank) out: the BLAS
+    # per-cell matmul scorer must reproduce the expression-cosine
+    # probe stage exactly (float64 matmul vs fold differ only in ulps;
+    # testdata has no top-k boundary ties).
+    from etl_pipe_spark.operators.ann import (
+        ann_probe_topk_blas, centroid_matrix, ivf_assign_vectorized)
+    from etl_pipe_spark.plans.dedup_plans import (
+        _ann_from_assignment, _emb_with_norms)
+
+    emb = _emb_with_norms(spark, sf_dir)
+    cent_ids, cent_mat = centroid_matrix(emb, 32)
+    ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=2)
+    key = lambda r: (r.query_id, r.rnk, r.neighbor_id)  # noqa: E731
+    expr = sorted(map(key, _ann_from_assignment(emb, ranked, 2).collect()))
+    blas = sorted(map(key, ann_probe_topk_blas(emb, ranked, nprobe=2).collect()))
+    assert expr == blas and len(expr) > 0
