@@ -108,3 +108,79 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
             F.col("n_chars").alias("n_chars"),
         ).alias("meta"),
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_frame_chars long, frame_md5 string"
+FRAME_CHARS = 64    # one "frame" = 64 chars of payload (stand-in for a decoded frame)
+FRAME_STRIDE = 2    # keep every 2nd frame
+
+
+def sample_frames(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", frame_chars: int = FRAME_CHARS,
+                  stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling (the 1 -> N multimodal shape), Arrow-batched.
+
+    Real video frame-sampling decodes a container and keeps every
+    k-th frame; with no codecs in this build the deterministic
+    stand-in treats each ``frame_chars``-character window of the
+    payload as one "frame" and keeps every ``stride``-th window.  The
+    plumbing is the real thing: one record fans out to a variable
+    number of frame rows inside a ``mapInPandas`` batch (never a
+    per-row JVM<->Python call), each carrying the frame's digest —
+    exactly the batch shape an ffmpeg-backed sampler produces, and the
+    explode stays in the Python worker so Spark shuffles only the
+    sampled frames, not the raw payloads.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, digests = [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                n_frames = -(-len(txt) // frame_chars)  # ceil
+                for fi in range(0, n_frames, stride):
+                    seg = txt[fi * frame_chars:(fi + 1) * frame_chars]
+                    ids.append(did)
+                    idxs.append(fi)
+                    lens.append(len(seg))
+                    digests.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_frame_chars": pd.Series(lens, dtype="int64"),
+                "frame_md5": pd.Series(digests, dtype="object"),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(op, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, thumb binary, n_thumb_bytes long, resize_status string"
+)
+THUMB_BYTES = 64  # stand-in thumbnail byte budget
+
+
+def resize_payloads(binary_df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload",
+                    thumb_bytes: int = THUMB_BYTES) -> DataFrame:
+    """Resize / thumbnail (the 1 -> 1 binary-to-binary shape).
+
+    A real resize decodes, scales, and re-encodes; the stand-in emits
+    a deterministic fixed-budget digest-prefixed truncation so the
+    binary-out plumbing (bytes column -> bytes column through Arrow,
+    status column for poison pills) is real and testable.  Poison
+    media must land in ``resize_status``, never kill the job.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            thumbs = payloads.map(
+                lambda b: hashlib.md5(b).digest() + bytes(b[:thumb_bytes]))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "thumb": thumbs,
+                "n_thumb_bytes": thumbs.map(len).astype("int64"),
+                "resize_status": DECODE_STATUS_STUB,
+            })
+
+    return binary_df.mapInPandas(op, RESIZE_SCHEMA)

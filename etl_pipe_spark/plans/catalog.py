@@ -80,6 +80,7 @@ _DEMOTED = (
     "range_join_bucketed",       # inequality-join family rep in-window: asof_join_last_event
     "skew_salted_join",          # oracle-equal-to-plain-join recipe; join family heavily covered
     "tpch_q13_count_distribution",  # left-outer two-level agg covered by run_summary_rollup
+    "tpch_q19_disjunctive_filter",  # OR-of-predicates pushdown covered by incremental_scan
     # rotated out r3 (all r2-green, code unchanged):
     "streaming_tumbling_counts",  # same window shape as tumbling_window_agg
     "json_flatten_input_data",    # JS1 demo; json_flatten_props + coercion_kitchen_sink cover the ladder

@@ -330,3 +330,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_binary(docs))
+
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(length(substr(text, CAST(t.i AS BIGINT) * 64 + 1, 64)) AS BIGINT)
+         AS n_frame_chars,
+       md5(substr(text, CAST(t.i AS BIGINT) * 64 + 1, 64)) AS frame_md5
+FROM documents,
+     UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS t(i)
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over multimodal payloads (the 1 -> N shape):
+    every 2nd 64-char "frame" of each document, digested — see
+    operators/multimodal.sample_frames for why the fan-out happens
+    inside the Arrow batch (shuffle carries sampled frames, never raw
+    payloads).  Char-based framing keeps the digest engine-portable:
+    both sides hash the UTF-8 bytes of the same code-point slice.
+    """
+    from ..operators.multimodal import sample_frames
+
+    return sample_frames(load_table(spark, sf_dir, "documents"))

@@ -34,8 +34,10 @@ FLAGSHIPS = [
     "quality_repetition_filter",
     "semantic_dedup",
     "kmeans_update_step",
-    # Round-4: the full Lloyd loop registered as a rows-only query.
+    # Round-4: the full Lloyd loop registered as a rows-only query,
+    # and the multimodal 1->N frame-sampling shape.
     "kmeans_fit_clusters",
+    "multimodal_frame_sample",
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the
