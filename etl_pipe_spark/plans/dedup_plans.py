@@ -609,8 +609,12 @@ def semantic_dedup_scaled(spark: SparkSession, sf_dir: str,
                           n_centroids: int | None = None) -> DataFrame:
     """Production semantic dedup: numpy-matmul assignment + sqrt(N)
     cells (see ann_ivf_scaled — same two dials, same measured
-    rationale), expression-cosine within-cell scoring."""
-    from ..operators.ann import centroid_matrix, ivf_assign_vectorized
+    rationale) + blocked per-cell matmul scoring (semantic_dups_blas:
+    within-cell pairs are O(N^1.5) even with sqrt(N) cells, and real
+    corpora skew cells — the panel kernel bounds memory at block x m
+    while never materializing the pair stream)."""
+    from ..operators.ann import (
+        centroid_matrix, ivf_assign_vectorized, semantic_dups_blas)
     from ..operators.similarity import ivf_centroids_for_corpus
 
     emb = _emb_with_norms(spark, sf_dir)
@@ -619,7 +623,7 @@ def semantic_dedup_scaled(spark: SparkSession, sf_dir: str,
     cent_ids, cent_mat = centroid_matrix(emb, n_centroids)
     ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=1)
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    return _semantic_from_assignment(emb, assign)
+    return semantic_dups_blas(emb, assign, _SEMDEDUP_TAU)
 
 
 # --------------------------------------------------------------------------

@@ -112,3 +112,21 @@ def test_blas_probe_topk_matches_expression_scoring(spark, sf_dir):
     expr = sorted(map(key, _ann_from_assignment(emb, ranked, 2).collect()))
     blas = sorted(map(key, ann_probe_topk_blas(emb, ranked, nprobe=2).collect()))
     assert expr == blas and len(expr) > 0
+
+
+def test_blas_semantic_dups_match_expression_scoring(spark, sf_dir):
+    # Same assignment in, same (vec_id, cent_id, is_dup) out: the
+    # blocked panel kernel must reproduce the expression self-join's
+    # earliest-id-wins duplicate flags exactly.
+    from etl_pipe_spark.operators.ann import semantic_dups_blas
+    from etl_pipe_spark.plans.dedup_plans import (
+        _SEMDEDUP_TAU, _emb_with_norms, _ivf_ranked,
+        _semantic_from_assignment)
+
+    emb = _emb_with_norms(spark, sf_dir)
+    assign = _ivf_ranked(emb).filter("rn = 1").select("vec_id", "cent_id")
+    key = lambda r: (r.vec_id, r.cent_id, r.is_dup)  # noqa: E731
+    expr = sorted(map(key, _semantic_from_assignment(emb, assign).collect()))
+    blas = sorted(map(key, semantic_dups_blas(emb, assign, _SEMDEDUP_TAU).collect()))
+    assert expr == blas and len(expr) > 0
+    assert any(r[2] for r in blas)  # some dups exist at test SF
