@@ -356,10 +356,13 @@ def ann_probe_topk_blas(
         for i, qid in enumerate(qids):
             s = scores[i]
             idx = np.nonzero(nids != qid)[0]  # exclude self
-            if len(idx) > top_k:
-                idx = idx[np.argpartition(-s[idx], top_k - 1)[:top_k]]
+            # lexsort BEFORE truncating: an argpartition prune keeps an
+            # arbitrary member of a score tie at the top_k boundary,
+            # silently diverging from the expression path's
+            # (cosine DESC, neighbor_id ASC) rule — and exact-duplicate
+            # embeddings make exact cosine ties common in dedup corpora
             order = np.lexsort((nids[idx], -s[idx]))
-            sel = idx[order]
+            sel = idx[order][:top_k]
             out_q.extend([qid] * len(sel))
             out_n.extend(nids[sel])
             out_c.extend(s[sel])

@@ -136,6 +136,8 @@ def sample_frames(docs: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             ids, idxs, lens, digests = [], [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:  # poison pill: contribute no frames
+                    continue
                 n_frames = -(-len(txt) // frame_chars)  # ceil
                 for fi in range(0, n_frames, stride):
                     seg = txt[fi * frame_chars:(fi + 1) * frame_chars]
@@ -173,14 +175,25 @@ def resize_payloads(binary_df: DataFrame, id_col: str = "doc_id",
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
-            thumbs = payloads.map(
-                lambda b: hashlib.md5(b).digest() + bytes(b[:thumb_bytes]))
+            # per-row poison-pill routing: a null/undecodable payload
+            # yields a NULL thumb and an error status, never a raised
+            # exception that would kill the whole job
+            thumbs, sizes, statuses = [], [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    thumbs.append(None)
+                    sizes.append(0)
+                    statuses.append("error:null-payload")
+                else:
+                    t = hashlib.md5(b).digest() + bytes(b[:thumb_bytes])
+                    thumbs.append(t)
+                    sizes.append(len(t))
+                    statuses.append(DECODE_STATUS_STUB)
             yield pd.DataFrame({
                 "doc_id": pdf[id_col],
-                "thumb": thumbs,
-                "n_thumb_bytes": thumbs.map(len).astype("int64"),
-                "resize_status": DECODE_STATUS_STUB,
+                "thumb": pd.Series(thumbs, dtype="object"),
+                "n_thumb_bytes": pd.Series(sizes, dtype="int64"),
+                "resize_status": pd.Series(statuses, dtype="object"),
             })
 
     return binary_df.mapInPandas(op, RESIZE_SCHEMA)

@@ -57,7 +57,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 33 names: 83 registered − 33 demoted = 50 in-window.
+# Exactly 35 names: 85 registered − 35 demoted = 50 in-window.
 #
 # Round-4 rotation: the TEN function/reshaping demos unwatched since
 # r1 (string/datetime/ranking/null-handling functions, pivot/unpivot,

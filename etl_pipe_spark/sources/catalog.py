@@ -60,9 +60,20 @@ def _events_normalize(df: DataFrame) -> DataFrame:
         # TIMESTAMP(MICROS) layout: ts is the file column; derive exact
         # nanos for the ns-based watermark API (UTC session tz pinned,
         # so the ntz->tz cast inside unix_micros is value-preserving).
+        # The raw tag is earned ONLY when the read type is already NTZ
+        # (the cast simplifies away, so predicates on ts reach the
+        # scan).  A file surfacing as TIMESTAMP (isAdjustedToUTC) would
+        # make the cast real and unpushable — don't lie about it; the
+        # watermark predicate then falls back to ts_ns (correct values,
+        # full scan) and the layout needs its own raw predicate if it
+        # ever appears in production.
+        from pyspark.sql import types as T2
+
+        is_ntz = isinstance(df.schema["ts"].dataType, T2.TimestampNTZType)
+        ts_meta = raw_meta if is_ntz else {}
         df = df.select(
             "event_id",
-            F.col("ts").cast("timestamp_ntz").alias("ts", metadata=raw_meta),
+            F.col("ts").cast("timestamp_ntz").alias("ts", metadata=ts_meta),
             "user_id", "event_type", "value", "props",
             (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
             .cast("bigint").alias("ts_ns"),

@@ -51,25 +51,28 @@ def _audit_pandas_types(spark_df, con, sql: str, name: str) -> None:
     object while Spark hands back int64 — numerically equal values
     that hash differently.  fetchall() converts HUGEINT to Python int
     losslessly, so a fetchall-based compare passes while the driver
-    fails.  Flag any oracle column whose pandas dtype is floating
-    when the Spark schema says integral."""
-    import pandas as pd
-
-    duck_pd = con.execute(sql).df()
+    fails.  Flag any oracle column whose DuckDB type is HUGEINT or
+    DECIMAL when the Spark schema says integral.  ``DESCRIBE`` is a
+    metadata-only plan inspection — the oracle (already executed once
+    by compare()) is NOT re-run."""
     spark_int_cols = {
         f.name for f in spark_df.schema.fields
         if f.dataType.typeName() in ("byte", "short", "integer", "long")
     }
+    duck_types = {
+        r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
     bad = [
-        c for c in duck_pd.columns
-        if c in spark_int_cols and pd.api.types.is_float_dtype(duck_pd[c])
-        and not duck_pd[c].isna().any()
+        c for c, t in duck_types.items()
+        if c in spark_int_cols
+        and (t.upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL")))
     ]
     if bad:
         raise AssertionError(
             f"[{name}] oracle type divergence: columns {bad} are integral in "
-            f"Spark but float in DuckDB's pandas conversion (HUGEINT/DECIMAL "
-            f"intermediate?) — CAST them to BIGINT in the oracle SQL."
+            f"Spark but {[duck_types[c] for c in bad]} in DuckDB — the "
+            f"driver's pandas conversion may float-coerce them; CAST to "
+            f"BIGINT in the oracle SQL."
         )
 
 

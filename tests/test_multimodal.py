@@ -51,3 +51,17 @@ def test_resize_payloads_binary_roundtrip(spark, sf_dir):
     assert bytes(r.thumb) == expected
     assert r.n_thumb_bytes == len(expected)
     assert r.resize_status == DECODE_STATUS_STUB
+
+
+def test_null_payloads_are_routed_not_fatal(spark):
+    # the poison-pill contract: a null payload/text must produce a
+    # status row (resize) or contribute nothing (frames), never raise
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string")
+    frames = sample_frames(docs).collect()
+    assert {r.doc_id for r in frames} == {1}
+    bins = docs.selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+    out = {r.doc_id: r for r in resize_payloads(bins).collect()}
+    assert out[1].resize_status == DECODE_STATUS_STUB
+    assert out[2].resize_status == "error:null-payload"
+    assert out[2].thumb is None and out[2].n_thumb_bytes == 0

@@ -24,7 +24,12 @@ from etl_pipe_spark.operators.merge import ParquetMergeSink, scd2_apply_versions
 from etl_pipe_spark.sources.catalog import load_table
 from etl_pipe_spark.streaming.watermark import WatermarkStore
 
-SF01 = "/root/testdata/sf0.1"
+# sf0.1 sibling of the suite's configured (toy) SF dir — the point of
+# this test is 100x the toy state size, but the data root still honors
+# the same env override as conftest.py.
+_SF_ROOT = os.path.dirname(
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001").rstrip("/"))
+SF01 = os.path.join(_SF_ROOT, "sf0.1")
 _DDL = (
     "user_id long, ts timestamp_ntz, event_id long, value double, "
     "version_ended_at timestamp_ntz, is_current_version boolean"
