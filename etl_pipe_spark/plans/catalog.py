@@ -66,8 +66,8 @@ _PLAN_MODULES = (
 # another in-window query still exercises rotate OUT (each annotated
 # with its in-window cover).
 _DEMOTED = (
-    "doc_fingerprint",           # rolling-hash demo; dedup_simhash covers fingerprints
-    "supplier_nation_rollup",    # family rep: run_summary_rollup
+    "supplier_nation_rollup",    # family rep: run_summary_rollup (same shape)
+    "lang_id_stopwords",         # r1-r3 green; stopword/ratio machinery covered by quality_repetition_filter
     # rotated out r4 (all r3-green, in-window cover noted):
     "stats_moments",             # stats family rep in-window: exact_percentiles
     "tpch_q4_order_priority",    # correlated EXISTS covered by tpch_q21's exists/not-exists

@@ -167,3 +167,39 @@ def test_cosine_pair_stages_fold_only_cross_dot(spark, sf_dir):
     # should reference the precomputed v_norm columns instead.
     plan = _plan(spark, sf_dir, "embedding_neardup_pairs")
     assert "v_norm" in plan
+
+
+def test_events_normalizer_handles_micros_layout(spark, sf_dir, tmp_path):
+    # The events file's physical timestamp layout varies by environment
+    # (TIMESTAMP(NANOS)-as-int64 vs plain NTZ micros).  Synthesize the
+    # MICROS layout from the NANOS testdata and assert the normalizer
+    # produces identical (ts, ts_ns) values AND that the watermark
+    # predicate still reaches the parquet scan as a pushed filter.
+    import datetime as dt
+    import os
+
+    from etl_pipe_spark.sources.catalog import (
+        events_since, load_table)
+
+    ev = load_table(spark, sf_dir, "events")
+    micros_dir = str(tmp_path / "events_micros")
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .coalesce(1).write.parquet(micros_dir)
+    import glob as g
+    import shutil
+    alt = str(tmp_path / "alt_sf")
+    os.makedirs(alt)
+    shutil.move(g.glob(os.path.join(micros_dir, "part-*.parquet"))[0],
+                os.path.join(alt, "events.parquet"))
+
+    ev2 = load_table(spark, alt, "events")
+    cols = ["event_id", "ts", "ts_ns"]
+    a = sorted(map(tuple, ev.select(cols).collect()))
+    b = sorted(map(tuple, ev2.select(cols).collect()))
+    assert a == b
+
+    since = dt.datetime(2024, 1, 1)
+    filtered = events_since(ev2, since)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    assert filtered.count() == events_since(ev, since).count()
