@@ -21,7 +21,7 @@ tests/test_ann_vectorized.py pins the agreement rate.
 from __future__ import annotations
 
 import sys
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -107,6 +107,24 @@ def _seed_farthest_point(emb: DataFrame, k: int,
     return sample[chosen].copy()
 
 
+class KMeansFit(NamedTuple):
+    """kmeans_fit result: centroids (k x dim), the final-centroid
+    assignment DataFrame (vec_id, cent_id), iterations run, and the
+    per-iteration max-coordinate centroid shifts (driver-side floats —
+    the convergence trace the invariant-boolean oracle asserts over)."""
+
+    centroids: np.ndarray
+    assignment: DataFrame
+    n_iters: int
+    shifts: list
+    # per-iteration spherical objective: sum over the corpus of
+    # cos(x, assigned centroid), measured against that iteration's
+    # INPUT centroids (fixed-point sums, so partition-independent).
+    # Standard Lloyd theory makes this non-decreasing (up to the
+    # 2^-24 quantization) — the oracle-checkable convergence invariant.
+    objectives: list
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int,
@@ -114,7 +132,7 @@ def kmeans_fit(
     tol: float = 1e-3,
     id_col: str = "vec_id",
     vec_col: str = "v",
-) -> tuple:
+) -> KMeansFit:
     """Full spherical-k-means Lloyd loop (the iterative-algorithm shape).
 
     Per iteration: one vectorized cosine-argmax assignment pass
@@ -132,30 +150,44 @@ def kmeans_fit(
     (vec_id, cent_id), n_iters_run).  Seeds from deterministic
     farthest-point selection over a bounded md5-ordered sample, so
     fits are reproducible run to run.
+
+    Note: the returned assignment is computed against the FINAL
+    centroids (one extra assignment pass after the loop) — r3's loop
+    returned the last iteration's pre-update assignment, so fits
+    recorded before round 4 can differ on vectors that switched cells
+    in the final mean update.  Post-fit assignment is the standard
+    contract (it is the partition the returned centroids induce).
     """
     cent = _seed_farthest_point(emb, k, id_col=id_col, vec_col=vec_col)
     ids = np.arange(len(cent), dtype=np.int64)
     iters = 0
+    shifts: list[float] = []
+    objectives: list[float] = []
     for iters in range(1, max_iters + 1):
-        sums, counts = _cell_sums_fused(emb, cent, vec_col=vec_col)
+        sums, counts, cos_sums = _cell_sums_fused(emb, cent, vec_col=vec_col)
+        objectives.append(float(cos_sums.sum()) / _KMEANS_Q)
         new_cent = cent.copy()
         nonempty = counts > 0  # empty cells keep their previous centroid
         new_cent[nonempty] = (
             sums[nonempty] / (counts[nonempty, None] * _KMEANS_Q))
         shift = float(np.abs(new_cent - cent).max()) if nonempty.any() else 0.0
+        shifts.append(shift)
         cent = new_cent
         if shift < tol:
             break
     assign = ivf_assign_vectorized(
         emb, ids, cent, nprobe=1, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cent_id")
-    return cent, assign, iters
+    return KMeansFit(cent, assign, iters, shifts, objectives)
 
 
 def _cell_sums_fused(emb: DataFrame, cent_mat: np.ndarray,
                      vec_col: str = "v") -> tuple:
     """One Lloyd iteration's sufficient statistics in a single linear
-    pass: per-cell (sum of 2^24-quantized coordinates, member count).
+    pass: per-cell (sum of 2^24-quantized coordinates, member count,
+    sum of quantized member->centroid cosines — the spherical-k-means
+    objective this iteration achieved against the INPUT centroids,
+    which kmeans_fit records so convergence invariants are checkable).
 
     The first kmeans_fit shape assigned via mapInPandas, then JOINED
     the assignment back to the corpus and exploded N x dim coordinate
@@ -165,9 +197,14 @@ def _cell_sums_fused(emb: DataFrame, cent_mat: np.ndarray,
     already holds the vectors: this op fuses assign + partial-sum, so
     each Arrow batch emits only k x dim partial rows and the shuffle
     carries batches x k x dim rows at ANY corpus size — the map-side
-    combine, done in numpy.  Quantized int64 partials keep the means
-    bit-identical to the unfused form under any partitioning
-    (HALF_UP rounding matching F.round, exact integer sums).
+    combine, done in numpy.  Quantized int64 partials make the means
+    partition-order-independent (exact integer sums commute); the
+    float HALF_UP emulation floor(|x| + 0.5) matches Spark's
+    BigDecimal-based F.round everywhere except ulp-adversarial values
+    sitting within one ulp of a .5 boundary (e.g.
+    0.49999999999999994 + 0.5 == 1.0 in float64), so cross-engine
+    parity with the SQL kmeans_update_step holds on real embedding
+    data but is not a bit-level guarantee on adversarial inputs.
     """
     k, dim = cent_mat.shape
     cnorm = np.linalg.norm(cent_mat, axis=1)
@@ -181,15 +218,19 @@ def _cell_sums_fused(emb: DataFrame, cent_mat: np.ndarray,
             x = _batch_matrix(b, vec_col)
             xn = np.linalg.norm(x, axis=1)
             xn[xn == 0.0] = 1.0
+            scores = (x / xn[:, None]) @ cunit
             # argmax picks the FIRST max -> smallest cent id on ties,
             # same rule as ivf_assign_vectorized's lexsort
-            cell = np.argmax((x / xn[:, None]) @ cunit, axis=1)
+            cell = np.argmax(scores, axis=1)
+            maxcos = np.take_along_axis(scores, cell[:, None], axis=1).ravel()
+            cq = np.floor(np.abs(maxcos) * _KMEANS_Q + 0.5) * np.sign(maxcos)
             scaled = x * _KMEANS_Q
             # HALF_UP (away from zero), matching Spark's F.round
             xq = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
             sums = np.zeros((k, dim), dtype=np.int64)
             np.add.at(sums, cell, xq)
             counts = np.bincount(cell, minlength=k).astype(np.int64)
+            cos_sums = np.bincount(cell, weights=cq, minlength=k).astype(np.int64)
             nz = np.nonzero(counts)[0]
             yield pa.RecordBatch.from_arrays(
                 [
@@ -198,24 +239,28 @@ def _cell_sums_fused(emb: DataFrame, cent_mat: np.ndarray,
                              pa.int32()),
                     pa.array(sums[nz].ravel(), pa.int64()),
                     pa.array(np.repeat(counts[nz], dim), pa.int64()),
+                    pa.array(np.repeat(cos_sums[nz], dim), pa.int64()),
                 ],
-                ["cent_id", "dim", "xq_sum", "n"],
+                ["cent_id", "dim", "xq_sum", "n", "cq_sum"],
             )
 
     partial = emb.select(vec_col).mapInArrow(
-        op, "cent_id bigint, dim int, xq_sum bigint, n bigint")
+        op, "cent_id bigint, dim int, xq_sum bigint, n bigint, cq_sum bigint")
     rows = (
         partial.groupBy("cent_id", "dim")
-        .agg(F.sum("xq_sum").alias("s"), F.sum("n").alias("n"))
+        .agg(F.sum("xq_sum").alias("s"), F.sum("n").alias("n"),
+             F.sum("cq_sum").alias("cq"))
         .collect()
     )
     sums = np.zeros((k, dim), dtype=np.float64)
     counts = np.zeros(k, dtype=np.int64)
+    cos_sums = np.zeros(k, dtype=np.int64)
     for r in rows:
         sums[r["cent_id"], r["dim"]] = float(r["s"])
         # every dim row of a cell carries the same summed member count
         counts[r["cent_id"]] = r["n"]
-    return sums, counts
+        cos_sums[r["cent_id"]] = r["cq"]
+    return sums, counts, cos_sums
 
 
 def ivf_assign_vectorized(
@@ -293,6 +338,7 @@ def ann_probe_topk_blas(
     every: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    max_query_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Probe + score as per-cell BLAS matmuls: top-``top_k`` neighbors
     for every ``1/every``-sampled query, searched in its ``nprobe``
@@ -308,12 +354,20 @@ def ann_probe_topk_blas(
     footprint — and each cell scores its members against its probing
     queries with one matmul inside ``applyInPandas``.  Data motion is
     one linear shuffle of the corpus (groupBy cent_id), replacing the
-    queries-x-cell-size joined pair stream.  The collect is valid
-    only while the query set is genuinely the small side — in
-    production ANN the queries are a user workload, not a corpus
-    fraction; a 1/``every`` sample of a 10^9-vector corpus would have
-    to raise ``every`` (or batch the query set) to keep the broadcast
-    bounded, exactly like any broadcast-join build side.
+    queries-x-cell-size joined pair stream.
+
+    The bounded-query-side assumption is enforced MECHANICALLY, not by
+    convention: the query-cell row count is counted before anything is
+    collected, and when ``n_rows x dim x 8`` exceeds
+    ``max_query_bytes`` (default 64 MiB — a comfortable driver/task
+    payload) the query set is split into ``query_id``-partitioned
+    chunks, each collected and probed in its own pass; per-query
+    results are independent, so the union of chunk outputs is
+    identical to the single-pass answer (pinned by
+    tests/test_ann_vectorized.py::test_blas_probe_chunked_budget_identical).
+    Each extra chunk re-shuffles the corpus once — the price of a
+    query workload that outgrew broadcast, the same trade a broadcast
+    join makes when its build side exceeds the threshold.
 
     Output contract matches the expression path: (query_id,
     neighbor_id, cosine, rnk), rnk 1..top_k by (cosine DESC,
@@ -321,12 +375,36 @@ def ann_probe_topk_blas(
     vectorized assignment uses.
     """
     assign = ranked.filter(F.col("rn") == 1).select(id_col, "cent_id")
-    q_rows = (
+    q_df = (
         ranked.filter((F.col(id_col) % every == 0) & (F.col("rn") <= nprobe))
         .join(emb.select(id_col, vec_col), id_col)
         .select(id_col, "cent_id", vec_col)
-        .collect()
     )
+    first = q_df.select(vec_col).first()
+    if first is None:  # no sampled queries at this corpus size/stride
+        return emb.sparkSession.createDataFrame([], _TOPK_SCHEMA + ", rnk int")
+    dim = len(first[0])
+    n_rows = q_df.count()
+    n_chunks = max(1, -(-(n_rows * dim * 8) // max_query_bytes))
+
+    member = assign.join(emb.select(id_col, vec_col), id_col)
+    parts = []
+    for chunk_no in range(n_chunks):
+        chunk = q_df if n_chunks == 1 else q_df.filter(
+            F.pmod(F.col(id_col), F.lit(n_chunks)) == chunk_no)
+        qmap = _collect_query_map(chunk.collect(), id_col, vec_col)
+        parts.append(member.groupBy("cent_id").applyInPandas(
+            _make_cell_scorer(qmap, top_k, id_col, vec_col), _TOPK_SCHEMA))
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= top_k)
+
+
+def _collect_query_map(q_rows, id_col: str, vec_col: str) -> dict:
+    """cent_id -> (query ids, unit query matrix) from collected rows."""
     per_cell: dict[int, tuple[list, list]] = {}
     for r in q_rows:
         ids, vecs = per_cell.setdefault(r["cent_id"], ([], []))
@@ -338,7 +416,10 @@ def ann_probe_topk_blas(
         qn = np.linalg.norm(qm, axis=1)
         qn[qn == 0.0] = 1.0
         qmap[cell] = (np.array(ids, dtype=np.int64), qm / qn[:, None])
+    return qmap
 
+
+def _make_cell_scorer(qmap: dict, top_k: int, id_col: str, vec_col: str):
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         entry = qmap.get(key[0])
         empty = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
@@ -372,11 +453,7 @@ def ann_probe_topk_blas(
                              "neighbor_id": np.array(out_n, np.int64),
                              "cosine": np.array(out_c, np.float64)})
 
-    member = assign.join(emb.select(id_col, vec_col), id_col)
-    scored = member.groupBy("cent_id").applyInPandas(score, _TOPK_SCHEMA)
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= top_k)
+    return score
 
 
 def semantic_dups_blas(emb: DataFrame, assign: DataFrame, tau: float,

@@ -54,6 +54,59 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def _parse_byte_conf(raw: str, default: int) -> int:
+    """Spark size confs come back as '134217728b' / '128m' style."""
+    s = raw.strip().lower()
+    for suffix, mult in (("b", 1), ("k", 1 << 10), ("m", 1 << 20),
+                         ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            try:
+                return int(float(s) * mult)
+            except ValueError:
+                return default
+    try:
+        return int(s)
+    except ValueError:
+        return default
+
+
+def _planned_scan_width(spark: SparkSession, df: DataFrame) -> int:
+    """Estimate the file scan's planned partition count WITHOUT the
+    ``df.rdd`` conversion (which forces a full plan translation to RDD
+    — measurable on a 100k-file table).  For file-backed frames this
+    mirrors Spark's own FilePartition sizing: split budget =
+    min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))
+    over the relation's catalog size (driver-side metadata from the
+    already-materialized file index — no job, no RDD translation).
+    Non-file inputs (memory relations, post-shuffle frames) fall back
+    to the RDD probe; the gate's call sites are all scan-rooted, so
+    the fallback is the rare path, and the gate is only meaningful for
+    scan-rooted frames anyway — a post-shuffle input reports its
+    static shuffle width, which is exactly the "already wide" answer.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        try:
+            return df.rdd.getNumPartitions()
+        except Exception:
+            return 1  # un-plannable input: assume narrow, spread it
+    total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    max_pb = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"),
+        128 << 20)
+    open_cost = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"),
+        4 << 20)
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    padded = total + len(files) * open_cost
+    split = min(max_pb, max(open_cost, padded // parallelism or 1))
+    return max(1, -(-padded // split))
+
+
 def spread_for_compute(
     spark: SparkSession, df: DataFrame, min_ratio: float = 0.5
 ) -> DataFrame:
@@ -68,15 +121,13 @@ def spread_for_compute(
     table the scan is already wide, so the exchange would be a full
     extra shuffle of the corpus that buys nothing: it is SKIPPED when
     the planned scan partition count is already >= ``min_ratio`` of
-    the shuffle width.  The partition count comes from Spark's file-
-    split planning (no job is triggered).  Two consumers of the same
-    spread share the exchange (ReuseExchange).
+    the shuffle width.  The width estimate is file-listing/stats based
+    (see _planned_scan_width) — no job and no RDD-plan translation.
+    Two consumers of the same spread share the exchange
+    (ReuseExchange).
     """
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    try:
-        planned = df.rdd.getNumPartitions()
-    except Exception:
-        planned = 1  # un-plannable input: assume narrow, spread it
+    planned = _planned_scan_width(spark, df)
     if planned >= max(1, int(width * min_ratio)):
         return df
     return df.repartition(width)

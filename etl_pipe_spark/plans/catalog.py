@@ -57,17 +57,29 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 35 names: 85 registered − 35 demoted = 50 in-window.
+# Exactly 37 names: 87 registered − 37 demoted = 50 in-window.
 #
-# Round-4 rotation: the TEN function/reshaping demos unwatched since
-# r1 (string/datetime/ranking/null-handling functions, pivot/unpivot,
-# set ops, HAVING, SQL-API, promo share) rotate IN for their first
-# driver row since r1; in exchange ten r3-green queries whose shape
-# another in-window query still exercises rotate OUT (each annotated
-# with its in-window cover).
+# Round-5 rotation: the two PRODUCTION BLAS kernels register as new
+# in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
+# verdict's top item); supplier_nation_rollup + lang_id_stopwords (no
+# driver row since r2/r3) and the four longest-stale r3 demotions
+# (wide_projection, denorm_join, topk_orders, json_flatten_input_data)
+# rotate IN; in exchange eight of the function demos that got a fresh
+# green row in r4 (now r1+r4 double-green) rotate OUT, each annotated
+# with its in-window cover.
 _DEMOTED = (
-    "supplier_nation_rollup",    # family rep: run_summary_rollup (same shape)
-    "lang_id_stopwords",         # r1-r3 green; stopword/ratio machinery covered by quality_repetition_filter
+    # rotated out r5 (r1+r4 double-green function demos):
+    "string_functions",          # NULL-concat/case ladder covered by timeline_union + coercion_kitchen_sink
+    "datetime_functions",        # EXTRACT/ROUND time math covered by session_window_agg + asof_join_last_event
+    "ranking_functions",         # rank/dense_rank/lag family covered by topk_per_group + scd2_version_chain windows
+    "null_handling_functions",   # COALESCE/NULLIF/NVL ladder covered by coercion_kitchen_sink + json_flatten_props
+    "set_ops_membership",        # INTERSECT/EXCEPT covered by timeline_union dedup keys + merge_replay_dedup
+    "having_large_orders",       # post-agg HAVING covered by tpch_q21 + run_summary_rollup
+    "sql_api_segment_revenue",   # spark.sql() surface; same rollup shape as pricing_summary (in-window)
+    "promo_revenue_share",       # single-row conditional-share agg covered by pricing_summary's conditional sums
+    # promoted r5 (stale since r2/r3): supplier_nation_rollup,
+    # lang_id_stopwords, wide_projection, denorm_join, topk_orders,
+    # json_flatten_input_data — all back in-window for a fresh row.
     # rotated out r4 (all r3-green, in-window cover noted):
     "stats_moments",             # stats family rep in-window: exact_percentiles
     "tpch_q4_order_priority",    # correlated EXISTS covered by tpch_q21's exists/not-exists
@@ -83,15 +95,11 @@ _DEMOTED = (
     "tpch_q19_disjunctive_filter",  # OR-of-predicates pushdown covered by incremental_scan
     # rotated out r3 (all r2-green, code unchanged):
     "streaming_tumbling_counts",  # same window shape as tumbling_window_agg
-    "json_flatten_input_data",    # JS1 demo; json_flatten_props + coercion_kitchen_sink cover the ladder
     "anti_join_orderless_customers",  # 0 rows at sf0.01 → no hash signal; tpch_q22 anti join covers
     "text_token_stats",           # doc_quality_score covers the token/ratio stats
     # rotated out r3 in exchange for the ten new queries (r2-green):
-    "topk_orders",               # TakeOrdered covered by tpch_q10/q18 + topk_per_group
-    "denorm_join",               # 3-table join covered by tpch_q5/q10 + double_role_dim_join
     "semi_join_urgent_customers",  # EXISTS covered by tpch_q4's correlated semi join
     "rollup_orders",             # hierarchy agg covered by cube_lineitem + grouping_sets_orders
-    "wide_projection",           # P2/P3 demo; incremental_scan + coercion queries cover
     "merge_upsert_snapshot",     # L1 merge; scd2_version_chain + merge_replay_dedup stay in
     "json_as_map",               # r2-green fix confirmed; json_flatten_props covers JSON family
     "array_aggregation",         # r2-green fix confirmed; tfidf/doc_chunking cover array outputs

@@ -59,9 +59,10 @@ def test_kmeans_fit_converges_and_separates_blobs(spark):
         rows.append((i, [base[b][d] + jit[d] for d in range(3)]))
     emb = spark.createDataFrame(rows, ["vec_id", "v"])
 
-    cent, assign, iters = kmeans_fit(emb, k=3, max_iters=8, tol=1e-3)
-    assert iters < 8, "did not converge"
-    got = assign.collect()
+    fit = kmeans_fit(emb, k=3, max_iters=8, tol=1e-3)
+    assert fit.n_iters < 8, "did not converge"
+    assert len(fit.shifts) == fit.n_iters and fit.shifts[-1] < 1e-3
+    got = fit.assignment.collect()
     by_blob = {}
     for r in got:
         by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cent_id"])
@@ -81,18 +82,21 @@ def test_semantic_scaled_agrees_with_pinned_at_same_k(spark, sf_dir):
     assert j.filter(F.col("is_dup") != F.col("s_dup")).count() == 0
 
 
-def test_kmeans_fit_clusters_query_partitions_corpus(spark, sf_dir):
-    # The registered rows-only query: every embedding lands in exactly
-    # one of the k=8 cells, and the fixed-point mean cosine is sane.
+def test_kmeans_fit_clusters_query_invariants_hold(spark, sf_dir):
+    # The registered hash-checked query: one row of exact stats plus
+    # convergence-invariant booleans, every boolean genuinely TRUE
+    # (the oracle asserts the same literals, so a FALSE here is
+    # exactly the hash mismatch the driver would see).
     from etl_pipe_spark.plans.catalog import queries
     from etl_pipe_spark.sources.catalog import load_table
 
-    rows = queries()["kmeans_fit_clusters"](spark, sf_dir).collect()
-    assert len(rows) == 8
-    n_vecs = load_table(spark, sf_dir, "embeddings").count()
-    assert sum(r.n_members for r in rows) == n_vecs
-    assert all(1 <= r.n_iters <= 5 for r in rows)
-    assert all(-1.0 <= r.mean_cos_q <= 1.0 for r in rows)
+    [row] = queries()["kmeans_fit_clusters"](spark, sf_dir).collect()
+    assert row.n_vectors == load_table(spark, sf_dir, "embeddings").count()
+    assert row.k == 8
+    for flag in ("members_sum_eq_n", "all_cells_nonempty", "n_iters_le_max",
+                 "converged_or_capped", "objective_nondecreasing",
+                 "mean_cos_in_range"):
+        assert row[flag] is True, f"{flag} is not TRUE"
 
 
 def test_blas_probe_topk_matches_expression_scoring(spark, sf_dir):
@@ -112,6 +116,30 @@ def test_blas_probe_topk_matches_expression_scoring(spark, sf_dir):
     expr = sorted(map(key, _ann_from_assignment(emb, ranked, 2).collect()))
     blas = sorted(map(key, ann_probe_topk_blas(emb, ranked, nprobe=2).collect()))
     assert expr == blas and len(expr) > 0
+
+
+def test_blas_probe_chunked_budget_identical(spark, sf_dir):
+    # The mechanical bounded-query-side guard: a budget tight enough to
+    # force multiple collect+probe chunks must return the IDENTICAL
+    # top-k (per-query results are independent, so chunking only
+    # changes data motion, never the answer).
+    from etl_pipe_spark.operators.ann import (
+        ann_probe_topk_blas, centroid_matrix, ivf_assign_vectorized)
+    from etl_pipe_spark.plans.dedup_plans import _emb_with_norms
+
+    emb = _emb_with_norms(spark, sf_dir)
+    cent_ids, cent_mat = centroid_matrix(emb, 32)
+    ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=2)
+    key = lambda r: (r.query_id, r.rnk, r.neighbor_id, round(r.cosine, 12))  # noqa: E731
+    # every=10 so even sf0.001 has several queries to split
+    one = sorted(map(key, ann_probe_topk_blas(
+        emb, ranked, nprobe=2, every=10).collect()))
+    # 64-dim query rows are 512 B each -> a 2 KiB budget forces the
+    # query set into several collect+probe chunks without exploding
+    # the pass count
+    chunked = sorted(map(key, ann_probe_topk_blas(
+        emb, ranked, nprobe=2, every=10, max_query_bytes=2048).collect()))
+    assert one and one == chunked
 
 
 def test_blas_semantic_dups_match_expression_scoring(spark, sf_dir):

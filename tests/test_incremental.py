@@ -68,6 +68,50 @@ def test_two_cycles_converge_to_full_recompute(spark, sf_dir, pipe):
     assert vers.filter("is_current_version").count() == n_users
 
 
+def test_crash_between_sink_write_and_watermark_advance_converges(
+        spark, sf_dir, tmp_path):
+    """ST4 restart semantics at the exact worst crash point: the cycle
+    dies AFTER the sink write lands but BEFORE the watermark advances.
+    On restart the un-advanced watermark makes the next cycle re-read
+    the whole window (a superset of the 90 s overlap band); the
+    idempotent merges must absorb the duplicate delivery and land in
+    exactly the state an uninterrupted run produces."""
+    crashed = IncrementalPipeline(spark, sf_dir, str(tmp_path / "crashed"))
+    control = IncrementalPipeline(spark, sf_dir, str(tmp_path / "control"))
+
+    crashed.run_cycle(now_ts=MID)
+    control.run_cycle(now_ts=MID)
+
+    # cycle 2 "crashes" post-write/pre-advance: run_cycle's per-flow
+    # isolation reports the failure and leaves the watermark behind
+    real_advance = crashed.store.advance
+
+    def dying_advance(*a, **kw):
+        raise RuntimeError("simulated crash before watermark advance")
+
+    crashed.store.advance = dying_advance
+    wm_before = {t: crashed.store.get(t) for t in crashed.sinks}
+    counts = crashed.run_cycle(now_ts=END)
+    assert all(v == -1 for v in counts.values()), "crash was not simulated"
+    # the sinks DID move (write preceded the crash)...
+    assert (crashed.sinks["fact_event_log"].read().count()
+            > control.sinks["fact_event_log"].read().count())
+    # ...but every watermark stayed put
+    assert {t: crashed.store.get(t) for t in crashed.sinks} == wm_before
+
+    # restart: same cycle reruns from the stale watermark
+    crashed.store.advance = real_advance
+    counts = crashed.run_cycle(now_ts=END)
+    assert all(v >= 0 for v in counts.values())
+    control.run_cycle(now_ts=END)
+
+    for name in crashed.sinks:
+        got = sorted(map(str, crashed.sinks[name].read().collect()))
+        want = sorted(map(str, control.sinks[name].read().collect()))
+        assert got == want, f"{name} diverged after crash-restart"
+        assert crashed.store.get(name) == control.store.get(name)
+
+
 def test_replayed_cycle_is_noop(spark, pipe):
     pipe.run_cycle(now_ts=MID)
     snap1 = {k: sorted(map(str, s.read().collect())) for k, s in pipe.sinks.items()}

@@ -38,6 +38,11 @@ FLAGSHIPS = [
     # and the multimodal 1->N frame-sampling shape.
     "kmeans_fit_clusters",
     "multimodal_frame_sample",
+    # Round-5: the production BLAS kernels under driver check (the r4
+    # verdict's top item) — corpus-sized k, vectorized assignment,
+    # per-cell matmul scoring, exact dynamic-k oracles.
+    "ann_ivf_scaled",
+    "semantic_dedup_scaled",
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the

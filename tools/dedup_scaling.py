@@ -141,10 +141,10 @@ def vector_sweep(scales: list[int], families: list[str]) -> None:
         if "kmeans" in families:
             emb = _emb_with_norms(spark, sf_dir)
             t0 = _t.time()
-            _, assign, iters = kmeans_fit(emb, k=16, max_iters=10, tol=1e-3)
-            row["kmeans_fit_assign_rows"] = assign.count()
+            fit = kmeans_fit(emb, k=16, max_iters=10, tol=1e-3)
+            row["kmeans_fit_assign_rows"] = fit.assignment.count()
             row["kmeans_fit"] = round(_t.time() - t0, 2)
-            row["kmeans_fit_iters"] = iters
+            row["kmeans_fit_iters"] = fit.n_iters
         print(json.dumps(row), flush=True)
 
 
