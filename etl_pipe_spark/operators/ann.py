@@ -339,6 +339,7 @@ def ann_probe_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "v",
     max_query_bytes: int = 64 << 20,
+    qblock: int = 512,
 ) -> DataFrame:
     """Probe + score as per-cell BLAS matmuls: top-``top_k`` neighbors
     for every ``1/every``-sampled query, searched in its ``nprobe``
@@ -394,7 +395,8 @@ def ann_probe_topk_blas(
             F.pmod(F.col(id_col), F.lit(n_chunks)) == chunk_no)
         qmap = _collect_query_map(chunk.collect(), id_col, vec_col)
         parts.append(member.groupBy("cent_id").applyInPandas(
-            _make_cell_scorer(qmap, top_k, id_col, vec_col), _TOPK_SCHEMA))
+            _make_cell_scorer(qmap, top_k, id_col, vec_col, qblock=qblock),
+            _TOPK_SCHEMA))
     scored = parts[0]
     for p in parts[1:]:
         scored = scored.unionByName(p)
@@ -419,7 +421,16 @@ def _collect_query_map(q_rows, id_col: str, vec_col: str) -> dict:
     return qmap
 
 
-def _make_cell_scorer(qmap: dict, top_k: int, id_col: str, vec_col: str):
+def _make_cell_scorer(qmap: dict, top_k: int, id_col: str, vec_col: str,
+                      qblock: int = 512):
+    """Per-cell scorer for ``applyInPandas``: each cell's members score
+    against its probing queries in ``qblock``-row query panels, so the
+    score matrix costs qblock x members memory, never nq x members —
+    the same skew-bounding trick as semantic_dups_blas's panels (a hot
+    cell attracts MORE probing queries as well as more members, so the
+    full matrix grows quadratically with cell heat; the Zipf spike
+    sweep's 100k-member cell drew ~1k queries = 800 MB unpaneled)."""
+
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         entry = qmap.get(key[0])
         empty = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
@@ -431,22 +442,27 @@ def _make_cell_scorer(qmap: dict, top_k: int, id_col: str, vec_col: str):
         m = np.array(list(pdf[vec_col]), dtype=np.float64)
         mn = np.linalg.norm(m, axis=1)
         mn[mn == 0.0] = 1.0
-        scores = qunit @ (m / mn[:, None]).T  # nq x members
+        munit_t = (m / mn[:, None]).T  # dim x members
         nids = pdf[id_col].to_numpy(np.int64)
         out_q, out_n, out_c = [], [], []
-        for i, qid in enumerate(qids):
-            s = scores[i]
-            idx = np.nonzero(nids != qid)[0]  # exclude self
-            # lexsort BEFORE truncating: an argpartition prune keeps an
-            # arbitrary member of a score tie at the top_k boundary,
-            # silently diverging from the expression path's
-            # (cosine DESC, neighbor_id ASC) rule — and exact-duplicate
-            # embeddings make exact cosine ties common in dedup corpora
-            order = np.lexsort((nids[idx], -s[idx]))
-            sel = idx[order][:top_k]
-            out_q.extend([qid] * len(sel))
-            out_n.extend(nids[sel])
-            out_c.extend(s[sel])
+        for q0 in range(0, len(qids), qblock):
+            q1 = min(q0 + qblock, len(qids))
+            panel = qunit[q0:q1] @ munit_t  # qblock x members
+            for i in range(q0, q1):
+                qid = qids[i]
+                s = panel[i - q0]
+                idx = np.nonzero(nids != qid)[0]  # exclude self
+                # lexsort BEFORE truncating: an argpartition prune keeps
+                # an arbitrary member of a score tie at the top_k
+                # boundary, silently diverging from the expression
+                # path's (cosine DESC, neighbor_id ASC) rule — and
+                # exact-duplicate embeddings make exact cosine ties
+                # common in dedup corpora
+                order = np.lexsort((nids[idx], -s[idx]))
+                sel = idx[order][:top_k]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(nids[sel])
+                out_c.extend(s[sel])
         if not out_q:
             return empty
         return pd.DataFrame({"query_id": np.array(out_q, np.int64),
@@ -474,28 +490,54 @@ def semantic_dups_blas(emb: DataFrame, assign: DataFrame, tau: float,
     _semantic_from_assignment: vec j is a dup iff some i < j (by id)
     in the same cell has cosine >= tau (float64 matmul vs fold differ
     only in ulps; parity pinned by tests at the registered query's k).
+
+    EXACT duplicates are pre-collapsed before scoring: byte-identical
+    vectors tie-break into the SAME cell (argmax picks the same
+    centroid for the same input), so a duplicate spike — empty docs,
+    boilerplate, re-crawls: the most common real-world skew — lands
+    m copies in one cell and would cost m^2 panel work.  Collapsing
+    to unique vectors scores u^2 and broadcasts flags back in O(m):
+    every non-first copy has an earlier member at cosine 1.0 (dup for
+    any tau <= 1), and a group's first copy takes the unique-rep
+    verdict, which is exact because cos(x, copy) == cos(x, rep) and a
+    group with any member earlier than j also has its REPRESENTATIVE
+    (min id) earlier than j.  The Zipf spike sweep measured the hot
+    cell going from hours (10^14 flops at m=100k) to sub-second.
     """
 
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         m = len(pdf)
         x = np.array(list(pdf[vec_col]), dtype=np.float64)
-        xn = np.linalg.norm(x, axis=1)
+        # exact-dup pre-collapse (x is in id order, so each group's
+        # first occurrence is its min-id representative)
+        uniq, first_idx, inverse = np.unique(
+            x, axis=0, return_index=True, return_inverse=True)
+        nu = len(uniq)
+        order = np.argsort(first_idx, kind="stable")  # reps in id order
+        rank = np.empty(nu, dtype=np.int64)
+        rank[order] = np.arange(nu)
+        xu = uniq[order]
+        xn = np.linalg.norm(xu, axis=1)
         xn[xn == 0.0] = 1.0
-        u = x / xn[:, None]
-        run_max = np.full(m, -np.inf)
-        for r0 in range(0, m, block):
-            r1 = min(r0 + block, m)
-            panel = u[r0:r1] @ u.T  # b x m
+        un = xu / xn[:, None]
+        run_max = np.full(nu, -np.inf)
+        for r0 in range(0, nu, block):
+            r1 = min(r0 + block, nu)
+            panel = un[r0:r1] @ un.T  # b x nu
             # strict upper triangle: row i contributes to columns j > i
-            cols = np.arange(m)[None, :]
+            cols = np.arange(nu)[None, :]
             rows = np.arange(r0, r1)[:, None]
             panel[cols <= rows] = -np.inf
             run_max = np.maximum(run_max, panel.max(axis=0))
+        rep_dup = run_max >= tau
+        g = rank[inverse]  # group rank per member
+        is_copy = np.arange(m) != first_idx[inverse]
+        flags = rep_dup[g] | (is_copy & (1.0 >= tau))
         return pd.DataFrame({
             "vec_id": pdf[id_col].to_numpy(np.int64),
             "cent_id": np.full(m, key[0], dtype=np.int64),
-            "is_dup": run_max >= tau,
+            "is_dup": flags,
         })
 
     member = assign.join(emb.select(id_col, vec_col), id_col)

@@ -57,7 +57,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 37 names: 87 registered − 37 demoted = 50 in-window.
+# Exactly 38 names: 88 registered − 38 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -77,6 +77,7 @@ _DEMOTED = (
     "having_large_orders",       # post-agg HAVING covered by tpch_q21 + run_summary_rollup
     "sql_api_segment_revenue",   # spark.sql() surface; same rollup shape as pricing_summary (in-window)
     "promo_revenue_share",       # single-row conditional-share agg covered by pricing_summary's conditional sums
+    "pivot_status_revenue",      # r1+r4 double-green; reshaping family rep in-window: unpivot_lineitem_metrics + grouping_sets_orders
     # promoted r5 (stale since r2/r3): supplier_nation_rollup,
     # lang_id_stopwords, wide_projection, denorm_join, topk_orders,
     # json_flatten_input_data — all back in-window for a fresh row.

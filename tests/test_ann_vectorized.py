@@ -136,9 +136,11 @@ def test_blas_probe_chunked_budget_identical(spark, sf_dir):
         emb, ranked, nprobe=2, every=10).collect()))
     # 64-dim query rows are 512 B each -> a 2 KiB budget forces the
     # query set into several collect+probe chunks without exploding
-    # the pass count
+    # the pass count; qblock=1 additionally forces one query panel per
+    # row inside every cell scorer (the skew memory bound)
     chunked = sorted(map(key, ann_probe_topk_blas(
-        emb, ranked, nprobe=2, every=10, max_query_bytes=2048).collect()))
+        emb, ranked, nprobe=2, every=10, max_query_bytes=2048,
+        qblock=1).collect()))
     assert one and one == chunked
 
 

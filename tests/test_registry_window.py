@@ -43,6 +43,7 @@ FLAGSHIPS = [
     # per-cell matmul scoring, exact dynamic-k oracles.
     "ann_ivf_scaled",
     "semantic_dedup_scaled",
+    "ann_kmeans_recall_lift",
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the

@@ -114,6 +114,96 @@ def gen_embeddings(n: int, seed: int = 7) -> str:
     return out_dir
 
 
+def gen_embeddings_zipf(n: int, seed: int = 11, hot_frac: float = 0.10,
+                        hot_jitter: float = 0.01, tag: str = "z") -> str:
+    """Zipf-clustered corpus: ONE hot direction holds ``hot_frac`` of
+    the corpus, the rest follows a 1/rank Zipf over 255 other centers
+    with the uniform sweep's 0.3 jitter.  Two stress shapes:
+
+    * ``hot_jitter`` = 0.01 (tag 'z'): a dense-but-distinct hot
+      region.  Finding: the density-proportional sampled centroid
+      seed SUBDIVIDES it (~hot_frac of the sampled centroids are hot
+      members), so the hot region self-shards across ~k x hot_frac
+      near-identical cells — max cell measured ~6x the mean, not
+      hot_frac x N.
+    * ``hot_jitter`` = 0.0 (tag 's'): an EXACT-duplicate spike —
+      byte-identical vectors tie-break into one cell by cent_id, so a
+      single cell really does hold hot_frac of the corpus.  This is
+      the case semantic_dups_blas's exact-dup pre-collapse exists for.
+    """
+    out_dir = os.path.join(OUT_ROOT, f"{tag}{n}")
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centers = rng.normal(size=(256, 64)).astype(np.float32)
+    n_hot = int(n * hot_frac)
+    ranks = np.arange(1, 256)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+    cold_cluster = rng.choice(255, size=n - n_hot, p=probs) + 1
+    cluster = np.concatenate([np.zeros(n_hot, np.int64), cold_cluster])
+    cluster = cluster[rng.permutation(n)]  # interleave ids across clusters
+    jitter = np.where(cluster == 0, hot_jitter, 0.3).astype(np.float32)
+    vecs = centers[cluster] + jitter[:, None] * rng.normal(
+        size=(n, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(cluster.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(emb, path)
+    return out_dir
+
+
+def zipf_sweep(scales: list[int]) -> None:
+    """Hot-cell stress: run the production vector kernels on the
+    Zipf-clustered corpus, reporting the realized max cell size along
+    with wall time — the quantity that would go quadratic/OOM if the
+    blocked kernels regressed to materializing m x m."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from etl_pipe_spark.operators.ann import centroid_matrix, ivf_assign_vectorized
+    from etl_pipe_spark.operators.similarity import ivf_centroids_for_corpus
+    from etl_pipe_spark.plans.dedup_plans import (
+        _emb_with_norms, ann_ivf_scaled, semantic_dedup_scaled)
+    from etl_pipe_spark.session import get_spark
+
+    spark = get_spark("zipf-scaling")
+    corpora = (
+        ("zipf-hot10pct", dict(hot_jitter=0.01, tag="z")),
+        ("dup-spike10pct", dict(hot_jitter=0.0, tag="s")),
+    )
+    for n in scales:
+        for corpus, gen_kw in corpora:
+            sf_dir = gen_embeddings_zipf(n, **gen_kw)
+            row: dict = {"n_vecs": n, "corpus": corpus}
+            emb = _emb_with_norms(spark, sf_dir)
+            k = ivf_centroids_for_corpus(n)
+            cent_ids, cent_mat = centroid_matrix(emb, k)
+            cells = (
+                ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=1)
+                .filter("rn = 1").groupBy("cent_id").count()
+                .agg(F.max("count"), F.count(F.lit(1))).first()
+            )
+            row["k"] = k
+            row["max_cell"] = cells[0]
+            row["n_cells_hit"] = cells[1]
+            t0 = _t.time()
+            row["ann_ivf_scaled_rows"] = ann_ivf_scaled(spark, sf_dir).count()
+            row["ann_ivf_scaled"] = round(_t.time() - t0, 2)
+            t0 = _t.time()
+            row["semantic_dedup_scaled_rows"] = semantic_dedup_scaled(
+                spark, sf_dir).count()
+            row["semantic_dedup_scaled"] = round(_t.time() - t0, 2)
+            print(json.dumps(row), flush=True)
+
+
 def vector_sweep(scales: list[int], families: list[str]) -> None:
     """Time the production vector paths at each scale; one JSON row per
     scale.  kmeans_fit reports time-to-converge (k=16 matching the
@@ -157,7 +247,13 @@ def main() -> None:
                     help="run ONLY the vector-family sweep at these sizes "
                          "(e.g. 50000,250000,1000000)")
     ap.add_argument("--vector-families", default="ann,semantic,kmeans")
+    ap.add_argument("--zipf-scales", default=None,
+                    help="run ONLY the Zipf hot-cell stress sweep at these "
+                         "sizes (e.g. 250000,1000000)")
     args = ap.parse_args()
+    if args.zipf_scales:
+        zipf_sweep([int(s) for s in args.zipf_scales.split(",")])
+        return
     if args.vector_scales:
         vector_sweep([int(s) for s in args.vector_scales.split(",")],
                      args.vector_families.split(","))
