@@ -31,8 +31,22 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """cos(a,b) = dot/(|a|*|b|); inputs must already be double arrays."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """cos(a,b) = dot/(|a|*|b|); inputs must already be double arrays.
+
+    ``try_divide`` so a zero vector yields NULL instead of an ANSI
+    DIVIDE_BY_ZERO error — exactly DuckDB's 0.0/0.0 -> NULL, so a
+    ``cosine >= tau`` filter drops zero-vector pairs identically in
+    both engines (NULL is never >= tau).  Bit-identical to plain
+    division whenever the norms are nonzero.
+    """
+    return safe_div(dot(a, b), norm(a) * norm(b))
+
+
+def safe_div(num: Column, den: Column) -> Column:
+    """Division with DuckDB's zero semantics (0-divisor -> NULL, not an
+    ANSI exception) — use for every norm-product denominator so corpora
+    containing zero embeddings don't kill the job."""
+    return F.try_divide(num, den)
 
 
 # DuckDB oracle fragments mirroring the expressions above.

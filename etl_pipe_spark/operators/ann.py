@@ -137,14 +137,17 @@ def kmeans_fit(
 
     Per iteration: one vectorized cosine-argmax assignment pass
     (numpy matmul over Arrow batches) + one exact fixed-point mean
-    update (coordinates quantized to 2^-24 and summed in int64, so
-    the means — and therefore the whole fit — are bit-deterministic
-    under any partitioning).  The ONLY driver-side data per round is
-    the k x dim mean table (same footprint as the broadcast centroid
-    matrix), never the corpus: the same driver-sees-scalars stance as
-    operators/clusters.connected_components.  Cosine assignment makes
-    mean updates coherent without normalizing (cosine is
-    scale-invariant in the centroid), i.e. spherical k-means.
+    update over UNIT vectors (coordinates quantized to 2^-24 and
+    summed in int64, so the means — and therefore the whole fit — are
+    bit-deterministic under any partitioning).  The ONLY driver-side
+    data per round is the k x dim mean table (same footprint as the
+    broadcast centroid matrix), never the corpus: the same
+    driver-sees-scalars stance as
+    operators/clusters.connected_components.  The unit-sum update is
+    the textbook spherical-k-means step (the direction maximizing a
+    cell's cosine sum is sum(x-hat)'s), which is what makes the
+    recorded per-iteration objective provably non-decreasing on ANY
+    corpus, unit-norm or not.
 
     Returns (centroids ndarray k x dim, assignment DataFrame
     (vec_id, cent_id), n_iters_run).  Seeds from deterministic
@@ -184,10 +187,22 @@ def kmeans_fit(
 def _cell_sums_fused(emb: DataFrame, cent_mat: np.ndarray,
                      vec_col: str = "v") -> tuple:
     """One Lloyd iteration's sufficient statistics in a single linear
-    pass: per-cell (sum of 2^24-quantized coordinates, member count,
-    sum of quantized member->centroid cosines — the spherical-k-means
-    objective this iteration achieved against the INPUT centroids,
-    which kmeans_fit records so convergence invariants are checkable).
+    pass: per-cell (sum of 2^24-quantized UNIT-vector coordinates,
+    member count, sum of quantized member->centroid cosines — the
+    spherical-k-means objective this iteration achieved against the
+    INPUT centroids, which kmeans_fit records so convergence
+    invariants are checkable).
+
+    The update sums UNIT vectors, not raw coordinates: the direction
+    maximizing a cell's cosine sum is the direction of sum(x-hat)
+    (Dhillon & Modha spherical k-means), so the unit-sum mean is the
+    update that makes the recorded objective provably non-decreasing.
+    A raw-coordinate mean lets one high-norm member drag the centroid
+    off the cosine-optimal direction — fine on unit-norm corpora,
+    unsound as a checked invariant on mixed-norm embeddings.  (The
+    registered kmeans_update_step query demonstrates the RAW-mean
+    update with its own exact oracle; this kernel is the spherical
+    fit.)
 
     The first kmeans_fit shape assigned via mapInPandas, then JOINED
     the assignment back to the corpus and exploded N x dim coordinate
@@ -198,13 +213,13 @@ def _cell_sums_fused(emb: DataFrame, cent_mat: np.ndarray,
     each Arrow batch emits only k x dim partial rows and the shuffle
     carries batches x k x dim rows at ANY corpus size — the map-side
     combine, done in numpy.  Quantized int64 partials make the means
-    partition-order-independent (exact integer sums commute); the
-    float HALF_UP emulation floor(|x| + 0.5) matches Spark's
-    BigDecimal-based F.round everywhere except ulp-adversarial values
-    sitting within one ulp of a .5 boundary (e.g.
-    0.49999999999999994 + 0.5 == 1.0 in float64), so cross-engine
-    parity with the SQL kmeans_update_step holds on real embedding
-    data but is not a bit-level guarantee on adversarial inputs.
+    partition-order-independent (exact integer sums commute).  The
+    float HALF_UP emulation floor(|x| + 0.5) can differ from a
+    BigDecimal-exact round on values within one ulp of a .5 boundary
+    (e.g. 0.49999999999999994 + 0.5 == 1.0 in float64) — irrelevant
+    to determinism (quantization is per-element, before any
+    order-dependent sum), noted only against over-reading the
+    fixed-point trick as a cross-engine bit guarantee.
     """
     k, dim = cent_mat.shape
     cnorm = np.linalg.norm(cent_mat, axis=1)
@@ -218,14 +233,16 @@ def _cell_sums_fused(emb: DataFrame, cent_mat: np.ndarray,
             x = _batch_matrix(b, vec_col)
             xn = np.linalg.norm(x, axis=1)
             xn[xn == 0.0] = 1.0
-            scores = (x / xn[:, None]) @ cunit
+            xhat = x / xn[:, None]
+            scores = xhat @ cunit
             # argmax picks the FIRST max -> smallest cent id on ties,
             # same rule as ivf_assign_vectorized's lexsort
             cell = np.argmax(scores, axis=1)
             maxcos = np.take_along_axis(scores, cell[:, None], axis=1).ravel()
             cq = np.floor(np.abs(maxcos) * _KMEANS_Q + 0.5) * np.sign(maxcos)
-            scaled = x * _KMEANS_Q
-            # HALF_UP (away from zero), matching Spark's F.round
+            scaled = xhat * _KMEANS_Q
+            # HALF_UP (away from zero) fixed-point quantization: exact
+            # int64 sums make the means partition-order-independent
             xq = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
             sums = np.zeros((k, dim), dtype=np.int64)
             np.add.at(sums, cell, xq)
@@ -376,27 +393,42 @@ def ann_probe_topk_blas(
     vectorized assignment uses.
     """
     assign = ranked.filter(F.col("rn") == 1).select(id_col, "cent_id")
+    # persisted for the function's lifetime: the size probe and every
+    # chunk collect read it, and rebuilding it re-runs the quantizer's
+    # corpus pass each time (measured 3x query-side scans unpersisted)
     q_df = (
         ranked.filter((F.col(id_col) % every == 0) & (F.col("rn") <= nprobe))
         .join(emb.select(id_col, vec_col), id_col)
         .select(id_col, "cent_id", vec_col)
+        .persist()
     )
-    first = q_df.select(vec_col).first()
-    if first is None:  # no sampled queries at this corpus size/stride
-        return emb.sparkSession.createDataFrame([], _TOPK_SCHEMA + ", rnk int")
-    dim = len(first[0])
-    n_rows = q_df.count()
-    n_chunks = max(1, -(-(n_rows * dim * 8) // max_query_bytes))
+    try:
+        n_rows, dim = q_df.agg(
+            F.count(F.lit(1)), F.first(F.size(vec_col))).first()
+        if not n_rows:  # no sampled queries at this corpus size/stride
+            return emb.sparkSession.createDataFrame(
+                [], _TOPK_SCHEMA + ", rnk int")
+        n_chunks = max(1, -(-(n_rows * dim * 8) // max_query_bytes))
 
-    member = assign.join(emb.select(id_col, vec_col), id_col)
-    parts = []
-    for chunk_no in range(n_chunks):
-        chunk = q_df if n_chunks == 1 else q_df.filter(
-            F.pmod(F.col(id_col), F.lit(n_chunks)) == chunk_no)
-        qmap = _collect_query_map(chunk.collect(), id_col, vec_col)
-        parts.append(member.groupBy("cent_id").applyInPandas(
-            _make_cell_scorer(qmap, top_k, id_col, vec_col, qblock=qblock),
-            _TOPK_SCHEMA))
+        member = assign.join(emb.select(id_col, vec_col), id_col)
+        parts = []
+        # chunk on the SAMPLE-INDEX id/every, not the raw id: sampled
+        # ids are all multiples of `every`, so pmod(id, n_chunks) only
+        # reaches residues divisible by gcd(every, n_chunks) — with
+        # every=100 and n_chunks=2 that put the ENTIRE query set in
+        # chunk 0, defeating the byte budget
+        chunk_key = F.pmod((F.col(id_col) / F.lit(every)).cast("bigint"),
+                           F.lit(n_chunks))
+        for chunk_no in range(n_chunks):
+            chunk = q_df if n_chunks == 1 else q_df.filter(
+                chunk_key == chunk_no)
+            qmap = _collect_query_map(chunk.collect(), id_col, vec_col)
+            parts.append(member.groupBy("cent_id").applyInPandas(
+                _make_cell_scorer(qmap, top_k, id_col, vec_col,
+                                  qblock=qblock),
+                _TOPK_SCHEMA))
+    finally:
+        q_df.unpersist()
     scored = parts[0]
     for p in parts[1:]:
         scored = scored.unionByName(p)
@@ -531,9 +563,16 @@ def semantic_dups_blas(emb: DataFrame, assign: DataFrame, tau: float,
             panel[cols <= rows] = -np.inf
             run_max = np.maximum(run_max, panel.max(axis=0))
         rep_dup = run_max >= tau
+        # a non-first copy's earlier identical member scores the same
+        # zero-guarded self-cosine the expression path would compute:
+        # dot(v,v)/(n*n) (0.0 for the all-zero vector, NOT 1.0 — the
+        # norm guard maps it to 0, so identical zero vectors are not
+        # dups at tau > 0, matching _semantic_from_assignment and the
+        # DuckDB oracle exactly)
+        self_cos = np.einsum("ij,ij->i", xu, xu) / (xn * xn)
         g = rank[inverse]  # group rank per member
         is_copy = np.arange(m) != first_idx[inverse]
-        flags = rep_dup[g] | (is_copy & (1.0 >= tau))
+        flags = rep_dup[g] | (is_copy & (self_cos[g] >= tau))
         return pd.DataFrame({
             "vec_id": pdf[id_col].to_numpy(np.int64),
             "cent_id": np.full(m, key[0], dtype=np.int64),

@@ -125,6 +125,7 @@ def connected_components_two_phase(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_rounds):
         # ---- large star: larger neighbors hook onto the local min ----
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -154,6 +155,14 @@ def connected_components_two_phase(
         e = out
         if converged:
             break
+    if not converged:
+        # labeling a non-fixed-point edge set would silently split
+        # components across cluster ids — refuse instead (O(log n)
+        # convergence means hitting this implies max_rounds was set
+        # far below log2 of the vertex count)
+        raise RuntimeError(
+            f"connected_components_two_phase did not reach the star "
+            f"fixed point within max_rounds={max_rounds}")
     # fixed point is stars (v -> component min): label leaves by their
     # root and roots by themselves
     return (

@@ -55,14 +55,17 @@ def write_bucketed_table(
 
 
 def _parse_byte_conf(raw: str, default: int) -> int:
-    """Spark size confs come back as '134217728b' / '128m' style."""
+    """Spark size confs come back as '134217728b' / '128m' / '64mb'
+    style.  Two-letter suffixes MUST be tried before the bare 'b',
+    or '64mb' strips to '64m' in the 'b' branch and fails to parse."""
     s = raw.strip().lower()
-    for suffix, mult in (("b", 1), ("k", 1 << 10), ("m", 1 << 20),
-                         ("g", 1 << 30), ("t", 1 << 40)):
+    for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                         ("tb", 1 << 40), ("pb", 1 << 50),
+                         ("b", 1), ("k", 1 << 10), ("m", 1 << 20),
+                         ("g", 1 << 30), ("t", 1 << 40), ("p", 1 << 50)):
         if s.endswith(suffix):
-            s = s[: -len(suffix)]
             try:
-                return int(float(s) * mult)
+                return int(float(s[: -len(suffix)]) * mult)
             except ValueError:
                 return default
     try:
@@ -84,9 +87,17 @@ def _planned_scan_width(spark: SparkSession, df: DataFrame) -> int:
     the fallback is the rare path, and the gate is only meaningful for
     scan-rooted frames anyway — a post-shuffle input reports its
     static shuffle width, which is exactly the "already wide" answer.
+    Caveat that goes with the scan-rooted contract: the optimized
+    plan's sizeInBytes is scaled down by column pruning, so a narrow
+    projection over a wide table UNDER-estimates the true split count
+    and may spread an already-wide scan (one redundant exchange, never
+    a wrong result); call the gate on the raw loaded table, as every
+    in-repo call site does.
     """
     try:
         files = df.inputFiles()
+        total = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         files = []
     if not files:
@@ -94,7 +105,6 @@ def _planned_scan_width(spark: SparkSession, df: DataFrame) -> int:
             return df.rdd.getNumPartitions()
         except Exception:
             return 1  # un-plannable input: assume narrow, spread it
-    total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     max_pb = _parse_byte_conf(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"),
         128 << 20)

@@ -285,7 +285,8 @@ def _ivf_ranked(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
             F.col("v_norm").alias("cv_norm"),
         )
     )
-    assign_cos = VX.dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("cv_norm"))
+    assign_cos = VX.safe_div(VX.dot(F.col("v"), F.col("cv")),
+                             F.col("v_norm") * F.col("cv_norm"))
     ranked = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cent_id", assign_cos.alias("c")
     )
@@ -328,9 +329,8 @@ def _ann_from_assignment(emb: DataFrame, ranked: DataFrame,
         .alias("q")
     )
     cand = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v", "v_norm").alias("cand")
-    probe_cos = VX.dot(F.col("q.qv"), F.col("cand.v")) / (
-        F.col("q.qv_norm") * F.col("cand.v_norm")
-    )
+    probe_cos = VX.safe_div(VX.dot(F.col("q.qv"), F.col("cand.v")),
+                            F.col("q.qv_norm") * F.col("cand.v_norm"))
     scored = (
         cand.join(
             F.broadcast(q),
@@ -681,7 +681,8 @@ def _semantic_from_assignment(emb: DataFrame, assign: DataFrame) -> DataFrame:
     """Cell-blocked duplicate marking shared by both quantizers."""
     av = assign.join(emb, "vec_id").select("vec_id", "cent_id", "v", "v_norm")
     a, b = av.alias("a"), av.alias("b")
-    cos = VX.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.v_norm") * F.col("b.v_norm"))
+    cos = VX.safe_div(VX.dot(F.col("a.v"), F.col("b.v")),
+                      F.col("a.v_norm") * F.col("b.v_norm"))
     dups = (
         a.join(b, (F.col("a.cent_id") == F.col("b.cent_id"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -755,19 +756,25 @@ def ann_kmeans_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .extensions import similarity_topk_cosine
 
+    # brute feeds four actions (count, two recall joins, query count):
+    # persist for the query's lifetime, release before returning —
+    # the returned invariant row no longer references it
     brute = similarity_topk_cosine(spark, sf_dir).select(
-        "query_id", "neighbor_id")
-    n_brute = brute.count()
+        "query_id", "neighbor_id").persist()
+    try:
+        n_brute = brute.count()
 
-    def recall(df: DataFrame) -> float:
-        hits = df.select("query_id", "neighbor_id").join(
-            brute, ["query_id", "neighbor_id"]).count()
-        return hits / n_brute if n_brute else 0.0
+        def recall(df: DataFrame) -> float:
+            hits = df.select("query_id", "neighbor_id").join(
+                brute, ["query_id", "neighbor_id"]).count()
+            return hits / n_brute if n_brute else 0.0
 
-    sampled = recall(ann_ivf(spark, sf_dir, nprobe=2))
-    fitted = recall(ann_ivf_kmeans(
-        spark, sf_dir, nprobe=2, n_centroids=N_CENTROIDS, max_iters=5))
-    n_queries = brute.select("query_id").distinct().count()
+        sampled = recall(ann_ivf(spark, sf_dir, nprobe=2))
+        fitted = recall(ann_ivf_kmeans(
+            spark, sf_dir, nprobe=2, n_centroids=N_CENTROIDS, max_iters=5))
+        n_queries = brute.select("query_id").distinct().count()
+    finally:
+        brute.unpersist()
     return spark.createDataFrame(
         [(int(n_queries), fitted >= sampled, fitted >= _KMEANS_RECALL_FLOOR)],
         "n_queries bigint, fitted_recall_ge_sampled boolean, "

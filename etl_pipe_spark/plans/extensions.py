@@ -250,7 +250,8 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("v_norm").alias("qv_norm"),
     )
-    cos = VX.dot(F.col("qv"), F.col("v")) / (F.col("qv_norm") * F.col("v_norm"))
+    cos = VX.safe_div(VX.dot(F.col("qv"), F.col("v")),
+                      F.col("qv_norm") * F.col("v_norm"))
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
@@ -296,7 +297,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = VX.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.v_norm") * F.col("b.v_norm"))
+    cos = VX.safe_div(VX.dot(F.col("a.v"), F.col("b.v")),
+                      F.col("a.v_norm") * F.col("b.v_norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

@@ -160,3 +160,37 @@ def test_blas_semantic_dups_match_expression_scoring(spark, sf_dir):
     blas = sorted(map(key, semantic_dups_blas(emb, assign, _SEMDEDUP_TAU).collect()))
     assert expr == blas and len(expr) > 0
     assert any(r[2] for r in blas)  # some dups exist at test SF
+
+
+def test_blas_semantic_dups_zero_vector_and_copies_edge(spark):
+    # Review edge case: byte-identical ZERO vectors must NOT be flagged
+    # as dups (the zero-norm guard maps their cosine to 0, below tau),
+    # while identical nonzero copies must be — and both verdicts must
+    # match the expression path exactly, because the registered scaled
+    # query's oracle checks flags row for row.
+    from pyspark.sql import functions as F
+
+    from etl_pipe_spark.functions import vectors as VX
+    from etl_pipe_spark.operators.ann import semantic_dups_blas
+    from etl_pipe_spark.plans.dedup_plans import (
+        _SEMDEDUP_TAU, _semantic_from_assignment)
+
+    rows = [
+        (0, [0.0, 0.0, 0.0]),       # zero vector
+        (1, [0.0, 0.0, 0.0]),       # identical zero copy -> NOT a dup
+        (2, [1.0, 2.0, 2.0]),
+        (3, [1.0, 2.0, 2.0]),       # identical nonzero copy -> dup
+        (4, [-1.0, -2.0, -2.0]),    # anti-parallel -> cos -1, not dup
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "v"]).withColumn(
+        "v_norm", VX.norm(F.col("v")))
+    assign = emb.select("vec_id", F.lit(0).cast("bigint").alias("cent_id"))
+
+    key = lambda r: (r.vec_id, r.is_dup)  # noqa: E731
+    expr = sorted(map(key, _semantic_from_assignment(emb, assign).collect()))
+    blas = sorted(map(key, semantic_dups_blas(
+        emb, assign, _SEMDEDUP_TAU).collect()))
+    assert expr == blas
+    flags = dict(blas)
+    assert flags[1] is False, "identical zero vectors must not be dups"
+    assert flags[3] is True, "identical nonzero copies must be dups"

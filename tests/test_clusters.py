@@ -70,3 +70,26 @@ def test_two_phase_collapses_deep_chain_in_few_rounds(spark):
     labels = {r.vertex_id: r.cluster_id
               for r in connected_components_two_phase(df, max_rounds=10).collect()}
     assert labels == {i: 0 for i in range(65)}
+
+
+def test_two_phase_matches_propagation_property(spark):
+    # Property-based breadth: arbitrary small multigraphs (self-loops,
+    # duplicates, disconnected islands) — the two algorithms must agree
+    # on every component map.  Deterministic example set (hypothesis's
+    # per-example Spark jobs would be minutes); seeds chosen to cover
+    # stars, paths, cliques-with-bridges, and shuffled id spaces.
+    import random
+
+    for seed in (3, 17, 42, 99):
+        rng = random.Random(seed)
+        n_vertices = rng.randint(5, 40)
+        ids = rng.sample(range(1000), n_vertices)
+        edges = [
+            (rng.choice(ids), rng.choice(ids))
+            for _ in range(rng.randint(n_vertices // 2, n_vertices * 2))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        assert _cc(spark, edges, connected_components_two_phase) == \
+            _cc(spark, edges, connected_components), f"seed {seed} diverged"
