@@ -119,14 +119,17 @@ def connected_components_two_phase(
     :func:`connected_components`, and the same caller-unions-singletons
     caveat.
     """
+    obs0 = Observation("cc_star_init")
     e = (
         edges.select(F.col(left).alias("u"), F.col(right).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    prev_n = obs0.get["n"]
     converged = False
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
         # ---- large star: larger neighbors hook onto the local min ----
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         local_min = F.least(F.col("u"), F.min("v").over(W.partitionBy("u")))
@@ -141,17 +144,24 @@ def connected_components_two_phase(
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         small = oriented.withColumn("m", F.min("v").over(W.partitionBy("u")))
+        obs = Observation(f"cc_star_{round_no}")
         out = (
             small.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(small.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            # edge count rides the checkpoint's own materialization job
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
-        converged = (
-            out.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(out).limit(1).count() == 0
-        )
+        # Fixed-point test, cheapest-first: both sides are distinct sets,
+        # so equal cardinality + empty one-sided difference == equality.
+        # The count is free (observed above); the exceptAll scan runs only
+        # on rounds whose counts already agree — near-converged rounds —
+        # instead of 2x every round.
+        n = obs.get["n"]
+        converged = n == prev_n and out.exceptAll(e).limit(1).count() == 0
+        prev_n = n
         e = out
         if converged:
             break

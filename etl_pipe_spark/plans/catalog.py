@@ -57,7 +57,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 38 names: 88 registered − 38 demoted = 50 in-window.
+# Exactly 39 names: 89 registered − 39 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -79,8 +79,12 @@ _DEMOTED = (
     "promo_revenue_share",       # single-row conditional-share agg covered by pricing_summary's conditional sums
     "pivot_status_revenue",      # r1+r4 double-green; reshaping family rep in-window: unpivot_lineitem_metrics + grouping_sets_orders
     # promoted r5 (stale since r2/r3): supplier_nation_rollup,
-    # lang_id_stopwords, wide_projection, denorm_join, topk_orders,
+    # lang_id_stopwords, wide_projection, denorm_join,
     # json_flatten_input_data — all back in-window for a fresh row.
+    # topk_orders yields its promoted slot to the NEW
+    # dedup_clusters_star (two-phase star-contraction components — a
+    # first-ever driver row beats a third green row for a LIMIT demo):
+    "topk_orders",               # deterministic LIMIT family rep in-window: topk_per_group
     # rotated out r4 (all r3-green, in-window cover noted):
     "stats_moments",             # stats family rep in-window: exact_percentiles
     "tpch_q4_order_priority",    # correlated EXISTS covered by tpch_q21's exists/not-exists

@@ -10,7 +10,7 @@ rand()), all oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions.text import DUCK_HASH60, hash60, ws_tokens
 from ..operators.dedup import simhash
@@ -90,6 +90,82 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= 6)
         .select("left_id", "right_id", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Star-contraction clustering of the SimHash pair graph.
+# --------------------------------------------------------------------------
+
+from ..operators.clusters import connected_components_two_phase, duck_components_sql
+
+_CLUSTERS_STAR_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+sums AS (
+  SELECT doc_id,
+    {_sums}
+  FROM toks GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, CAST({_fp} AS BIGINT) AS simhash FROM sums
+),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
+  FROM fp, (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+{duck_components_sql("pairs")}
+SELECT vertex_id AS doc_id, cluster_id,
+       vertex_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM components
+"""
+
+
+@register("dedup_clusters_star", oracle=_CLUSTERS_STAR_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via alternating large-star/small-star
+    contraction (Kiveris et al., SoCC 2014) over the SimHash pair graph.
+
+    `dedup_clusters` (in-window) labels the capped-Jaccard graph with
+    min-label propagation — rounds ~ diameter, the right default for
+    shallow near-dup clusters.  This query drives the documented
+    high-diameter upgrade (operators/clusters.py:
+    connected_components_two_phase, O(log n) rounds regardless of
+    diameter) through the driver's differential check on a DIFFERENT
+    pair emitter: SimHash byte-band candidates at hamming <= 3, the
+    pigeonhole-EXACT threshold (4 byte bands absorb at most 3 flipped
+    bits while leaving one band untouched, so banding loses no pair at
+    this radius — unlike the pairs query's recall-trading <= 6, which
+    also keeps this graph sparse enough that clustering cost tracks
+    true near-dup mass, not candidate noise).  Both component
+    algorithms and both graph shapes carry hard signal.  The oracle is
+    DuckDB's recursive transitive closure over the same pair SQL —
+    exact, because both algorithms provably converge to the same
+    min-id component labeling.
+
+    Reference scope: SURVEY.md §2.12 dedup family (the reference dedups
+    by exact key only; clustering is the transitive-closure
+    generalization its corpus users need).
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).filter(F.col("hamming") <= 3)
+    comp = connected_components_two_phase(
+        pairs.select("left_id", "right_id"))
+    w_sz = W.partitionBy("cluster_id")
+    return comp.select(
+        F.col("vertex_id").alias("doc_id"),
+        "cluster_id",
+        (F.col("vertex_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w_sz).alias("cluster_size"),
     )
 
 

@@ -44,6 +44,9 @@ FLAGSHIPS = [
     "ann_ivf_scaled",
     "semantic_dedup_scaled",
     "ann_kmeans_recall_lift",
+    # Round-5: the high-diameter star-contraction components algorithm
+    # under driver check on the SimHash pair graph (first driver row).
+    "dedup_clusters_star",
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the
