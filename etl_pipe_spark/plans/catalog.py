@@ -57,7 +57,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 39 names: 89 registered − 39 demoted = 50 in-window.
+# Exactly 40 names: 90 registered − 40 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -77,7 +77,12 @@ _DEMOTED = (
     "having_large_orders",       # post-agg HAVING covered by tpch_q21 + run_summary_rollup
     "sql_api_segment_revenue",   # spark.sql() surface; same rollup shape as pricing_summary (in-window)
     "promo_revenue_share",       # single-row conditional-share agg covered by pricing_summary's conditional sums
-    "pivot_status_revenue",      # r1+r4 double-green; reshaping family rep in-window: unpivot_lineitem_metrics + grouping_sets_orders
+    "pivot_status_revenue",      # r1+r4 double-green; reshaping family rep in-window: grouping_sets_orders
+    # unpivot_lineitem_metrics yields its slot to the NEW pq_ann_adc
+    # (product-quantized ANN — a first-ever driver row beats a third
+    # green row for a reshaping demo; grouping_sets_orders stays in
+    # as the family rep):
+    "unpivot_lineitem_metrics",  # r1+r4 double-green; reshaping family rep in-window: grouping_sets_orders
     # promoted r5 (stale since r2/r3): supplier_nation_rollup,
     # lang_id_stopwords, wide_projection, denorm_join,
     # json_flatten_input_data — all back in-window for a fresh row.

@@ -47,6 +47,9 @@ FLAGSHIPS = [
     # Round-5: the high-diameter star-contraction components algorithm
     # under driver check on the SimHash pair graph (first driver row).
     "dedup_clusters_star",
+    # Round-5: product-quantized ANN (IVFADC's compressed-index leg)
+    # with exact codebook/code/ranking oracle + reconstruction bound.
+    "pq_ann_adc",
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the
