@@ -57,7 +57,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 40 names: 90 registered − 40 demoted = 50 in-window.
+# Exactly 41 names: 91 registered − 41 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -93,7 +93,11 @@ _DEMOTED = (
     # rotated out r4 (all r3-green, in-window cover noted):
     "stats_moments",             # stats family rep in-window: exact_percentiles
     "tpch_q4_order_priority",    # correlated EXISTS covered by tpch_q21's exists/not-exists
-    "tpch_q17_small_qty_revenue",  # scalar-subquery agg covered by tpch_q15's max-subquery
+    "tpch_q17_small_qty_revenue",  # scalar-subquery agg; family rep tpch_q15 demoted r5 too — nearest in-window cover is tpch_q21's correlated subqueries
+    # tpch_q15 yields its slot to the NEW pq_fit_quality (the
+    # production PQ codebook fit's first driver row; r1+r4
+    # double-green, correlated-subquery family keeps tpch_q21 in):
+    "tpch_q15_top_supplier",     # max-subquery; in-window cover: tpch_q21 correlated EXISTS + tpch_q10 top-k
     "tpch_q18_large_volume",     # HAVING-IN covered by having_large_orders (promoted) + tpch_q10 top-k
     "tpch_q22_dormant_customers",  # anti join covered by tpch_q21 NOT EXISTS + tpch_q13 left-outer
     "cube_lineitem",             # grouping machinery covered by grouping_sets_orders (superset)

@@ -1073,3 +1073,70 @@ def pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(err_ok)).alias("recon_err_lt_bound"),
         )
     )
+
+
+_PQ_FIT_MAX_ITERS = 4
+_PQ_FIT_TOL = 1e-3
+_PQ_FIT_EPS = 1e-9  # fixed-point update wiggle (quantized means)
+
+_PQ_FIT_ORACLE = f"""
+SELECT count(*) AS n_vectors,
+       {_PQ_M} AS m,
+       {_PQ_KSUB} AS ksub,
+       TRUE AS err_non_increasing,
+       TRUE AS n_iters_le_max,
+       TRUE AS converged_or_capped,
+       TRUE AS fitted_beats_sample,
+       TRUE AS fitted_err_lt_bound
+FROM embeddings
+"""
+
+
+@register("pq_fit_quality", oracle=_PQ_FIT_ORACLE)
+def pq_fit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION PQ codebook fit as a registered, hash-checked
+    query — the kernel pq_ann_adc's pinned sample codebook stands in
+    for at oracle time (operators/pq.pq_fit: all m subspaces trained
+    in ONE fused linear pass per Lloyd iteration, quantized int64
+    partial sums, bit-deterministic under any partitioning).
+
+    Same invariant-boolean recipe as kmeans_fit_clusters: the Spark
+    side computes every boolean from the actual fit, the oracle
+    asserts the identical literals TRUE plus the exact corpus count.
+    The quality booleans are the teeth: the fitted codebooks must
+    (a) trace a non-increasing per-iteration quantization error
+    (standard Lloyd theory — measured against each iteration's INPUT
+    codebooks), (b) encode the corpus at least as well as the
+    deterministic sample codebooks they replace, and (c) land under
+    the same 0.85 reconstruction bound pq_ann_adc asserts — so a fit
+    that silently degraded into noise flips a literal and reds the
+    driver row.
+    """
+    from ..operators import pq as PQ
+
+    emb = _emb_with_norms(spark, sf_dir).select("vec_id", "v")
+    fit = PQ.pq_fit(emb, m=_PQ_M, ksub=_PQ_KSUB,
+                    max_iters=_PQ_FIT_MAX_ITERS, tol=_PQ_FIT_TOL)
+    # errs[0] is measured against the fit's INPUT codebooks — the
+    # deterministic sample — so the baseline costs no extra pass
+    # (2^-24-quantized, a ~1e-7 wobble dwarfed by the 0.2 margin).
+    e_sample = fit.errs[0]
+    e_fit = PQ.pq_encode(emb, fit.codebooks).agg(F.avg("qerr")).first()[0]
+    n_vectors = emb.count()
+    row = (
+        int(n_vectors),
+        _PQ_M,
+        _PQ_KSUB,
+        all(b <= a + _PQ_FIT_EPS for a, b in zip(fit.errs, fit.errs[1:])),
+        fit.n_iters <= _PQ_FIT_MAX_ITERS,
+        fit.shifts[-1] < _PQ_FIT_TOL or fit.n_iters == _PQ_FIT_MAX_ITERS,
+        e_fit is not None and e_sample is not None
+        and e_fit <= e_sample + _PQ_FIT_EPS,
+        e_fit is not None and e_fit < _PQ_ERR_BOUND,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vectors bigint, m int, ksub int, err_non_increasing boolean, "
+        "n_iters_le_max boolean, converged_or_capped boolean, "
+        "fitted_beats_sample boolean, fitted_err_lt_bound boolean",
+    )

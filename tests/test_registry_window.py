@@ -48,8 +48,10 @@ FLAGSHIPS = [
     # under driver check on the SimHash pair graph (first driver row).
     "dedup_clusters_star",
     # Round-5: product-quantized ANN (IVFADC's compressed-index leg)
-    # with exact codebook/code/ranking oracle + reconstruction bound.
+    # with exact codebook/code/ranking oracle + reconstruction bound,
+    # and the fused-Lloyd codebook fit under invariant-boolean check.
     "pq_ann_adc",
+    "pq_fit_quality",
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the
