@@ -43,7 +43,7 @@ def register(name: str, oracle: str | None = None):
 
 _PLAN_MODULES = (
     "relational", "relational2", "relational3", "relational4", "relational5",
-    "relational6", "json_ops",
+    "relational6", "relational7", "json_ops",
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
     "text_plans", "text_plans2", "text_plans3", "pandas_ops", "curation_pipeline",
 )
@@ -57,7 +57,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 41 names: 91 registered − 41 demoted = 50 in-window.
+# Exactly 49 names: 99 registered − 49 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -67,7 +67,24 @@ _PLAN_MODULES = (
 # rotate IN; in exchange eight of the function demos that got a fresh
 # green row in r4 (now r1+r4 double-green) rotate OUT, each annotated
 # with its in-window cover.
+#
+# Mid-r5 addition: relational7 completes all 22 TPC-H plan shapes.
+# The three richest new plans (q8 market-share ratio agg, q9 profit
+# rollup, q20 dominant-supplier window+semi-join) take in-window
+# slots from three queries whose production-scale superset already
+# sits in-window this round; the other five start demoted (covered by
+# the local oracle-parity suite, rotation candidates next round).
 _DEMOTED = (
+    # yielded their slots to the new TPC-H trio (mid-r5):
+    "similarity_ann_ivf",        # pinned k=32 expression form; ann_ivf_scaled (production path, dynamic-k DuckDB twin) in-window
+    "kmeans_update_step",        # single Lloyd step; kmeans_fit_clusters (full fit, invariant oracle) in-window
+    "similarity_topk_cosine",    # brute-force baseline; ann_ivf_scaled's oracle twin recomputes per-cell exact cosine, recall floor pinned by tests/test_ivf_recall.py
+    # new TPC-H shapes starting out-of-window (local-parity covered):
+    "tpch_q2_best_supplier",     # argmax-per-group window; topk_per_group + tpch_q15 cover the shape
+    "tpch_q6_forecast_revenue",  # pure pushdown scan-agg; incremental_scan + pricing_summary cover
+    "tpch_q11_important_stock",  # HAVING-vs-scalar-subquery; tpch_q17's scalar-subquery shape covers
+    "tpch_q12_late_shipments",   # join + conditional counts; run_summary_rollup covers
+    "tpch_q16_supplier_cnt",     # COUNT(DISTINCT)+anti join; run_summary_rollup + tpch_q22 cover
     # rotated out r5 (r1+r4 double-green function demos):
     "string_functions",          # NULL-concat/case ladder covered by timeline_union + coercion_kitchen_sink
     "datetime_functions",        # EXTRACT/ROUND time math covered by session_window_agg + asof_join_last_event

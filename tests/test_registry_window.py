@@ -17,8 +17,6 @@ FLAGSHIPS = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "similarity_topk_cosine",
-    "similarity_ann_ivf",
     "similarity_srp_lsh",
     "multimodal_features",
     "tfidf_top_terms",
@@ -33,7 +31,6 @@ FLAGSHIPS = [
     "contamination_check",
     "quality_repetition_filter",
     "semantic_dedup",
-    "kmeans_update_step",
     # Round-4: the full Lloyd loop registered as a rows-only query,
     # and the multimodal 1->N frame-sampling shape.
     "kmeans_fit_clusters",
@@ -52,6 +49,13 @@ FLAGSHIPS = [
     # and the fused-Lloyd codebook fit under invariant-boolean check.
     "pq_ann_adc",
     "pq_fit_quality",
+    # Mid-r5: the TPC-H completion trio takes the slots of the three
+    # queries whose production-scale superset is already in-window
+    # (similarity_ann_ivf / similarity_topk_cosine -> ann_ivf_scaled,
+    # kmeans_update_step -> kmeans_fit_clusters).
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q20_dominant_supplier",
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the
