@@ -1,0 +1,78 @@
+"""Distributed global ordering: rank + running sum without the
+single-task window.
+
+A window with ``orderBy`` and no ``partitionBy`` is the classic
+100 TB trap: Spark moves EVERY row into one task to satisfy the
+global frame.  The scalable equivalent is the textbook two-phase
+prefix sum:
+
+1. ``repartitionByRange`` on the order key — each partition holds a
+   contiguous key range, sorted relative to the others;
+2. rank / running-sum WITHIN each partition (ordinary partitioned
+   window — parallel);
+3. aggregate one (count, sum) row per partition, prefix-scan that
+   tiny table (p rows for p partitions — driver-scale by
+   construction, like the centroid tables in operators/ann.py), and
+   broadcast the per-partition offsets back.
+
+The result is identical to the global window for any TOTAL order
+(make the last order key a tiebreaker-unique column): every row's
+rank/prefix is (rows before my partition) + (my rank within it), and
+that decomposition does not depend on where the range boundaries
+fall, so the output is partition-count independent and safe to
+hash-check against a sequential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def ranked_running_sum(
+    df: DataFrame,
+    order: list[Column],
+    sum_col: str,
+    rank_name: str = "rnk",
+    before_name: str = "sum_before",
+) -> DataFrame:
+    """Attach global ``rank_name`` (row_number over ``order``) and
+    ``before_name`` (exclusive running sum of ``sum_col`` in that
+    order) — distributed via range partitioning + offset merge.
+
+    ``order`` must define a TOTAL order (include a unique tiebreaker);
+    otherwise ranks are partition-dependent.  ``sum_col`` should be an
+    exact type (integer/decimal) so the partial sums are
+    order-insensitive.
+    """
+    ranged = df.repartitionByRange(*order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = W.partitionBy("__pid").orderBy(*order)
+    within = (
+        ranged.withColumn("__rn_in", F.row_number().over(w_in))
+        .withColumn(
+            "__sum_in",
+            F.sum(sum_col).over(w_in.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    # one row per partition; prefix-scan this p-row table (p = shuffle
+    # width, never data-scale) and broadcast the offsets back
+    w_parts = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        within.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum(sum_col).alias("__sum"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_parts), F.lit(0)).alias("__cnt_off"),
+            F.coalesce(F.sum("__sum").over(w_parts), F.lit(0)).alias("__sum_off"),
+        )
+    )
+    return (
+        within.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_name, (F.col("__cnt_off") + F.col("__rn_in")).cast("bigint"))
+        .withColumn(
+            before_name,
+            (F.col("__sum_off") + F.col("__sum_in") - F.col(sum_col)).cast("bigint"),
+        )
+        .drop("__pid", "__rn_in", "__sum_in", "__cnt_off", "__sum_off")
+    )

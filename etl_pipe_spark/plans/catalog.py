@@ -45,7 +45,8 @@ _PLAN_MODULES = (
     "relational", "relational2", "relational3", "relational4", "relational5",
     "relational6", "relational7", "json_ops",
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
-    "text_plans", "text_plans2", "text_plans3", "pandas_ops", "curation_pipeline",
+    "text_plans", "text_plans2", "text_plans3", "text_plans4",
+    "pandas_ops", "curation_pipeline",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -57,7 +58,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 49 names: 99 registered − 49 demoted = 50 in-window.
+# Exactly 51 names: 101 registered − 51 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -75,6 +76,12 @@ _PLAN_MODULES = (
 # sits in-window this round; the other five start demoted (covered by
 # the local oracle-parity suite, rotation candidates next round).
 _DEMOTED = (
+    # yielded their slots to the two NEW corpus-construction ops
+    # (boilerplate_span_removal / token_budget_selection — first-ever
+    # driver rows beat a fifth green row; both demotions carry four
+    # prior driver-green rounds and an in-window family rep):
+    "tpch_q10_returned_items",   # join-agg-topk; tpch_q8/q9 (richer supersets) + topk_per_group in-window
+    "json_flatten_props",        # JS2 flatten; json_flatten_input_data (12-key superset, promoted r5) in-window
     # yielded their slots to the new TPC-H trio (mid-r5):
     "similarity_ann_ivf",        # pinned k=32 expression form; ann_ivf_scaled (production path, dynamic-k DuckDB twin) in-window
     "kmeans_update_step",        # single Lloyd step; kmeans_fit_clusters (full fit, invariant oracle) in-window

@@ -1,0 +1,189 @@
+"""Corpus-construction operators round 4: boilerplate span removal and
+token-budget curriculum selection.
+
+Two operations every large-scale pretraining pipeline runs that the
+registry still lacked (SURVEY §2.12 north-star family):
+
+* **Boilerplate span removal** — the RefinedWeb/CCNet recipe of
+  dropping lines that repeat verbatim across many documents (nav bars,
+  cookie banners, license footers).  The driver corpus has no newlines,
+  so the unit is a fixed 3-word span; the semantics — exact-hash span
+  index, document-frequency threshold, strip-and-recount — are the
+  published line-dedup algorithm unchanged.
+
+* **Token-budget selection** — given a token budget, keep the
+  highest-quality documents whose cumulative token count fits: the
+  data-curriculum / quality-pareto step that turns a scored corpus
+  into a training mix.  Quality here is the type-token ratio (the
+  registry's repetition-filter metric), ranked globally with a
+  prefix-sum cutoff.
+
+Scale notes (100 TB): the span index is a single groupBy on the span
+string — postings-bounded like the shingle index in dedup_plans; the
+flagged-span set (df >= threshold) is orders of magnitude smaller than
+the corpus but NOT assumed broadcastable — it meets the span stream in
+an ordinary shuffle join that AQE can downgrade to broadcast when it
+does fit.  Budget selection's global rank/prefix-sum uses the
+two-phase range-partition decomposition in operators/ordering.py —
+never a no-partition window (the single-task trap); no driver-side
+iteration anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+from .catalog import register
+
+SPAN_WORDS = 3      # span width; stands in for "line" on newline-free corpora
+BOILER_MIN_DF = 3   # spans seen in >= this many distinct docs are boilerplate
+BUDGET_FRACTION = 0.3  # keep top-quality docs up to 30% of corpus tokens
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, span): 3-word window text + its word count."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_spans = F.ceil(F.size("w") / SPAN_WORDS).cast("bigint")
+    return (
+        docs.select(
+            "doc_id", "w",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_spans - 1)).alias("sid"),
+        )
+        .select(
+            "doc_id",
+            "sid",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("w"), (F.col("sid") * SPAN_WORDS + 1).cast("int"),
+                        SPAN_WORDS),
+            ).alias("span"),
+            F.least(
+                F.lit(SPAN_WORDS).cast("bigint"),
+                F.size("w").cast("bigint") - F.col("sid") * SPAN_WORDS,
+            ).alias("span_len"),
+        )
+    )
+
+
+_BOILER_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), spans AS (
+  SELECT doc_id, sid,
+         array_to_string(w[(sid*{SPAN_WORDS}+1):(sid*{SPAN_WORDS}+{SPAN_WORDS})], ' ') AS span,
+         least({SPAN_WORDS}, len(w) - sid*{SPAN_WORDS}) AS span_len
+  FROM words,
+       unnest(range(CAST(ceil(len(w)/{SPAN_WORDS}.0) AS BIGINT))) AS t(sid)
+), boiler AS (
+  SELECT span FROM spans GROUP BY span
+  HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN b.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS boiler_spans,
+       CAST(sum(CASE WHEN b.span IS NULL THEN s.span_len ELSE 0 END) AS BIGINT)
+         AS kept_words
+FROM spans s LEFT JOIN boiler b ON b.span = s.span
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register("boilerplate_span_removal", oracle=_BOILER_ORACLE)
+def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip spans that repeat across >= BOILER_MIN_DF distinct docs —
+    the line-level boilerplate dedup of RefinedWeb/CCNet, adapted to
+    3-word spans because the driver corpus has no newlines.
+
+    Plan: segment each doc into fixed spans (sequence + slice — pure
+    native expressions, no UDF), build the span document-frequency
+    index with one groupBy, flag spans over the df threshold, and
+    re-aggregate per doc into (total spans, boilerplate spans, words
+    surviving the strip).  Two shuffles total — the span-df groupBy
+    and the per-doc rollup; the flagged set joins back by span key
+    without a broadcast assumption.
+    """
+    spans = _spans(spark, sf_dir)
+    boiler = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DF)
+        .select("span", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        spans.join(boiler, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint").alias("boiler_spans"),
+            F.sum(F.when(F.col("is_boiler").isNull(), F.col("span_len"))
+                  .otherwise(0)).cast("bigint").alias("kept_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens, ttr,
+         CAST(row_number() OVER (ORDER BY ttr DESC, doc_id) AS BIGINT) AS rnk,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY ttr DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM scored
+)
+SELECT doc_id, n_tokens, ttr, rnk, tokens_before
+FROM ranked
+WHERE tokens_before < (SELECT sum(n_tokens) FROM scored) * {BUDGET_FRACTION}
+ORDER BY rnk
+"""
+
+
+@register("token_budget_selection", oracle=_BUDGET_ORACLE)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the highest-quality documents whose cumulative token count
+    fits a corpus-fraction budget — the data-curriculum selection step.
+
+    Quality = type-token ratio (distinct words / words; an exact
+    int-by-int IEEE division, so both engines produce identical bits).
+    The budget cutoff uses the EXCLUSIVE prefix sum (tokens before
+    this doc), so the document that crosses the budget line is still
+    admitted — the standard "fill until full" semantics.  The global
+    rank + prefix sum go through ``ranked_running_sum`` — range
+    partitioning, per-partition windows, and a p-row offset scan —
+    NOT a no-partition window, which would drag the whole corpus into
+    one task (operators/ordering.py documents the decomposition and
+    why the result is partition-count independent).
+    """
+    from ..operators.ordering import ranked_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct("w")) / F.size("w").cast("double")).alias("ttr"),
+    )
+    order = [F.col("ttr").desc(), F.col("doc_id")]
+    total = scored.agg(F.sum("n_tokens").alias("__total"))
+    return (
+        ranked_running_sum(scored, order, "n_tokens",
+                           rank_name="rnk", before_name="tokens_before")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("tokens_before") < F.col("__total") * F.lit(BUDGET_FRACTION))
+        .select("doc_id", "n_tokens", "ttr", "rnk", "tokens_before")
+        .orderBy("rnk")
+    )

@@ -115,3 +115,41 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ranked_running_sum_equals_global_window(spark):
+    """The two-phase range-partition decomposition must reproduce the
+    single-task global window exactly, at any shuffle width."""
+    from pyspark.sql import Window as W
+
+    from etl_pipe_spark.operators.ordering import ranked_running_sum
+
+    rows = [(i, (i * 37) % 101, (i * 13) % 7 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, score long, weight long")
+    order = [F.col("score").desc(), F.col("id")]
+
+    w = W.orderBy(*order)
+    expected = sorted(
+        (r.id, r.rnk, r.before)
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "before",
+            F.coalesce(
+                F.sum("weight").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .collect()
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = sorted(
+                (r.id, r.rnk, r.sum_before)
+                for r in ranked_running_sum(df, order, "weight").collect()
+            )
+            assert got == expected, f"diverged at {parts} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -56,6 +56,12 @@ FLAGSHIPS = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q20_dominant_supplier",
+    # Mid-r5: corpus-construction additions — RefinedWeb-style span
+    # boilerplate removal and token-budget curriculum selection
+    # (first driver rows; tpch_q10 / json_flatten_props yielded after
+    # four green driver rounds each).
+    "boilerplate_span_removal",
+    "token_budget_selection",
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the
