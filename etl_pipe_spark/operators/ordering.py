@@ -56,8 +56,15 @@ def ranked_running_sum(
         )
     )
     # one row per partition; prefix-scan this p-row table (p = shuffle
-    # width, never data-scale) and broadcast the offsets back
-    w_parts = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    # width, never data-scale) and broadcast the offsets back.  The
+    # constant partitionBy makes the single-partition window EXPLICIT
+    # (it is correct here precisely because the input is p rows) and
+    # keeps Spark's "No Partition Defined" warning out of plan audits.
+    w_parts = (
+        W.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = (
         within.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"), F.sum(sum_col).alias("__sum"))
