@@ -42,7 +42,12 @@ def ranked_running_sum(
     ``order`` must define a TOTAL order (include a unique tiebreaker);
     otherwise ranks are partition-dependent.  ``sum_col`` should be an
     exact type (integer/decimal) so the partial sums are
-    order-insensitive.
+    order-insensitive; its type is preserved in ``before_name`` (no
+    silent integer cast).  NULLs in ``sum_col`` contribute 0 to the
+    running sum — the global window instead PROPAGATES null into the
+    prefix of later rows only if every prior value is null; callers
+    needing window-exact null semantics should pre-``coalesce`` the
+    column (the repo's callers have non-null counts).
     """
     ranged = df.repartitionByRange(*order).withColumn(
         "__pid", F.spark_partition_id()
@@ -79,7 +84,8 @@ def ranked_running_sum(
         .withColumn(rank_name, (F.col("__cnt_off") + F.col("__rn_in")).cast("bigint"))
         .withColumn(
             before_name,
-            (F.col("__sum_off") + F.col("__sum_in") - F.col(sum_col)).cast("bigint"),
+            F.col("__sum_off") + F.coalesce(F.col("__sum_in"), F.lit(0))
+            - F.coalesce(F.col(sum_col), F.lit(0)),
         )
         .drop("__pid", "__rn_in", "__sum_in", "__cnt_off", "__sum_off")
     )

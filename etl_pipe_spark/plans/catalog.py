@@ -58,7 +58,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 51 names: 101 registered − 51 demoted = 50 in-window.
+# Exactly 52 names: 102 registered − 52 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -86,6 +86,9 @@ _DEMOTED = (
     "similarity_ann_ivf",        # pinned k=32 expression form; ann_ivf_scaled (production path, dynamic-k DuckDB twin) in-window
     "kmeans_update_step",        # single Lloyd step; kmeans_fit_clusters (full fit, invariant oracle) in-window
     "similarity_topk_cosine",    # brute-force baseline; ann_ivf_scaled's oracle twin recomputes per-cell exact cosine, recall floor pinned by tests/test_ivf_recall.py
+    # new mid-r5 registrations starting out-of-window (local-parity
+    # covered; rotation candidates next round):
+    "train_test_split_hash",     # deterministic hash split; mixture_sampling family, arithmetic-hash oracle
     # new TPC-H shapes starting out-of-window (local-parity covered):
     "tpch_q2_best_supplier",     # argmax-per-group window; topk_per_group + tpch_q15 cover the shape
     "tpch_q6_forecast_revenue",  # pure pushdown scan-agg; incremental_scan + pricing_summary cover

@@ -266,7 +266,9 @@ def double_role_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.alias("sn")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with the fact side — no broadcast hint; AQE
+        # downgrades the shuffle join to broadcast while it fits
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"), "left")
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"), "left")

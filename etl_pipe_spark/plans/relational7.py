@@ -117,12 +117,15 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     type, by order year — the conditional-numerator / total-denominator
     ratio aggregate.
 
-    Eight-way join where everything except lineitem |><| orders is a
-    broadcast: part is pre-filtered to the type, customer is
-    pre-joined to its region-filtered nation, supplier carries its
-    nation name.  The ratio divides two identically-rounded decimal
-    sums as doubles (the ``davg`` determinism recipe), so the hash is
-    partition-order independent.
+    Join strategy by table size class: nation/region are broadcast
+    unconditionally (bounded at 25/5 rows at any SF); customer and
+    supplier scale WITH the fact side, so their joins are left to AQE
+    (shuffle joins that AQE downgrades to broadcast while they fit —
+    forcing a broadcast hint on customer would OOM the build side at
+    the 100 TB design point); part is type-filtered and hinted since
+    it is the smallest SF-proportional table.  The ratio divides two
+    identically-rounded decimal sums as doubles (the ``davg``
+    determinism recipe), so the hash is partition-order independent.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
@@ -151,8 +154,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             volume.alias("volume"),
@@ -274,17 +277,21 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The plan is the scalable rewrite of the correlated subquery: ONE
     window over the distinct (part, supplier) projection instead of a
     per-part re-scan; part/supplier/nation/region all broadcast, so
-    the only wide operation is the distinct.  The final ordering is a
-    total order (partkey is unique after rn=1), so LIMIT 100 is
-    deterministic on both engines.
+    the only wide operation is the distinct — and the highly selective
+    part filter joins BELOW it (Catalyst won't push a join under an
+    aggregate on its own), so the shuffle carries only qualifying
+    parts' pairs, not every (part, supplier) pair in the corpus.  The
+    final ordering is a total order (partkey is unique after rn=1),
+    so LIMIT 100 is deterministic on both engines.
     """
-    shipped = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_suppkey", "p_partkey", "p_name")
+        .distinct()
     )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
@@ -296,8 +303,7 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("p_partkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
     return (
-        shipped.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        shipped.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name")
@@ -328,7 +334,9 @@ WITH vals AS (
 )
 SELECT p_partkey, part_value
 FROM vals
-WHERE part_value > (SELECT sum(part_value) FROM vals) * {_Q11_FRACTION}
+WHERE part_value >
+  (SELECT CAST(sum(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) FROM vals)
+  * {_Q11_FRACTION}
 ORDER BY part_value DESC, p_partkey
 """
 
@@ -340,9 +348,13 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ADAPTED: no ``partsupp``, so value = shipped quantity x retail
     price for suppliers in one region.  The scalar subquery is the
-    broadcast-1-row cross join (never a driver collect); the
-    threshold compares the already-rounded per-part doubles summed as
-    doubles on BOTH engines, so the boundary is bit-deterministic.
+    broadcast-1-row cross join (never a driver collect).  The grand
+    total re-enters DECIMAL before summing — the 2-dp part_value
+    doubles round-trip losslessly through DECIMAL(18,2), the decimal
+    sum is order-insensitive, and one final cast yields the same
+    double bits on both engines — a plain double sum here would be
+    partition-order dependent (functions/parity.py's whole reason to
+    exist) and could flip rows sitting ulps from the threshold.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -361,9 +373,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(money(F.col("l_quantity")) * money(F.col("p_retailprice")))
              .alias("part_value"))
     )
-    # the oracle's scalar subquery sums the ROUNDED doubles, so mirror
-    # that exactly: plain double sum over part_value
-    total = vals.agg(F.sum("part_value").alias("__total"))
+    total = vals.agg(
+        F.sum(F.col("part_value").cast("decimal(18,2)"))
+        .cast("double").alias("__total")
+    )
     return (
         vals.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("__total") * F.lit(_Q11_FRACTION))
@@ -436,8 +449,9 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> 'Brand#2'
   AND p.p_type <> 'PROMO'
   AND p.p_size IN {_Q16_SIZES}
-  AND l.l_suppkey NOT IN (
-    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier s
+    WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey
   )
 GROUP BY p.p_brand, p.p_type, p.p_size
 ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
@@ -447,14 +461,17 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 @register("tpch_q16_supplier_cnt", oracle=_Q16_ORACLE)
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many suppliers can serve each part
-    attribute bucket — COUNT(DISTINCT) with a NOT-IN exclusion list.
+    attribute bucket — COUNT(DISTINCT) with an exclusion list.
 
     ADAPTED: "supplies" means "has shipped" (no ``partsupp``) and the
-    complaint filter is a negative account balance.  The NOT IN is a
-    broadcast anti join against the tiny flagged-supplier list (the
+    complaint filter is a negative account balance.  The exclusion is
+    a broadcast anti join against the tiny flagged-supplier list (the
     only plan that survives when the exclusion list is built from a
-    1e6-row supplier table: never a NOT-IN nested loop); part is
-    broadcast; the COUNT(DISTINCT suppkey) is the one shuffle.
+    1e6-row supplier table: never a nested loop), and the oracle says
+    NOT EXISTS — not the textbook NOT IN — because left_anti has
+    NOT-EXISTS NULL semantics (a NULL key in either side diverges
+    under NOT IN); part is broadcast; the COUNT(DISTINCT suppkey) is
+    the one shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(

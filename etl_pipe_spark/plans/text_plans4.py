@@ -128,6 +128,72 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_MULT = 2654435761          # Knuth multiplicative constant (2^32 / phi)
+_SPLIT_MOD = 4294967296           # 2^32
+_SPLIT_TRAIN, _SPLIT_VAL = 0.8, 0.9  # cumulative split boundaries
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ((doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}) / CAST({_SPLIT_MOD} AS DOUBLE)
+           AS u
+  FROM documents
+)
+SELECT CASE WHEN u < {_SPLIT_TRAIN} THEN 'train'
+            WHEN u < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM assigned
+GROUP BY 1
+ORDER BY split
+"""
+
+
+@register("train_test_split_hash", oracle=_SPLIT_ORACLE)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the
+    split step every training pipeline runs before packing/sharding.
+
+    The hash is the Knuth multiplicative scheme on the stable document
+    key (id * 2654435761 mod 2^32, scaled to [0,1)) — pure 64-bit
+    integer arithmetic that BOTH engines evaluate identically, unlike
+    engine-native hash functions (Spark xxhash64 has no DuckDB twin),
+    so the assignment itself is oracle-checkable, reproducible across
+    reruns, and stable under repartitioning.  In production the key
+    would be a content fingerprint (doc_fingerprint) rather than the
+    id, so re-crawled duplicates land in the same split — the
+    composition is the same expression over a different column.  One
+    narrow projection + one aggregation; no shuffle beyond the 3-group
+    rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    u = (
+        (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD)
+    ) / F.lit(float(_SPLIT_MOD))
+    assigned = docs.withColumn(
+        "split",
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
 _BUDGET_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id,

@@ -41,7 +41,9 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 
 def test_double_role_dim_broadcasts_both_roles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "double_role_dim_join")
-    assert plan.count("BroadcastHashJoin") >= 4  # cust, supp, nation x2
+    # supp + nation x2 hinted; customer is unhinted (fact-scale at
+    # production SF) but auto-broadcasts at test SF via size stats
+    assert plan.count("BroadcastHashJoin") >= 4
 
 
 def test_topk_is_take_ordered(spark, sf_dir):

@@ -291,7 +291,10 @@ def main() -> None:
         for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh",
                      "corpus_curation_pipeline", "dedup_clusters",
                      "contamination_check", "quality_repetition_filter",
-                     "sequence_packing", "kmeans_update_step"):
+                     "sequence_packing", "kmeans_update_step",
+                     # r5: span boilerplate removal is the op this
+                     # corpus's 30%-boilerplate preamble stresses most
+                     "boilerplate_span_removal", "token_budget_selection"):
             t0 = time.time()
             cnt = qs[name](spark, sf_dir).count()
             row[name] = round(time.time() - t0, 2)
