@@ -46,7 +46,7 @@ _PLAN_MODULES = (
     "relational6", "relational7", "json_ops",
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
     "text_plans", "text_plans2", "text_plans3", "text_plans4",
-    "pandas_ops", "curation_pipeline",
+    "pandas_ops", "curation_pipeline", "corpus_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -58,7 +58,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 52 names: 102 registered − 52 demoted = 50 in-window.
+# Exactly 56 names: 106 registered − 56 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -76,6 +76,15 @@ _PLAN_MODULES = (
 # sits in-window this round; the other five start demoted (covered by
 # the local oracle-parity suite, rotation candidates next round).
 _DEMOTED = (
+    # yielded their slots to the FOUR new round-5 corpus ops
+    # (corpus_shuffle_shards / vocab_top_coverage /
+    # unigram_logprob_quality / embedding_gram_matrix — first-ever
+    # driver rows beat repeat greens; every demotion below carries
+    # multiple prior driver-green rounds and an in-window family rep):
+    "exact_percentiles",         # r3+r4 green; quantile family rep in-window: approx_aggregates (rank brackets)
+    "tpch_q21_waiting_supplier", # green r1-r4 (4 rounds); correlated EXISTS/NOT-EXISTS + window covered by tpch_q20 (semi-join window) and q8/q9
+    "pricing_summary",           # green r1-r4 (4 rounds); grouped multi-agg with conditional sums covered by run_summary_rollup + supplier_nation_rollup
+    "tpch_q7_volume_shipping",   # r3+r4 green; two-nation-role join is a subplan of tpch_q8 market share (in-window)
     # yielded their slots to the two NEW corpus-construction ops
     # (boilerplate_span_removal / token_budget_selection — first-ever
     # driver rows beat a fifth green row; both demotions carry four

@@ -66,6 +66,16 @@ FLAGSHIPS = [
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the
     # curation pipeline's sampling stage).
+    # Late-r5: corpus-serving + model-prep quartet — deterministic
+    # global shuffle/shard packing, vocabulary coverage audit, unigram
+    # LM quality score, and the distributed Gram (PCA) kernel.  First
+    # driver rows; exact_percentiles / tpch_q21 / pricing_summary /
+    # tpch_q7 yielded after 2-4 green driver rounds each, every one
+    # with an in-window family rep (see catalog._DEMOTED notes).
+    "corpus_shuffle_shards",
+    "vocab_top_coverage",
+    "unigram_logprob_quality",
+    "embedding_gram_matrix",
 ]
 
 
