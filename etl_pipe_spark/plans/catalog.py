@@ -58,7 +58,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 56 names: 106 registered − 56 demoted = 50 in-window.
+# Exactly 57 names: 107 registered − 57 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -82,6 +82,8 @@ _DEMOTED = (
     # driver rows beat repeat greens; every demotion below carries
     # multiple prior driver-green rounds and an in-window family rep):
     "exact_percentiles",         # r3+r4 green; quantile family rep in-window: approx_aggregates (rank brackets)
+    # yielded its slot to the NEW bloom_incremental_filter:
+    "topk_per_group",            # green r1-r4 (4 rounds); partitioned window ranking covered in-window by tpch_q20 (rank+semi-join), scd2_version_chain (lag windows), token_budget_selection (distributed rank)
     "tpch_q21_waiting_supplier", # green r1-r4 (4 rounds); correlated EXISTS/NOT-EXISTS + window covered by tpch_q20 (semi-join window) and q8/q9
     "pricing_summary",           # green r1-r4 (4 rounds); grouped multi-agg with conditional sums covered by run_summary_rollup + supplier_nation_rollup
     "tpch_q7_volume_shipping",   # r3+r4 green; two-nation-role join is a subplan of tpch_q8 market share (in-window)

@@ -289,3 +289,79 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v")
     )
     return gram_matrix(emb, vec_col="v").orderBy("i", "j")
+
+
+# Bloom incremental filter: the batch-vs-historical split is by doc id
+# residue (every 5th doc is "new"); membership unit is the 3-gram word
+# shingle (same definition as the Jaccard dedup family), because the
+# driver corpus has no exact full-text duplicates — shingles give the
+# invariant real members to certify.
+_BLOOM_M = 1 << 19        # bits; ~13 per historical shingle here (fp << 1%)
+_BLOOM_FP_BOUND = 0.05    # asserted ceiling, ~10x the theoretical rate
+
+_BLOOM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[t.i : t.i + 2], ' ') AS shingle
+  FROM words, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+), hist AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 != 0
+), batch AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_batch_shingles,
+       CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_members,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_rate_below_bound
+FROM batch b LEFT JOIN hist h ON h.shingle = b.shingle
+"""
+
+
+@register("bloom_incremental_filter", oracle=_BLOOM_ORACLE)
+def bloom_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership of a new batch against the historical
+    corpus — the incremental-dedup index that never re-reads history
+    (``operators/bloom.py`` documents the build/probe mechanics and
+    the 100 TB role).
+
+    The oracle can't see inside an engine-specific bit array, so the
+    query certifies the filter's CONTRACT instead, the
+    approx_aggregates recipe: exact batch/member counts (DuckDB
+    recomputes them via a real join) plus two booleans — every exact
+    member was a bloom hit (false negatives are impossible when build
+    and probe agree on hashes; a red here means broken plumbing), and
+    the false-positive rate among true non-members sits under a bound
+    ~10x the theoretical sizing.  The in-query exact join exists only
+    to grade the filter — a production consumer runs just the probe.
+    """
+    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).filter(F.col("shingle").isNotNull())
+    hist = (sh.filter(F.col("doc_id") % 5 != 0)
+            .select("shingle").distinct())
+    batch = (sh.filter(F.col("doc_id") % 5 == 0)
+             .select("shingle").distinct())
+
+    words = bloom_build(hist, "shingle", _BLOOM_M)
+    probed = bloom_probe(batch, "shingle", words, _BLOOM_M)
+    graded = probed.join(
+        hist.withColumn("__member", F.lit(True)), "shingle", "left"
+    )
+    member = F.col("__member").isNotNull()
+    return graded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_shingles"),
+        F.sum(F.when(member, 1).otherwise(0)).cast("bigint")
+        .alias("n_exact_members"),
+        F.bool_and(F.when(member, F.col("bloom_hit")).otherwise(F.lit(True)))
+        .alias("no_false_negatives"),
+        (
+            F.sum(F.when(~member & F.col("bloom_hit"), 1).otherwise(0))
+            / F.greatest(F.sum(F.when(~member, 1).otherwise(0)), F.lit(1))
+            <= F.lit(_BLOOM_FP_BOUND)
+        ).alias("fp_rate_below_bound"),
+    )

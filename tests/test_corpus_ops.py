@@ -101,6 +101,45 @@ def test_unigram_quality_scores_all_docs_positive(spark, sf_dir):
     )
 
 
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from etl_pipe_spark.operators.bloom import (
+        bloom_bits_for,
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 2000).selectExpr("concat('key-', id) AS k")
+    m = bloom_bits_for(2000)
+    words = bloom_build(members, "k", m)
+    # the filter is bounded by construction: <= m/64 words
+    assert words.count() <= m // 64
+
+    probe_in = spark.range(0, 2000).selectExpr("concat('key-', id) AS k")
+    hits = bloom_probe(probe_in, "k", words, m).collect()
+    assert all(r["bloom_hit"] for r in hits), "bloom false negative"
+
+    probe_out = spark.range(0, 5000).selectExpr("concat('other-', id) AS k")
+    fp = [r["bloom_hit"] for r in bloom_probe(probe_out, "k", words, m).collect()]
+    assert sum(fp) / len(fp) < 0.05, f"fp rate {sum(fp)/len(fp)} out of bound"
+
+
+def test_bloom_probe_deterministic_across_partitionings(spark):
+    from etl_pipe_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.range(0, 500).selectExpr("concat('key-', id) AS k")
+    m = 1 << 14
+    w1 = bloom_build(keys.coalesce(1), "k", m)
+    w2 = bloom_build(keys.repartition(11), "k", m)
+    assert (
+        sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    ), "OR-reduce must be partition-independent"
+    probe = spark.range(0, 1000).selectExpr("concat('key-', id) AS k")
+    h1 = {r["k"]: r["bloom_hit"] for r in bloom_probe(probe, "k", w1, m).collect()}
+    h2 = {r["k"]: r["bloom_hit"] for r in bloom_probe(
+        probe.repartition(7), "k", w2, m).collect()}
+    assert h1 == h2
+
+
 def test_gram_registered_query_is_upper_triangle(spark, sf_dir):
     rows = embedding_gram_matrix(spark, sf_dir).collect()
     assert all(r["i"] <= r["j"] for r in rows)

@@ -76,6 +76,11 @@ FLAGSHIPS = [
     "vocab_top_coverage",
     "unigram_logprob_quality",
     "embedding_gram_matrix",
+    # Bloom incremental-dedup index (build = bit_or OR-reduce, probe =
+    # broadcast join) under the invariant-boolean oracle; topk_per_group
+    # yielded after four green driver rounds (window ranking covered by
+    # tpch_q20 / scd2_version_chain / token_budget_selection in-window).
+    "bloom_incremental_filter",
 ]
 
 
