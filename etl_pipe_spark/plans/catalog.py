@@ -46,7 +46,7 @@ _PLAN_MODULES = (
     "relational6", "relational7", "json_ops",
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
     "text_plans", "text_plans2", "text_plans3", "text_plans4",
-    "pandas_ops", "curation_pipeline", "corpus_plans",
+    "pandas_ops", "curation_pipeline", "corpus_plans", "layout_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -58,7 +58,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 57 names: 107 registered − 57 demoted = 50 in-window.
+# Exactly 59 names: 109 registered − 59 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -128,6 +128,15 @@ _DEMOTED = (
     # dedup_clusters_star (two-phase star-contraction components — a
     # first-ever driver row beats a third green row for a LIMIT demo):
     "topk_orders",               # deterministic LIMIT family rep in-window: topk_per_group
+    # yielded their slots to the TWO new layout ops
+    # (zorder_layout_skipping / length_bucket_batching — first-ever
+    # driver rows).  Same convention as the mid-r5 TPC-H swap: a
+    # multi-round-green query whose PRODUCTION-SCALE SUPERSET is
+    # in-window this round hands over its slot — the family keeps a
+    # hard-signal row through the superset, and the local artifact
+    # keeps row-level coverage of the demoted form:
+    "dedup_clusters",            # green r2-r4 (3 rounds); in-window superset: dedup_clusters_star (same capped pair graph, two-phase star contraction)
+    "semantic_dedup",            # green r3+r4; in-window superset: semantic_dedup_scaled (production BLAS kernel, corpus-sized k, same earliest-id-wins semantics)
     # rotated out r4 (all r3-green, in-window cover noted):
     "stats_moments",             # stats family rep in-window: exact_percentiles
     "tpch_q4_order_priority",    # correlated EXISTS covered by tpch_q21's exists/not-exists

@@ -25,12 +25,14 @@ FLAGSHIPS = [
     "text_redact",
     "pandas_group_zscore",
     "corpus_curation_pipeline",
-    "dedup_clusters",
+    # dedup_clusters / semantic_dedup rotated out late r5 under the
+    # superset convention: dedup_clusters_star (same pair graph,
+    # two-phase star contraction) and semantic_dedup_scaled (the
+    # production BLAS kernel) hold their families' hard signal.
     # Round-3 corpus-construction flagships — first driver rows pending.
     "sequence_packing",
     "contamination_check",
     "quality_repetition_filter",
-    "semantic_dedup",
     # Round-4: the full Lloyd loop registered as a rows-only query,
     # and the multimodal 1->N frame-sampling shape.
     "kmeans_fit_clusters",
@@ -81,6 +83,12 @@ FLAGSHIPS = [
     # yielded after four green driver rounds (window ranking covered by
     # tpch_q20 / scd2_version_chain / token_budget_selection in-window).
     "bloom_incremental_filter",
+    # Late-r5: storage-layout pair — Z-order (Morton) clustering with
+    # the per-bin prunability audit, and length-bucketed batching with
+    # exact padding-waste accounting; dedup_clusters / semantic_dedup
+    # yielded under the superset convention (notes above).
+    "zorder_layout_skipping",
+    "length_bucket_batching",
 ]
 
 
