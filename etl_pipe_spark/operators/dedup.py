@@ -324,6 +324,24 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     engines render identically.  One narrow unionByName per band, an
     equi-join per bucket; no quadratic stage anywhere.
     """
+    all_bands = lsh_band_keys(signatures)
+    a, b = all_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .distinct()
+    )
+
+
+def lsh_band_keys(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) rows — the banded-bucket index one
+    side of an LSH join publishes.  Factored out of
+    :func:`lsh_candidate_pairs` so a PROBE side (a new batch) can meet
+    a BUILD side (the historical index) without recomputing history:
+    at 100 TB the band keys are what an incremental pipeline persists
+    (bands x docs rows, ~40 bytes each), never the shingle sets."""
     bands = []
     for band in range(N_BANDS):
         cols = [F.col(f"mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -334,15 +352,29 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
                 F.md5(F.concat_ws(",", *cols)).alias("band_key"),
             )
         )
-    all_bands = bands[0]
+    out = bands[0]
     for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    a, b = all_bands.alias("a"), all_bands.alias("b")
+        out = out.unionByName(b)
+    return out
+
+
+def lsh_probe_pairs(hist_sigs: DataFrame, batch_sigs: DataFrame) -> DataFrame:
+    """Cross-set LSH candidates: (hist_id, batch_id) pairs agreeing on
+    any full band — the incremental form of
+    :func:`lsh_candidate_pairs`, probing a new batch against an
+    already-indexed corpus without comparing history to itself.
+
+    One equi-join on (band, band_key); candidate cost is the bucket
+    collision count, never |hist| x |batch|.  Band keys are the same
+    md5 strings as the batch-mode path, so an index built by one and
+    probed by the other agrees bucket for bucket."""
+    h = lsh_band_keys(hist_sigs).alias("h")
+    b = lsh_band_keys(batch_sigs).alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        h.join(b, (F.col("h.band") == F.col("b.band"))
+               & (F.col("h.band_key") == F.col("b.band_key")))
+        .select(F.col("h.doc_id").alias("left_id"),
+                F.col("b.doc_id").alias("right_id"))
         .distinct()
     )
 

@@ -29,7 +29,7 @@ driver-mandated extension operator.
 from __future__ import annotations
 
 import sys
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import numpy as np
 import pyarrow as pa
@@ -95,3 +95,83 @@ def gram_matrix(emb: DataFrame, vec_col: str = "v") -> DataFrame:
         partial.groupBy("i", "j")
         .agg(F.sum("partial").cast("bigint").alias("gram"))
     )
+
+
+class PCAResult(NamedTuple):
+    """pca_top_component result: the unit top eigenvector, its Rayleigh
+    quotient lambda-hat = v^T G v (quantized-lattice scale), the exact
+    integer trace and max diagonal of G, the corpus row count, and the
+    DISTRIBUTED sum of squared projections Sigma (q . v)^2 — computed
+    by a second corpus pass, so comparing it to lambda-hat ties the
+    projection kernel to the driver-side eigendecomposition."""
+
+    component: np.ndarray
+    lam1: float
+    trace: int
+    max_diag: int
+    n: int
+    proj_sumsq: float
+
+
+def pca_top_component(emb: DataFrame, vec_col: str = "v") -> PCAResult:
+    """Distributed PCA, the tall-skinny covariance route: one
+    map-side pass builds G = Q^T Q (``gram_matrix`` — batches x dim^2
+    shuffle at any corpus size), the dim x dim eigendecomposition runs
+    on the driver (the broadcast-dim pattern: dim^2 floats, the same
+    footprint class as the k-means centroid table in operators/ann.py),
+    and a second linear pass projects every vector onto the top
+    component.
+
+    Exactness/determinism: G's entries are exact int64 (gram_matrix's
+    fixed-point contract), so the eigenproblem input is bit-identical
+    under any partitioning; the eigenvector's sign is pinned (first
+    coordinate above 1e-12 made positive) so the fit is reproducible.
+    int64 -> float64 for eigh is lossless while |gram| < 2^53 — at the
+    2^10 lattice that is ~2^31 corpus rows per unit-variance
+    coordinate; beyond that the eigensolve (NOT the hash-checked
+    trace) sees ~1e-16 relative rounding, which is far inside eigh's
+    own backward error.
+
+    The projection pass emits one (sum of squares, count) partial per
+    Arrow batch; the float partial sum is order-dependent at ~1e-12
+    relative — callers comparing it to lambda-hat must use a
+    tolerance, which is exactly what the registered query's
+    invariant boolean does.
+    """
+    rows = gram_matrix(emb, vec_col).collect()  # dim^2/2 rows
+    dim = max(r["j"] for r in rows) + 1
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r["i"], r["j"]] = r["gram"]
+        g[r["j"], r["i"]] = r["gram"]
+    trace = int(sum(int(r["gram"]) for r in rows if r["i"] == r["j"]))
+    max_diag = int(max(int(r["gram"]) for r in rows if r["i"] == r["j"]))
+    _, vecs = np.linalg.eigh(g)
+    v1 = vecs[:, -1]
+    nz = np.flatnonzero(np.abs(v1) > 1e-12)
+    if len(nz) and v1[nz[0]] < 0:
+        v1 = -v1
+    lam1 = float(v1 @ g @ v1)
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not len(b):
+                continue
+            x = _batch_matrix(b, vec_col)
+            q = np.floor(x * GRAM_Q + 0.5)
+            s = q @ v1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([float((s * s).sum())], pa.float64()),
+                    pa.array([len(s)], pa.int64()),
+                ],
+                ["ss", "cnt"],
+            )
+
+    agg = (
+        emb.select(vec_col).mapInArrow(op, "ss double, cnt bigint")
+        .agg(F.sum("ss").alias("ss"), F.sum("cnt").alias("cnt"))
+        .collect()[0]
+    )
+    return PCAResult(v1, lam1, trace, max_diag,
+                     int(agg["cnt"]), float(agg["ss"]))

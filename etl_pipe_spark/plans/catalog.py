@@ -137,6 +137,13 @@ _DEMOTED = (
     # keeps row-level coverage of the demoted form:
     "dedup_clusters",            # green r2-r4 (3 rounds); in-window superset: dedup_clusters_star (same capped pair graph, two-phase star contraction)
     "semantic_dedup",            # green r3+r4; in-window superset: semantic_dedup_scaled (production BLAS kernel, corpus-sized k, same earliest-id-wins semantics)
+    # yielded its slot to the NEW pca_top_component (distributed PCA
+    # under the invariant-boolean oracle — a first-ever driver row):
+    "coercion_kitchen_sink",     # green r1-r4 (4 rounds); safe_get/safe_bool/safe_numeric surface also exercised in-window by json_flatten_input_data (promoted r5, 12-key allowlist + safe casts)
+    # yielded its slot to the NEW incremental_neardup_lsh (batch-vs-
+    # history LSH probe — a first-ever driver row for the incremental
+    # dedup shape):
+    "timeline_union",            # green r1-r4 (4 rounds); union machinery in-window via merge_replay_dedup (unionByName + dropDuplicates) and zorder_layout_skipping (two-branch ranked union); the 8-branch typed-NULL form keeps flow-test (J7 pass T) + local-artifact coverage
     # rotated out r4 (all r3-green, in-window cover noted):
     "stats_moments",             # stats family rep in-window: exact_percentiles
     "tpch_q4_order_priority",    # correlated EXISTS covered by tpch_q21's exists/not-exists

@@ -291,6 +291,74 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(emb, vec_col="v").orderBy("i", "j")
 
 
+# Distributed PCA: gram partials -> driver-side dim x dim eigh ->
+# projection pass.  An eigendecomposition has no ANSI twin, so the
+# oracle certifies the INVARIANTS (the kmeans_fit_clusters recipe):
+# DuckDB recomputes the exact corpus count and the exact integer trace
+# of the quantized Gram matrix (trace(Q^T Q) = sum of squared lattice
+# values — no gram needed) and asserts the four booleans TRUE that the
+# Spark side derives from the actual fit.
+_PCA_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(list_sum(list_transform(qv, v -> v * v))) AS BIGINT)
+         AS trace_q,
+       TRUE AS unit_norm_ok,
+       TRUE AS rayleigh_ge_max_diag,
+       TRUE AS explained_le_trace,
+       TRUE AS projection_matches_rayleigh
+FROM q
+"""
+
+
+@register("pca_top_component", oracle=_PCA_ORACLE)
+def pca_top_component_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end distributed PCA (top principal component) as a
+    hash-checked query: one Gram pass, a driver-side 64 x 64
+    eigendecomposition, one projection pass — then the fit's
+    invariants as one row of exact stats + booleans.
+
+    What the row certifies: ``n_vectors`` and ``trace_q`` are exact
+    integers BOTH engines recompute independently (DuckDB never sees
+    the eigenvector — trace(Q^T Q) is just the lattice sum of
+    squares); ``unit_norm_ok`` pins eigh's output scale;
+    ``rayleigh_ge_max_diag`` is the spectral floor lambda_1 >= max_ii
+    G_ii every true top eigenvector satisfies (a shuffled/garbage
+    vector fails it); ``explained_le_trace`` is PSD sanity; and
+    ``projection_matches_rayleigh`` ties the DISTRIBUTED second pass
+    to the driver-side algebra: Sigma (q . v)^2 over the corpus must
+    equal v^T G v to float tolerance — a wrong projection kernel, a
+    stale component, or a lattice mismatch all break it.
+    """
+    from ..operators.linalg import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    res = pca_top_component(emb)
+    v = res.component
+    rel = abs(res.proj_sumsq - res.lam1) / max(abs(res.lam1), 1.0)
+    row = (
+        res.n,
+        res.trace,
+        bool(abs(float(v @ v) - 1.0) < 1e-9),
+        bool(res.lam1 >= res.max_diag * (1.0 - 1e-9) - 1e-6),
+        bool(res.lam1 <= res.trace * (1.0 + 1e-12) + 1e-6),
+        bool(rel < 1e-9),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vectors bigint, trace_q bigint, unit_norm_ok boolean, "
+        "rayleigh_ge_max_diag boolean, explained_le_trace boolean, "
+        "projection_matches_rayleigh boolean",
+    )
+
+
 # Bloom incremental filter: the batch-vs-historical split is by doc id
 # residue (every 5th doc is "new"); membership unit is the 3-gram word
 # shingle (same definition as the Jaccard dedup family), because the

@@ -148,6 +148,127 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental near-dup: probe a new batch against the historical LSH
+# index (the streaming/daily-ingest form of dedup_minhash_lsh — history
+# is never compared to itself, and at 100 TB only its band keys are
+# persisted, not its shingle sets).
+# --------------------------------------------------------------------------
+
+def _duck_incremental_neardup_sql() -> str:
+    h = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
+    sig_cols = ",\n    ".join(
+        f"min(({DD.PERM_A[i]} * {h} + {DD.PERM_B[i]}) % {DD.MINHASH_P}) AS mh{i}"
+        for i in range(DD.N_PERM)
+    )
+    band_selects = []
+    for band in range(DD.N_BANDS):
+        cols = ", ".join(
+            f"mh{band * DD.ROWS_PER_BAND + r}" for r in range(DD.ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    bands_union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+),
+inter AS (
+  SELECT c.left_id, c.right_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.left_id
+  JOIN sh b ON b.doc_id = c.right_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT i.left_id, i.right_id,
+         CAST(i.n_common AS DOUBLE)
+           / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE)
+           AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.left_id
+  JOIN sizes sb ON sb.doc_id = i.right_id
+  WHERE CAST(i.n_common AS DOUBLE)
+          / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+),
+best AS (
+  SELECT right_id, left_id, jaccard,
+         row_number() OVER (PARTITION BY right_id
+                            ORDER BY jaccard DESC, left_id) AS rn
+  FROM hits
+)
+SELECT d.doc_id AS batch_id,
+       (b.left_id IS NOT NULL) AS is_dup,
+       CAST(b.left_id AS BIGINT) AS dup_of,
+       b.jaccard AS best_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.right_id = d.doc_id
+ORDER BY batch_id
+"""
+
+
+@register("incremental_neardup_lsh", oracle=_duck_incremental_neardup_sql())
+def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a new batch (every 5th doc) against the HISTORICAL corpus's
+    LSH index: band-bucket join, exact-Jaccard verify, best historical
+    match per batch doc (ties: higher jaccard, then earliest id), NULLs
+    for clean docs — the decision table a daily-ingest dedup stage
+    emits.
+
+    Incremental shape (``operators/dedup.py lsh_probe_pairs``):
+    history meets the batch ONLY through (band, band_key) buckets —
+    history is never self-joined, so a day's cost is
+    |batch| x bands + collisions, independent of |history|; the
+    persisted index is band keys (bands x docs small rows), with
+    shingle sets needed only for verifying the colliding candidates.
+    Complements bloom_incremental_filter (exact membership) with the
+    NEAR-dup membership a curation pipeline actually runs.
+    """
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sharr = DD.shingle_arrays(docs, n=3)
+    hist_sig = DD.minhash_signatures_arrays(
+        sharr.filter(F.col("doc_id") % 5 != 0))
+    batch_sig = DD.minhash_signatures_arrays(
+        sharr.filter(F.col("doc_id") % 5 == 0))
+    cand = DD.lsh_probe_pairs(hist_sig, batch_sig)
+    verified = DD.jaccard_verify(sharr, cand, threshold=0.5)
+    w = W.partitionBy("right_id").orderBy(
+        F.col("jaccard").desc(), F.col("left_id"))
+    best = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("right_id", "left_id", "jaccard")
+    )
+    batch_ids = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("batch_id"))
+    return (
+        batch_ids.join(best, batch_ids.batch_id == best.right_id, "left")
+        .select(
+            "batch_id",
+            F.col("left_id").isNotNull().alias("is_dup"),
+            F.col("left_id").cast("bigint").alias("dup_of"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints.
 # --------------------------------------------------------------------------
 

@@ -83,6 +83,17 @@ FLAGSHIPS = [
     # yielded after four green driver rounds (window ranking covered by
     # tpch_q20 / scd2_version_chain / token_budget_selection in-window).
     "bloom_incremental_filter",
+    # Late-r5: end-to-end distributed PCA (gram partials -> driver
+    # dim x dim eigh -> projection pass) under the invariant-boolean
+    # oracle; coercion_kitchen_sink yielded after four green driver
+    # rounds (safe-coercion surface kept in-window by
+    # json_flatten_input_data).
+    "pca_top_component",
+    # Late-r5: incremental near-dup (new batch probed against the
+    # historical LSH index — band-bucket join, never a history
+    # self-join); timeline_union yielded after four green driver
+    # rounds (union machinery kept in-window by merge_replay_dedup).
+    "incremental_neardup_lsh",
     # Late-r5: storage-layout pair — Z-order (Morton) clustering with
     # the per-bin prunability audit, and length-bucketed batching with
     # exact padding-waste accounting; dedup_clusters / semantic_dedup
