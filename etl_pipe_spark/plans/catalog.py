@@ -47,6 +47,7 @@ _PLAN_MODULES = (
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
     "text_plans", "text_plans2", "text_plans3", "text_plans4",
     "pandas_ops", "curation_pipeline", "corpus_plans", "layout_plans",
+    "profiling_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -58,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 59 names: 109 registered − 59 demoted = 50 in-window.
+# Exactly 63 names: 113 registered − 63 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -181,6 +182,12 @@ _DEMOTED = (
     "embedding_neardup_pairs",   # embedding near-dup covered by semantic_dedup (cluster-blocked)
     "tumbling_window_agg",       # r1+r2-green; sliding_window_agg (superset) + session stay in
     "doc_quality_score",         # r1+r2-green; quality_repetition_filter is the quality rep now
+    # late-r5 NEW monitoring ops, START demoted (the mid-r5 TPC-H
+    # precedent): full hash signal in the local artifact + the
+    # oracle-parity suite this round, first-in-line window rotation
+    # candidates for r6:
+    "table_profile_stats",       # ANALYZE-style exact column profile of orders
+    "dq_audit_violations",       # FK/domain/non-null constraint audit
 )
 
 

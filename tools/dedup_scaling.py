@@ -235,6 +235,19 @@ def vector_sweep(scales: list[int], families: list[str]) -> None:
             row["kmeans_fit_assign_rows"] = fit.assignment.count()
             row["kmeans_fit"] = round(_t.time() - t0, 2)
             row["kmeans_fit_iters"] = fit.n_iters
+        if "pca" in families:
+            from pyspark.sql import functions as F
+
+            from etl_pipe_spark.operators.linalg import pca_top_component
+            emb = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ).select(F.col("embedding").cast("array<double>").alias("v"))
+            t0 = _t.time()
+            res = pca_top_component(emb)
+            row["pca_top_component"] = round(_t.time() - t0, 2)
+            row["pca_n"] = res.n
+            row["pca_proj_rel_err"] = float(
+                abs(res.proj_sumsq - res.lam1) / max(abs(res.lam1), 1.0))
         print(json.dumps(row), flush=True)
 
 
@@ -294,7 +307,10 @@ def main() -> None:
                      "sequence_packing", "kmeans_update_step",
                      # r5: span boilerplate removal is the op this
                      # corpus's 30%-boilerplate preamble stresses most
-                     "boilerplate_span_removal", "token_budget_selection"):
+                     "boilerplate_span_removal", "token_budget_selection",
+                     # late r5: the batch-vs-history probe must track
+                     # the batch-mode LSH cost, not the corpus square
+                     "incremental_neardup_lsh"):
             t0 = time.time()
             cnt = qs[name](spark, sf_dir).count()
             row[name] = round(time.time() - t0, 2)
