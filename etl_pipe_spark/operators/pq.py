@@ -240,6 +240,127 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_adc_topk(
+    codes_df: DataFrame,
+    ranked: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "v",
+    max_query_bytes: int = 64 << 20,
+) -> DataFrame:
+    """IVF + ADC combined — the full IVFADC search (Jegou et al. 2011,
+    the FAISS production design): each query scores PQ codes ONLY in
+    its ``nprobe`` probed IVF cells, so per-query cost is
+    nprobe x mean-cell-size table lookups instead of a linear scan of
+    all codes (``pq_adc_topk``), and each candidate costs m code
+    lookups instead of a dim-float dot product (IVF alone).
+
+    Shape: codes join their cell assignment (one hash join), then ONE
+    ``applyInPandas`` over cells — the group's members are scored
+    against the cell's probing queries with m fancy-indexed LUT
+    lookups, and only tie-stable per-(query, cell) top-k rows leave
+    the group, so the shuffle carries cells x queries-probing x k
+    rows.  The query set (ids, vectors, probed cells) is driver-
+    collected under the same mechanical ``max_query_bytes`` budget as
+    pq_adc_topk / ann_probe_topk_blas: above the budget, queries chunk
+    into independent passes.
+
+    ``ranked`` is an IVF assignment frame (vec_id, cent_id, rn) as
+    produced by ivf_assign_vectorized or the expression ranker —
+    rn = 1 places members, rn <= nprobe places queries.
+    """
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    spark = codes_df.sparkSession
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    cell_codes = codes_df.select("vec_id", "codes").join(assign, "vec_id")
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], _CAND_SCHEMA).select(
+            "query_id", "neighbor_id", F.lit(1).alias("rnk")).limit(0)
+    probe_rows = (
+        ranked.join(
+            queries.select(F.col(query_id_col).alias("vec_id")), "vec_id")
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "cent_id")
+        .collect()
+    )
+    probes: dict[int, list[int]] = {}
+    for r in probe_rows:
+        probes.setdefault(int(r["vec_id"]), []).append(int(r["cent_id"]))
+
+    dim = m * dsub
+    n_chunks = max(1, -(-(len(q_rows) * dim * 8) // max_query_bytes))
+    chunk_sz = -(-len(q_rows) // n_chunks)
+    cand_parts = []
+    for c0 in range(0, len(q_rows), chunk_sz):
+        chunk = q_rows[c0:c0 + chunk_sz]
+        qids = np.array([r[0] for r in chunk], dtype=np.int64)
+        qmat = np.array([r[1] for r in chunk], dtype=np.float64)
+        lut = _subspace_d2(qmat.reshape(len(chunk), m, dsub), codebooks)
+        cell_to_q: dict[int, list[int]] = {}
+        for qi, qid in enumerate(qids):
+            for cid in probes.get(int(qid), ()):
+                cell_to_q.setdefault(cid, []).append(qi)
+
+        def _make_score_cell(qids=qids, lut=lut, cell_to_q=cell_to_q):
+            # applyInPandas requires a 1-arg (or key+data) callable, so
+            # the chunk's state binds via this factory, not kwargs
+            def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+                empty = pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"),
+                     "neighbor_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float64")})
+                if not len(pdf):
+                    return empty
+                qloc = cell_to_q.get(int(pdf["cent_id"].iloc[0]))
+                if not qloc:
+                    return empty
+                ids = pdf["vec_id"].to_numpy(np.int64)
+                codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                lut_c = lut[qloc]
+                scores = np.zeros((len(qloc), len(ids)), dtype=np.float64)
+                for s in range(lut.shape[1]):
+                    scores += lut_c[:, s, codes[:, s]]
+                qids_c = qids[qloc]
+                scores[qids_c[:, None] == ids[None, :]] = np.inf  # self
+                kk = min(k, len(ids))
+                out_q, out_n, out_s = [], [], []
+                for qi in range(len(qloc)):
+                    # same tie-stable prune as pq_adc_topk: (score, id)
+                    order = np.lexsort((ids, scores[qi]))[:kk]
+                    keep = order[np.isfinite(scores[qi][order])]
+                    out_q.append(np.full(len(keep), qids_c[qi]))
+                    out_n.append(ids[keep])
+                    out_s.append(scores[qi][keep])
+                return pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                })
+
+            return score_cell
+
+        cand_parts.append(
+            cell_codes.groupBy("cent_id").applyInPandas(
+                _make_score_cell(), _CAND_SCHEMA))
+    cand = cand_parts[0]
+    for extra in cand_parts[1:]:
+        cand = cand.unionByName(extra)
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
 class PQFit(NamedTuple):
     codebooks: np.ndarray       # (m, ksub, dsub) float64
     n_iters: int

@@ -59,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 63 names: 113 registered − 63 demoted = 50 in-window.
+# Exactly 65 names: 115 registered − 65 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -188,6 +188,8 @@ _DEMOTED = (
     # candidates for r6:
     "table_profile_stats",       # ANALYZE-style exact column profile of orders
     "dq_audit_violations",       # FK/domain/non-null constraint audit
+    "snapshot_diff_cdc",         # full-outer snapshot diff: added/removed/changed
+    "ivfpq_ann_adc",             # combined IVFADC (cells x compressed codes), exact ranking twin
 )
 
 

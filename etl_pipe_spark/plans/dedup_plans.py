@@ -1261,3 +1261,112 @@ def pq_fit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_iters_le_max boolean, converged_or_capped boolean, "
         "fitted_beats_sample boolean, fitted_err_lt_bound boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# IVFADC: IVF cell restriction x PQ compressed scoring — the combined
+# production index (coarse quantizer bounds WHICH vectors a query
+# touches, PQ bounds the BYTES each one costs).
+# --------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTE},
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS sub),
+seed_rank AS (
+  SELECT s.sub, e.vec_id,
+         row_number() OVER (
+           PARTITION BY s.sub
+           ORDER BY md5(CAST(s.sub AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR))
+         ) AS rn
+  FROM e CROSS JOIN subs s
+),
+cb AS (
+  SELECT sr.sub, CAST(sr.rn - 1 AS INTEGER) AS code_id,
+         e.v[sr.sub * {64 // _PQ_M} + 1 : sr.sub * {64 // _PQ_M} + {64 // _PQ_M}] AS cw
+  FROM seed_rank sr JOIN e ON e.vec_id = sr.vec_id
+  WHERE sr.rn <= {_PQ_KSUB}
+),
+xs AS (
+  SELECT e.vec_id, s.sub,
+         e.v[s.sub * {64 // _PQ_M} + 1 : s.sub * {64 // _PQ_M} + {64 // _PQ_M}] AS xv
+  FROM e CROSS JOIN subs s
+),
+dist AS (
+  SELECT x.vec_id, x.sub, c.code_id,
+         row_number() OVER (
+           PARTITION BY x.vec_id, x.sub
+           ORDER BY list_dot_product(x.xv, x.xv) - 2 * list_dot_product(x.xv, c.cw)
+                  + list_dot_product(c.cw, c.cw),
+             c.code_id) AS rn
+  FROM xs x JOIN cb c ON c.sub = x.sub
+),
+ncodes AS (SELECT vec_id, sub, code_id FROM dist WHERE rn = 1),
+member_codes AS (
+  SELECT n.vec_id, n.sub, n.code_id, a.cent_id
+  FROM ncodes n JOIN assign a ON a.vec_id = n.vec_id
+),
+q_probe AS (
+  SELECT vec_id AS query_id, cent_id FROM ranked
+  WHERE vec_id % 100 = 0 AND rn <= 2
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code_id,
+         list_dot_product(q.xv, q.xv) - 2 * list_dot_product(q.xv, c.cw)
+           + list_dot_product(c.cw, c.cw) AS d
+  FROM xs q JOIN cb c ON c.sub = q.sub
+  WHERE q.vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.query_id, m.vec_id AS neighbor_id, sum(l.d) AS score
+  FROM q_probe p
+  JOIN member_codes m ON m.cent_id = p.cent_id AND m.vec_id != p.query_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = m.sub
+            AND l.code_id = m.code_id
+  GROUP BY p.query_id, m.vec_id
+),
+ranked_out AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM ranked_out WHERE rnk <= {_PQ_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("ivfpq_ann_adc", oracle=_IVFPQ_ORACLE)
+def ivfpq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED IVFADC search under the hash check: IVF restricts
+    each query to its nprobe=2 probed cells, PQ codes make every
+    candidate cost m=8 LUT lookups — multiplying the two cost bounds
+    the way the production index does (Jegou et al. 2011; the design
+    FAISS ships and ann_ivf_scaled + pq_ann_adc check separately).
+
+    Plan (operators/pq.ivfpq_adc_topk): codes join their cell, one
+    applyInPandas over cells scores members against the cell's probing
+    queries (driver-collected under the mechanical byte budget), only
+    tie-stable per-(query, cell) top-k rows leave each group, and one
+    partitioned window merges the <= nprobe x k survivors per query.
+    The DuckDB twin recomputes cells, codebooks, codes, LUTs and the
+    final rankings independently from the same pinned md5 samples, so
+    the (query_id, neighbor_id, rnk) triples are EXACT — both the cell
+    restriction and the compressed scoring sit under one hash.
+    """
+    from ..operators import pq as PQ
+
+    emb = _emb_with_norms(spark, sf_dir)
+    ranked = _ivf_ranked(emb, n_centroids=N_CENTROIDS)
+    vecs = emb.select("vec_id", "v")
+    cb = PQ.pq_codebooks_deterministic(vecs, m=_PQ_M, ksub=_PQ_KSUB)
+    enc = PQ.pq_encode(vecs, cb)
+    queries = (
+        vecs.filter(F.col("vec_id") % 100 == 0)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    return (
+        PQ.ivfpq_adc_topk(enc, ranked, queries, cb, k=_PQ_K, nprobe=2)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )

@@ -116,10 +116,13 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(c).alias(f"__max_{c}"),
         ]
     wide = src.agg(*aggs)
-    rows = []
+    # restructure the ONE aggregate row into per-column rows with a
+    # single explode — a unionByName per column would duplicate the
+    # aggregate subtree (and the scan) once per column
+    entries = []
     for c in num_cols + str_cols:
         is_num = c in num_cols
-        rows.append(wide.select(
+        entries.append(F.struct(
             F.lit(c).alias("col_name"),
             F.col("__n").alias("n_rows"),
             (F.col("__n") - F.col(f"__cnt_{c}")).cast("bigint")
@@ -129,15 +132,92 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              else F.lit(None).cast("double")).alias("min_num"),
             (F.col(f"__max_{c}").cast("double") if is_num
              else F.lit(None).cast("double")).alias("max_num"),
-            (F.col(f"__min_{c}") if not is_num
+            (F.col(f"__min_{c}").cast("string") if not is_num
              else F.lit(None).cast("string")).alias("min_str"),
-            (F.col(f"__max_{c}") if not is_num
+            (F.col(f"__max_{c}").cast("string") if not is_num
              else F.lit(None).cast("string")).alias("max_str"),
         ))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("col_name")
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("__e"))
+        .select("__e.*")
+        .orderBy("col_name")
+    )
+
+
+# Snapshot-diff / CDC: the audit a load publishes when it replaces a
+# snapshot — which keys appeared, vanished, or changed.  Two synthetic
+# snapshots derive deterministically from orders (A drops keys
+# % 7 == 0, B drops % 11 == 0 and perturbs o_totalprice on % 13 == 0),
+# so 'added' / 'removed' / 'changed' all occur and both engines build
+# the identical inputs.
+_CDC_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 7 != 0
+), b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 11 != 0
+)
+SELECT coalesce(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       a.price AS old_price, b.price AS new_price
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.status IS DISTINCT FROM b.status
+   OR a.price IS DISTINCT FROM b.price
+ORDER BY o_orderkey
+"""
+
+
+@register("snapshot_diff_cdc", oracle=_CDC_ORACLE)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two snapshot loads: one row per
+    added / removed / changed key (unchanged keys drop out), the audit
+    trail a replace-load publishes and the input a downstream
+    incremental consumer replays.
+
+    One FULL OUTER join on the snapshot key — at 100 TB both sides
+    shuffle once on the key (or zero times if both snapshots are
+    bucketed on it, the layout the writer controls); the change
+    classification is null-pattern + IS DISTINCT FROM comparisons
+    inside the join row, no second pass.  The registered form derives
+    both snapshots from ``orders`` deterministically so the diff
+    itself is hash-checked.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    al, bl = a.alias("a"), b.alias("b")
+    ak, bk = F.col("a.k"), F.col("b.k")
+    diff = (
+        al.join(bl, ak == bk, "full_outer")
+        .select(
+            F.coalesce(ak, bk).alias("o_orderkey"),
+            F.when(ak.isNull(), "added")
+            .when(bk.isNull(), "removed")
+            .otherwise("changed").alias("change_type"),
+            F.col("a.price").alias("old_price"),
+            F.col("b.price").alias("new_price"),
+            (ak.isNull() | bk.isNull()
+             | ~F.col("a.status").eqNullSafe(F.col("b.status"))
+             | ~F.col("a.price").eqNullSafe(F.col("b.price"))
+             ).alias("__keep"),
+        )
+    )
+    return diff.filter("__keep").drop("__keep").orderBy("o_orderkey")
 
 
 _DQ_ORACLE = """
