@@ -367,12 +367,17 @@ def lsh_probe_pairs(hist_sigs: DataFrame, batch_sigs: DataFrame) -> DataFrame:
     One equi-join on (band, band_key); candidate cost is the bucket
     collision count, never |hist| x |batch|.  Band keys are the same
     md5 strings as the batch-mode path, so an index built by one and
-    probed by the other agrees bucket for bucket."""
+    probed by the other agrees bucket for bucket.  A doc present on
+    BOTH sides (re-ingest of an already-indexed doc) is excluded from
+    pairing with itself — the cross-set analogue of
+    lsh_candidate_pairs' a.doc_id < b.doc_id self-guard — so a
+    replayed doc surfaces its true nearest duplicate, not itself."""
     h = lsh_band_keys(hist_sigs).alias("h")
     b = lsh_band_keys(batch_sigs).alias("b")
     return (
         h.join(b, (F.col("h.band") == F.col("b.band"))
-               & (F.col("h.band_key") == F.col("b.band_key")))
+               & (F.col("h.band_key") == F.col("b.band_key"))
+               & (F.col("h.doc_id") != F.col("b.doc_id")))
         .select(F.col("h.doc_id").alias("left_id"),
                 F.col("b.doc_id").alias("right_id"))
         .distinct()

@@ -139,6 +139,8 @@ def pca_top_component(emb: DataFrame, vec_col: str = "v") -> PCAResult:
     invariant boolean does.
     """
     rows = gram_matrix(emb, vec_col).collect()  # dim^2/2 rows
+    if not rows:
+        raise ValueError("pca_top_component: input frame has no rows")
     dim = max(r["j"] for r in rows) + 1
     g = np.zeros((dim, dim))
     for r in rows:

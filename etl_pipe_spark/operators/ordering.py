@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 def ranked_running_sum(
     df: DataFrame,
     order: list[Column],
-    sum_col: str,
+    sum_col: str | None,
     rank_name: str = "rnk",
     before_name: str = "sum_before",
 ) -> DataFrame:
@@ -48,18 +48,22 @@ def ranked_running_sum(
     prefix of later rows only if every prior value is null; callers
     needing window-exact null semantics should pre-``coalesce`` the
     column (the repo's callers have non-null counts).
+
+    Pass ``sum_col=None`` for RANK-ONLY mode: the per-row prefix
+    window, the per-partition sum aggregate, and the offset merge for
+    the sum all drop out of the plan (callers that discard the prefix
+    column would otherwise pay a full running-sum pass for nothing).
     """
     ranged = df.repartitionByRange(*order).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_in = W.partitionBy("__pid").orderBy(*order)
-    within = (
-        ranged.withColumn("__rn_in", F.row_number().over(w_in))
-        .withColumn(
+    within = ranged.withColumn("__rn_in", F.row_number().over(w_in))
+    if sum_col is not None:
+        within = within.withColumn(
             "__sum_in",
             F.sum(sum_col).over(w_in.rowsBetween(W.unboundedPreceding, 0)),
         )
-    )
     # one row per partition; prefix-scan this p-row table (p = shuffle
     # width, never data-scale) and broadcast the offsets back.  The
     # constant partitionBy makes the single-partition window EXPLICIT
@@ -70,22 +74,24 @@ def ranked_running_sum(
         .orderBy("__pid")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    offsets = (
-        within.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum(sum_col).alias("__sum"))
-        .select(
-            "__pid",
-            F.coalesce(F.sum("__cnt").over(w_parts), F.lit(0)).alias("__cnt_off"),
-            F.coalesce(F.sum("__sum").over(w_parts), F.lit(0)).alias("__sum_off"),
-        )
-    )
-    return (
+    part_aggs = [F.count(F.lit(1)).alias("__cnt")]
+    off_cols = ["__pid",
+                F.coalesce(F.sum("__cnt").over(w_parts), F.lit(0))
+                .alias("__cnt_off")]
+    if sum_col is not None:
+        part_aggs.append(F.sum(sum_col).alias("__sum"))
+        off_cols.append(
+            F.coalesce(F.sum("__sum").over(w_parts), F.lit(0))
+            .alias("__sum_off"))
+    offsets = within.groupBy("__pid").agg(*part_aggs).select(*off_cols)
+    out = (
         within.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_name, (F.col("__cnt_off") + F.col("__rn_in")).cast("bigint"))
-        .withColumn(
+    )
+    if sum_col is not None:
+        out = out.withColumn(
             before_name,
             F.col("__sum_off") + F.coalesce(F.col("__sum_in"), F.lit(0))
             - F.coalesce(F.col(sum_col), F.lit(0)),
-        )
-        .drop("__pid", "__rn_in", "__sum_in", "__cnt_off", "__sum_off")
-    )
+        ).drop("__sum_in", "__sum_off")
+    return out.drop("__pid", "__rn_in", "__cnt_off")

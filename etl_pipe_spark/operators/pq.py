@@ -149,6 +149,39 @@ def pq_encode(
     return emb.select(id_col, vec_col).mapInArrow(op, _ENCODE_SCHEMA)
 
 
+def _query_chunks(q_rows, codebooks: np.ndarray, max_query_bytes: int):
+    """Yield (qids, lut) per driver-bounded query chunk — the shared
+    byte-budget scaffold of every ADC scorer: if the collected query
+    set exceeds ``max_query_bytes`` it splits into independent passes
+    (per-query results are independent, so the union of chunk outputs
+    is exact; each extra chunk costs one more scan of the codes)."""
+    m, ksub, dsub = codebooks.shape
+    dim = m * dsub
+    n_chunks = max(1, -(-(len(q_rows) * dim * 8) // max_query_bytes))
+    chunk_sz = -(-len(q_rows) // n_chunks)
+    for c0 in range(0, len(q_rows), chunk_sz):
+        chunk = q_rows[c0:c0 + chunk_sz]
+        qids = np.array([r[0] for r in chunk], dtype=np.int64)
+        qmat = np.array([r[1] for r in chunk], dtype=np.float64)
+        yield qids, _subspace_d2(qmat.reshape(len(chunk), m, dsub), codebooks)
+
+
+def _rank_candidates(cand_parts: list[DataFrame], k: int) -> DataFrame:
+    """Union per-chunk candidate frames and keep the tie-stable global
+    top-k per query ((score asc, neighbor_id asc) — the same order the
+    in-kernel per-batch prune uses, so the merge is exact)."""
+    cand = cand_parts[0]
+    for extra in cand_parts[1:]:
+        cand = cand.unionByName(extra)
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -174,20 +207,12 @@ def pq_adc_topk(
     (nq, nb) matrix; only the per-query tie-stable top-k of each
     batch survives, so the shuffle carries batches x nq x k rows.
     """
-    m, ksub, dsub = codebooks.shape
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
         return codes_df.sparkSession.createDataFrame([], _CAND_SCHEMA).select(
             "query_id", "neighbor_id", F.lit(1).alias("rnk")).limit(0)
-    dim = m * dsub
-    n_chunks = max(1, -(-(len(q_rows) * dim * 8) // max_query_bytes))
-    chunk_sz = -(-len(q_rows) // n_chunks)
     cand_parts = []
-    for c0 in range(0, len(q_rows), chunk_sz):
-        chunk = q_rows[c0:c0 + chunk_sz]
-        qids = np.array([r[0] for r in chunk], dtype=np.int64)
-        qmat = np.array([r[1] for r in chunk], dtype=np.float64)
-        lut = _subspace_d2(qmat.reshape(len(chunk), m, dsub), codebooks)
+    for qids, lut in _query_chunks(q_rows, codebooks, max_query_bytes):
 
         def op(batches: Iterator[pa.RecordBatch], qids=qids, lut=lut
                ) -> Iterator[pa.RecordBatch]:
@@ -228,16 +253,7 @@ def pq_adc_topk(
 
         cand_parts.append(
             codes_df.select("vec_id", "codes").mapInArrow(op, _CAND_SCHEMA))
-    cand = cand_parts[0]
-    for extra in cand_parts[1:]:
-        cand = cand.unionByName(extra)
-    w_rank = W.partitionBy("query_id").orderBy(
-        F.col("score").asc(), F.col("neighbor_id").asc())
-    return (
-        cand.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk")
-    )
+    return _rank_candidates(cand_parts, k)
 
 
 def ivfpq_adc_topk(
@@ -274,7 +290,6 @@ def ivfpq_adc_topk(
     """
     import pandas as pd
 
-    m, ksub, dsub = codebooks.shape
     spark = codes_df.sparkSession
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     cell_codes = codes_df.select("vec_id", "codes").join(assign, "vec_id")
@@ -294,15 +309,8 @@ def ivfpq_adc_topk(
     for r in probe_rows:
         probes.setdefault(int(r["vec_id"]), []).append(int(r["cent_id"]))
 
-    dim = m * dsub
-    n_chunks = max(1, -(-(len(q_rows) * dim * 8) // max_query_bytes))
-    chunk_sz = -(-len(q_rows) // n_chunks)
     cand_parts = []
-    for c0 in range(0, len(q_rows), chunk_sz):
-        chunk = q_rows[c0:c0 + chunk_sz]
-        qids = np.array([r[0] for r in chunk], dtype=np.int64)
-        qmat = np.array([r[1] for r in chunk], dtype=np.float64)
-        lut = _subspace_d2(qmat.reshape(len(chunk), m, dsub), codebooks)
+    for qids, lut in _query_chunks(q_rows, codebooks, max_query_bytes):
         cell_to_q: dict[int, list[int]] = {}
         for qi, qid in enumerate(qids):
             for cid in probes.get(int(qid), ()):
@@ -349,16 +357,7 @@ def ivfpq_adc_topk(
         cand_parts.append(
             cell_codes.groupBy("cent_id").applyInPandas(
                 _make_score_cell(), _CAND_SCHEMA))
-    cand = cand_parts[0]
-    for extra in cand_parts[1:]:
-        cand = cand.unionByName(extra)
-    w_rank = W.partitionBy("query_id").orderBy(
-        F.col("score").asc(), F.col("neighbor_id").asc())
-    return (
-        cand.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk")
-    )
+    return _rank_candidates(cand_parts, k)
 
 
 class PQFit(NamedTuple):

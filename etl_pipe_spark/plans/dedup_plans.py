@@ -94,7 +94,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding, then exact-Jaccard verification of candidates.
 # --------------------------------------------------------------------------
 
-def _duck_minhash_sql() -> str:
+def _duck_sig_bands_cte() -> str:
+    """The `sig` + `bands` CTE pair shared by every MinHash-LSH oracle
+    (batch self-join AND incremental probe): per-doc signatures from
+    the md5-derived 32-bit hash under DD's permutation constants, then
+    one band-key row per (doc, band).  Single source — a change to
+    N_PERM / banding / the hash expression reaches all LSH oracles."""
     h = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
     sig_cols = ",\n    ".join(
         f"min(({DD.PERM_A[i]} * {h} + {DD.PERM_B[i]}) % {DD.MINHASH_P}) AS mh{i}"
@@ -109,16 +114,20 @@ def _duck_minhash_sql() -> str:
             f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
         )
     bands_union = "\n  UNION ALL\n  ".join(band_selects)
-    return f"""
-WITH {_SHINGLE_CTE},
-sig AS (
+    return f"""sig AS (
   SELECT doc_id,
     {sig_cols}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
   {bands_union}
-),
+)"""
+
+
+def _duck_minhash_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+{_duck_sig_bands_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
   FROM bands a
@@ -155,30 +164,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _duck_incremental_neardup_sql() -> str:
-    h = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
-    sig_cols = ",\n    ".join(
-        f"min(({DD.PERM_A[i]} * {h} + {DD.PERM_B[i]}) % {DD.MINHASH_P}) AS mh{i}"
-        for i in range(DD.N_PERM)
-    )
-    band_selects = []
-    for band in range(DD.N_BANDS):
-        cols = ", ".join(
-            f"mh{band * DD.ROWS_PER_BAND + r}" for r in range(DD.ROWS_PER_BAND)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
-        )
-    bands_union = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
 WITH {_SHINGLE_CTE},
-sig AS (
-  SELECT doc_id,
-    {sig_cols}
-  FROM sh GROUP BY doc_id
-),
-bands AS (
-  {bands_union}
-),
+{_duck_sig_bands_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
   FROM bands a

@@ -93,8 +93,8 @@ def zorder_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/count come from a broadcast 1-row aggregate (the
     broadcast-dim pattern); the Morton code is pure bit arithmetic
     (``operators/zorder.py``); bin assignment is the two-phase
-    distributed rank DIV'd into {_NBINS} equal files; the final
-    groupBy is 2x{_NBINS} cells.  Production writes the layout
+    distributed rank DIV'd into 32 equal files; the final
+    groupBy is 2x32 cells.  Production writes the layout
     instead of grading it: ``repartitionByRange("z")`` +
     ``sortWithinPartitions`` + parquet — after which ANY engine's
     footer-stats pruning benefits; here the ``prunable`` flag shows
@@ -123,12 +123,11 @@ def zorder_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = grid.withColumn("zval", morton32(F.col("gx"), F.col("gy")))
     zorder = ranked_running_sum(
         z.withColumn("layout", F.lit("zorder")),
-        [F.col("zval"), F.col("o_orderkey")], "n", rank_name="rn",
-        before_name="__b",
+        [F.col("zval"), F.col("o_orderkey")], None, rank_name="rn",
     )
     linear = ranked_running_sum(
         z.withColumn("layout", F.lit("linear")),
-        [F.col("o_orderkey")], "n", rank_name="rn", before_name="__b",
+        [F.col("o_orderkey")], None, rank_name="rn",
     )
     cols = ["layout", "gx", "gy", "n", "rn"]
     ranked = zorder.select(*cols).unionByName(linear.select(*cols))
@@ -156,7 +155,8 @@ _NBUCKETS = 8
 _LENGTH_BUCKET_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+           AS n_tokens
   FROM documents
 ), t AS (
   SELECT CAST(count(*) AS BIGINT) AS n FROM d
@@ -187,21 +187,24 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     it by an order of magnitude vs one global bucket).
 
     Exact global quantiles come from the two-phase distributed rank
-    (``ranked_running_sum`` — range partition, per-partition windows,
-    p-row offset scan), so bucket boundaries are identical at any
-    partition count and the whole table is hash-checked.  Every output
-    column is bigint except ``waste_frac``, one IEEE division of two
-    exact bigints.
+    (``ranked_running_sum`` in rank-only mode — range partition,
+    per-partition windows, p-row offset scan), so bucket boundaries
+    are identical at any partition count and the whole table is
+    hash-checked.  ``n_tokens`` coalesces to 0 for NULL text so both
+    engines order NULL-text docs identically (Spark sorts NULLs
+    first, DuckDB last — a raw NULL would shift every rank).  Every
+    output column is bigint except ``waste_frac``, one IEEE division
+    of two exact bigints.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0))
+        .cast("bigint").alias("n_tokens"),
     )
     t = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     r = ranked_running_sum(
         d.crossJoin(F.broadcast(t)),
-        [F.col("n_tokens"), F.col("doc_id")], "n_tokens",
-        rank_name="rn", before_name="__b",
+        [F.col("n_tokens"), F.col("doc_id")], None, rank_name="rn",
     )
     padded = F.col("cnt") * F.col("max_tokens")
     return (

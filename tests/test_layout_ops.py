@@ -97,3 +97,14 @@ def test_lsh_probe_agrees_with_batch_candidates(spark, sf_dir):
         elif (a % 5 == 0) and (b % 5 != 0):
             cross.add((b, a))
     assert probe == cross
+
+
+def test_lsh_probe_excludes_reingested_self_pairs(spark, sf_dir):
+    """A doc present on BOTH sides (re-ingest) must never pair with
+    itself — it would otherwise win best-match with jaccard 1.0."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sig = DD.minhash_signatures_arrays(DD.shingle_arrays(docs, n=3))
+    batch = sig.filter(F.col("doc_id") % 5 == 0)
+    pairs = DD.lsh_probe_pairs(sig, batch).collect()  # history ⊇ batch
+    assert pairs, "re-ingested docs should still find cross candidates"
+    assert all(r["left_id"] != r["right_id"] for r in pairs)
