@@ -205,3 +205,49 @@ def test_events_normalizer_handles_micros_layout(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
     assert filtered.count() == events_since(ev, since).count()
+
+
+def test_zorder_layout_has_range_exchanges_and_no_cartesian(spark, sf_dir):
+    """Both layout rankings must go through range partitioning (the
+    two-phase rank), the min/max side must broadcast, and nothing may
+    degrade to a nested-loop/cartesian product."""
+    plan = _plan(spark, sf_dir, "zorder_layout_skipping")
+    assert plan.count("rangepartitioning") >= 2 or \
+        plan.count("RangePartitioning") >= 2 or \
+        plan.lower().count("rangepartitioning") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row min/max aggregate side
+    assert "CartesianProduct" not in plan
+
+
+def test_length_buckets_rank_only_mode_drops_running_sum(spark, sf_dir):
+    """Rank-only ranked_running_sum: no per-row windowed prefix sum
+    survives in the plan (the review fix) — row_number only."""
+    plan = _plan(spark, sf_dir, "length_bucket_batching")
+    assert "row_number" in plan
+    assert "__sum_in" not in plan and "__sum_off" not in plan
+
+
+def test_incremental_neardup_has_no_cartesian(spark, sf_dir):
+    """Candidates must come from the (band, band_key) equi-join —
+    never a history x batch nested loop."""
+    plan = _plan(spark, sf_dir, "incremental_neardup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_table_profile_is_single_scan_plus_expand(spark, sf_dir):
+    """One wide aggregate restructured by explode — NOT one rescan per
+    column (the review fix).  The Expand (multi-distinct) plus at most
+    one auxiliary scan is the honest exact-ANALYZE shape."""
+    plan = _plan(spark, sf_dir, "table_profile_stats")
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 3
+    assert "Expand" in plan
+    assert "Generate explode" in plan or "explode" in plan
+
+
+def test_snapshot_cdc_is_one_full_outer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "snapshot_diff_cdc")
+    assert "FullOuter" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
