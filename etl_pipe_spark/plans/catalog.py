@@ -47,7 +47,7 @@ _PLAN_MODULES = (
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
     "text_plans", "text_plans2", "text_plans3", "text_plans4",
     "pandas_ops", "curation_pipeline", "corpus_plans", "layout_plans",
-    "profiling_plans",
+    "profiling_plans", "ingest_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -59,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 65 names: 115 registered − 65 demoted = 50 in-window.
+# Exactly 67 names: 117 registered − 67 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -190,6 +190,11 @@ _DEMOTED = (
     "dq_audit_violations",       # FK/domain/non-null constraint audit
     "snapshot_diff_cdc",         # full-outer snapshot diff: added/removed/changed
     "ivfpq_ann_adc",             # combined IVFADC (cells x compressed codes), exact ranking twin
+    # late-r5 NEW ingestion ops, START demoted (same precedent —
+    # full hash signal in the local artifact + oracle-parity suite;
+    # r6 rotation candidates):
+    "jsonl_roundtrip_ingest",    # JSONL write→explicit-schema read→quarantine round trip vs parquet truth
+    "csv_ingest_coerced",        # all-string CSV read + safe-coercion ladder + exact decimal rollup
 )
 
 

@@ -1,0 +1,142 @@
+"""Text-format ingestion under the differential harness: JSONL and
+CSV round trips through the explicit-schema readers, the corrupt-
+record quarantine, and the safe-coercion ladder
+(sources/text_formats.py).
+
+Both queries write a deterministic derivation of a parquet truth
+table to the text format, read it back through the PRODUCTION ingest
+path, and return a projection the DuckDB oracle recomputes directly
+from parquet — so a hash match proves the full write→parse→coerce
+round trip is faithful, not merely that the query ran.
+
+Scale shape: the written shards are line-delimited (splittable), the
+read pins an explicit schema (no inference pass), and every coercion
+is a native ``when``/``try_cast`` ladder — zero Python in the row
+path.  Malformed-input behavior (quarantine, junk→NULL) is pinned by
+tests/test_ingest_io.py, which feeds damage that the round trip here
+deliberately never produces.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions.parity import dsum
+from ..sources.catalog import load_table
+from ..sources.text_formats import (
+    coerce_columns, quarantine, read_csv, read_jsonl)
+from .catalog import register
+
+_IO_ROOT = "/tmp/etl_pipe_io"
+
+
+def _io_dir(sf_dir: str, name: str) -> str:
+    """Deterministic per-SF scratch dir (overwritten every call, so a
+    stale tree from a prior run can never leak into the result)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_IO_ROOT, tag, name)
+
+
+_JSONL_ORACLE = """
+SELECT doc_id, lang, source, n_chars,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("jsonl_roundtrip_ingest", oracle=_JSONL_ORACLE)
+def jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → JSONL shards → explicit-schema PERMISSIVE read →
+    quarantine → projection.
+
+    The text column carries arbitrary corpus bytes (newlines included
+    — the JSON writer escapes them, which is exactly why JSONL stays
+    line-splittable where raw text dumps would not).  The oracle
+    recomputes the projection from parquet, so the hash certifies the
+    escape/parse round trip character-for-character via the length
+    check and the hashed lang/source/n_chars columns.
+    """
+    path = _io_dir(sf_dir, "documents_jsonl")
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text")
+    src.coalesce(4).write.mode("overwrite").json(path)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    good, _bad = quarantine(read_jsonl(spark, path, schema))
+    # key-present contract: a "good" document must carry its id.  Also
+    # keeps the scan legal under aggressive pruning (a count() over
+    # the corrupt-null filter alone would be a corrupt-only scan,
+    # which Spark rejects — see quarantine's docstring).
+    good = good.filter(F.col("doc_id").isNotNull())
+    return good.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+_CSV_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(*) AS n_priced,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_price,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("csv_ingest_coerced", oracle=_CSV_ORACLE)
+def csv_ingest_coerced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders → CSV drop → all-string schema read → safe-coercion
+    ladder → exact grouped rollup.
+
+    The CSV is read with an ALL-STRING schema (the untrusted-drop
+    recipe: the parser only rejects structural damage; value-level
+    junk reaches the coercion ladder as strings and degrades to NULL
+    instead of killing the job).  Prices travel as decimal(18,4)
+    strings and are summed as exact decimals after coercion, so the
+    rollup is bit-deterministic under any partitioning and must equal
+    DuckDB's direct-from-parquet computation.
+    """
+    path = _io_dir(sf_dir, "orders_csv")
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").cast("string")
+        .alias("o_totalprice"),
+    )
+    src.coalesce(4).write.mode("overwrite").option("header", "true").csv(path)
+
+    all_str = T.StructType([
+        T.StructField(c, T.StringType())
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    ])
+    good, _bad = quarantine(read_csv(spark, path, all_str))
+    typed = coerce_columns(good, {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_totalprice": "decimal(18,4)",
+    })
+    return (
+        typed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_totalprice").alias("n_priced"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

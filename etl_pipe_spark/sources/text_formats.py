@@ -1,0 +1,128 @@
+"""Text-format ingestion: JSONL and CSV with explicit schemas, a
+corrupt-record quarantine, and the safe-coercion ladder.
+
+The reference only ever reads PostgreSQL (reference db.py:54-59), but
+a corpus pipeline's raw inputs arrive overwhelmingly as JSONL shards
+(web-scrape exports) and CSV drops.  The scale rules this module
+encodes:
+
+* **Never infer schemas.**  ``spark.read.json``/``csv`` without a
+  schema runs a full extra pass over the data just to guess types —
+  at 100 TB that doubles the ingest cost.  Every reader here demands
+  an explicit ``StructType``.
+* **PERMISSIVE + corrupt-record capture, not FAILFAST.**  One
+  malformed line among billions must not kill the job; it must land
+  in a quarantine (dead-letter) frame the operator can count, sample,
+  and re-drive.  ``read_jsonl``/``read_csv`` append a
+  ``_corrupt_record`` column; ``quarantine`` splits good from bad.
+* **Single-line JSON stays splittable.**  JSONL is line-delimited, so
+  executors split files on newlines; ``multiLine=true`` (whole-file
+  JSON, or CSV with embedded newlines) forces one task per file —
+  the readers here default to splittable single-line mode and say so.
+* **Read strings, then coerce.**  CSV carries no types; parsing
+  numerics inside the reader hides failures.  ``coerce_columns``
+  applies the engine's safe_* ladder (functions/coercion.py — the
+  reference's transform.py:20-78 semantics) column by column, so a
+  bad cell becomes NULL, never an exception, and the rejects are
+  countable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions.coercion import safe_bool, safe_int, safe_numeric
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    """Schema plus the string corrupt-record column (required by the
+    PERMISSIVE parser to surface unparseable lines instead of
+    silently nulling every field)."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType) -> DataFrame:
+    """Line-delimited JSON with an explicit schema.
+
+    PERMISSIVE mode: a parseable line fills its typed columns and
+    leaves ``_corrupt_record`` NULL; a malformed line lands verbatim
+    in ``_corrupt_record`` with every typed column NULL.  Single-line
+    mode keeps the files splittable on executors.
+    """
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True) -> DataFrame:
+    """CSV with an explicit schema and corrupt-record capture.
+
+    For untrusted drops, pass an ALL-STRING schema and run
+    ``coerce_columns`` afterwards: the CSV parser then only fails on
+    structural damage (wrong column count, broken quoting) while
+    value-level junk flows into the coercion ladder as NULLs.
+    ``multiLine`` stays off — embedded newlines would cost
+    splittability; quoted newline-free fields round-trip fine.
+    """
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("header", "true" if header else "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): bad keeps the FULL row — any fields that did parse
+    plus the raw line — the dead-letter frame a production job writes
+    aside and re-drives.
+
+    Keeping all columns is also what Spark requires: a query whose
+    only referenced column is the internal corrupt-record column is
+    disallowed on raw JSON/CSV scans (SPARK-21610).  Corollary:
+    ``bad.count()`` is ILLEGAL too — column pruning strips it down to
+    a corrupt-only scan.  Materialize the frame first, which is what
+    a production flow does anyway: write the dead letters aside
+    (``bad.write...``, all columns referenced, legal) and count the
+    written table, or cache the parsed frame before splitting.
+    """
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return good, bad
+
+
+_COERCERS = {
+    "bool": safe_bool,
+    "int": safe_int,
+    "numeric": safe_numeric,
+}
+
+
+def coerce_columns(df: DataFrame, spec: dict[str, str]) -> DataFrame:
+    """Apply the safe_* ladder to string columns: ``spec`` maps column
+    name -> 'bool' | 'int' | 'numeric' | 'decimal(p,s)'.  Unknown or
+    junk values become NULL (the reference's transform.py contract) —
+    all native expressions, no Python in the row path."""
+    out: list[Column] = []
+    for fld in df.columns:
+        kind = spec.get(fld)
+        if kind is None:
+            out.append(F.col(fld))
+        elif kind.startswith("decimal"):
+            out.append(F.col(fld).cast(kind).alias(fld))
+        else:
+            out.append(_COERCERS[kind](F.col(fld)).alias(fld))
+    return df.select(*out)

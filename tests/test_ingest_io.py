@@ -1,0 +1,114 @@
+"""Text-format ingestion: corrupt-record quarantine and the coercion
+ladder on damage the oracle round trips never produce.
+
+The registered queries (plans/ingest_plans.py) prove the CLEAN round
+trip against DuckDB; these tests feed structurally broken JSONL lines
+and value-level CSV junk and pin the degrade-don't-die contract:
+bad lines land in the dead-letter frame verbatim, junk cells become
+NULL, and good rows are untouched either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_pipe_spark.sources.text_formats import (
+    CORRUPT_COL, coerce_columns, quarantine, read_csv, read_jsonl)
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    path = str(tmp_path / "docs.jsonl")
+    lines = [
+        '{"doc_id": 1, "lang": "en", "text": "hello\\nworld"}',
+        'this is not json at all',
+        '{"doc_id": 2, "lang": "de", "text": "guten tag"}',
+        '{"doc_id": 3, "lang":',  # truncated mid-object
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    good, bad = quarantine(read_jsonl(spark, path, schema))
+    got = {r["doc_id"]: r for r in good.collect()}
+    assert set(got) == {1, 2}
+    # the escaped newline round-trips back to a real newline
+    assert got[1]["text"] == "hello\nworld"
+    dead = sorted(r[CORRUPT_COL] for r in bad.collect())
+    assert dead == ["this is not json at all", '{"doc_id": 3, "lang":']
+
+
+def test_jsonl_type_mismatch_is_corrupt_not_silent(spark, tmp_path):
+    # a parseable line whose field violates the schema type must be
+    # surfaced, not silently nulled: PERMISSIVE nulls the FIELD but
+    # keeps the raw line in the corrupt column for audit
+    path = str(tmp_path / "typed.jsonl")
+    with open(path, "w") as f:
+        f.write('{"doc_id": "not-a-number", "lang": "en"}\n')
+        f.write('{"doc_id": 7, "lang": "fr"}\n')
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    df = read_jsonl(spark, path, schema)
+    rows = {r["lang"]: r for r in df.collect()}
+    assert rows["fr"][CORRUPT_COL] is None and rows["fr"]["doc_id"] == 7
+    assert rows["en"]["doc_id"] is None
+    assert rows["en"][CORRUPT_COL] is not None
+
+
+def test_csv_junk_values_coerce_to_null(spark, tmp_path):
+    path = str(tmp_path / "drop.csv")
+    with open(path, "w") as f:
+        f.write("k,flag,price,qty\n")
+        f.write("1,yes,12.50,42\n")
+        f.write("2,no,N/A,3.7\n")        # junk price; "3.7" int-truncates
+        f.write("3,2,oops,not-an-int\n")  # numeric-string bool; junk int
+    schema = T.StructType([T.StructField(c, T.StringType())
+                           for c in ("k", "flag", "price", "qty")])
+    good, bad = quarantine(read_csv(spark, path, schema))
+    # value junk is NOT structural damage (collect, not count: a
+    # corrupt-only pruned scan is illegal — see quarantine docstring)
+    assert len(bad.collect()) == 0
+    typed = coerce_columns(good, {
+        "k": "int", "flag": "bool", "price": "numeric", "qty": "int"})
+    rows = {r["k"]: r for r in typed.collect()}
+    assert rows[1]["flag"] is True and rows[1]["price"] == 12.5
+    assert rows[1]["qty"] == 42
+    assert rows[2]["flag"] is False and rows[2]["price"] is None
+    assert rows[2]["qty"] == 3  # int("3.7") truncates, reference parity
+    assert rows[3]["flag"] is True  # numeric branch: bool(2) -> True
+    assert rows[3]["price"] is None and rows[3]["qty"] is None
+
+
+def test_csv_structural_damage_quarantined(spark, tmp_path):
+    # wrong column count is structural: the row must reach the
+    # dead-letter frame, not silently shift values across columns
+    path = str(tmp_path / "broken.csv")
+    with open(path, "w") as f:
+        f.write("a,b,c\n")
+        f.write("1,x,9\n")
+        f.write("2,y\n")  # missing column
+    schema = T.StructType([T.StructField(c, T.StringType())
+                           for c in ("a", "b", "c")])
+    good, bad = quarantine(read_csv(spark, path, schema))
+    assert [r["a"] for r in good.collect()] == ["1"]
+    assert len(bad.collect()) == 1
+
+
+@pytest.mark.parametrize("name", ["jsonl_roundtrip_ingest",
+                                  "csv_ingest_coerced"])
+def test_registered_roundtrips_nonempty(spark, sf_dir, name):
+    from etl_pipe_spark.plans.catalog import REGISTRY, _load_all
+    _load_all()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() > 0
+    # scratch tree really lands under the per-SF dir
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    assert os.path.isdir(os.path.join("/tmp/etl_pipe_io", tag))

@@ -235,6 +235,47 @@ def vector_sweep(scales: list[int], families: list[str]) -> None:
             row["kmeans_fit_assign_rows"] = fit.assignment.count()
             row["kmeans_fit"] = round(_t.time() - t0, 2)
             row["kmeans_fit_iters"] = fit.n_iters
+        if "ivfpq" in families:
+            # the COMBINED production index at scale: fitted PQ
+            # codebooks (per-subspace fused Lloyd), Arrow-batched
+            # encode, vectorized IVF assignment, then the cell-grouped
+            # ADC search — each stage timed separately so a future
+            # wall is attributable
+            from pyspark.sql import functions as F
+
+            from etl_pipe_spark.operators import pq as PQ
+            from etl_pipe_spark.operators.ann import (
+                centroid_matrix, ivf_assign_vectorized)
+            from etl_pipe_spark.operators.similarity import (
+                ivf_centroids_for_corpus)
+            from etl_pipe_spark.plans.dedup_plans import _emb_with_norms
+
+            emb = _emb_with_norms(spark, sf_dir)
+            vecs = emb.select("vec_id", "v")
+            t0 = _t.time()
+            fit = PQ.pq_fit(vecs, max_iters=5)
+            row["pq_fit"] = round(_t.time() - t0, 2)
+            row["pq_fit_iters"] = fit.n_iters
+            t0 = _t.time()
+            enc = PQ.pq_encode(vecs, fit.codebooks).cache()
+            row["pq_encode_rows"] = enc.count()
+            row["pq_encode"] = round(_t.time() - t0, 2)
+            t0 = _t.time()
+            cent_ids, cent_mat = centroid_matrix(
+                emb, ivf_centroids_for_corpus(n))
+            ranked = ivf_assign_vectorized(
+                emb, cent_ids, cent_mat, nprobe=2).cache()
+            row["ivf_assign_rows"] = ranked.count()
+            row["ivf_assign"] = round(_t.time() - t0, 2)
+            queries_df = (vecs.filter(F.col("vec_id") % 1000 == 0)
+                          .withColumnRenamed("vec_id", "query_id"))
+            t0 = _t.time()
+            res = PQ.ivfpq_adc_topk(
+                enc, ranked, queries_df, fit.codebooks, k=5, nprobe=2)
+            row["ivfpq_search_rows"] = res.count()
+            row["ivfpq_search"] = round(_t.time() - t0, 2)
+            enc.unpersist()
+            ranked.unpersist()
         if "pca" in families:
             from pyspark.sql import functions as F
 
