@@ -134,3 +134,67 @@ def stream_into_sink(spark: SparkSession, stream: DataFrame, sink: ParquetMergeS
     finally:
         if listener is not None:
             listener.detach(spark)
+
+
+def stream_jsonl_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    sink: ParquetMergeSink,
+    dead_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming JSONL ingestion with a dead-letter quarantine — the
+    production landing-zone topology: shards appear in ``src_dir``,
+    each micro-batch parses under the explicit schema, malformed lines
+    land in ``dead_dir`` and parsed rows insert-if-absent merge into
+    the sink.
+
+    Exactly-once end to end under at-least-once redelivery:
+
+    * good rows — ``insert_if_absent`` on ``key_cols`` absorbs any
+      replayed batch (ON CONFLICT DO NOTHING semantics);
+    * dead letters — written to ``dead_dir/epoch=N`` with overwrite,
+      so a crash-replayed epoch rewrites its own partition instead of
+      appending duplicates (idempotence via directory keying, the
+      same trick as the sink's snapshot versions).
+
+    The batch frame is persisted for the two passes (bad + good) so a
+    redelivered batch's files are read once, not twice; dead letters
+    keep ALL columns — any fields that did parse plus the raw line —
+    which both aids triage and keeps the corrupt-column scan legal
+    (SPARK-21610; see sources/text_formats.quarantine).
+    """
+    import os as _os
+
+    from ..sources.text_formats import CORRUPT_COL, _with_corrupt
+
+    reader = (
+        spark.readStream.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(src_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull())
+            bad.write.mode("overwrite").json(
+                _os.path.join(dead_dir, f"epoch={epoch_id}"))
+            good = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            sink.write(insert_if_absent(sink.read(), good, key_cols))
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
