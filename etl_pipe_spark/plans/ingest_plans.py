@@ -19,7 +19,10 @@ deliberately never produces.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -30,12 +33,19 @@ from ..sources.text_formats import (
     coerce_columns, quarantine, read_csv, read_jsonl)
 from .catalog import register
 
-_IO_ROOT = "/tmp/etl_pipe_io"
+# Per-PROCESS scratch root: a fixed /tmp path would race concurrent
+# runs (one process's overwrite deleting part files under another's
+# still-lazy returned DataFrame) and accumulate forever.  mkdtemp is
+# unique per process; within the process the path is stable, so the
+# returned DataFrame can be re-evaluated (count, then hash) safely.
+_IO_ROOT = tempfile.mkdtemp(prefix="etl_pipe_io-")
+atexit.register(shutil.rmtree, _IO_ROOT, ignore_errors=True)
 
 
 def _io_dir(sf_dir: str, name: str) -> str:
-    """Deterministic per-SF scratch dir (overwritten every call, so a
-    stale tree from a prior run can never leak into the result)."""
+    """Deterministic-within-process per-SF scratch dir (overwritten
+    every call, so a stale tree from a prior invocation can never
+    leak into the result)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return os.path.join(_IO_ROOT, tag, name)
 
@@ -44,6 +54,7 @@ _JSONL_ORACLE = """
 SELECT doc_id, lang, source, n_chars,
        CAST(length(text) AS BIGINT) AS text_len
 FROM documents
+WHERE doc_id IS NOT NULL
 ORDER BY doc_id
 """
 

@@ -115,14 +115,24 @@ def coerce_columns(df: DataFrame, spec: dict[str, str]) -> DataFrame:
     """Apply the safe_* ladder to string columns: ``spec`` maps column
     name -> 'bool' | 'int' | 'numeric' | 'decimal(p,s)'.  Unknown or
     junk values become NULL (the reference's transform.py contract) —
-    all native expressions, no Python in the row path."""
+    all native expressions, no Python in the row path.
+
+    The decimal branch uses ``try_cast``, not ``cast``: the session
+    runs ANSI mode, where a plain cast on junk raises instead of
+    nulling — the exact one-bad-cell-kills-the-job failure this
+    module exists to prevent.
+    """
+    unknown = set(spec) - set(df.columns)
+    if unknown:
+        raise ValueError(f"coerce_columns: spec names absent from the "
+                         f"DataFrame: {sorted(unknown)}")
     out: list[Column] = []
     for fld in df.columns:
         kind = spec.get(fld)
         if kind is None:
             out.append(F.col(fld))
         elif kind.startswith("decimal"):
-            out.append(F.col(fld).cast(kind).alias(fld))
+            out.append(F.col(fld).try_cast(kind).alias(fld))
         else:
             out.append(_COERCERS[kind](F.col(fld)).alias(fld))
     return df.select(*out)

@@ -156,20 +156,23 @@ def stream_jsonl_ingest(
 
     * good rows — ``insert_if_absent`` on ``key_cols`` absorbs any
       replayed batch (ON CONFLICT DO NOTHING semantics);
-    * dead letters — written to ``dead_dir/epoch=N`` with overwrite,
-      so a crash-replayed epoch rewrites its own partition instead of
-      appending duplicates (idempotence via directory keying, the
-      same trick as the sink's snapshot versions).
+    * dead letters — partitioned by a digest of the SOURCE FILE path
+      and written with dynamic partition overwrite, so a redelivered
+      file rewrites exactly its own partition no matter how redelivery
+      re-batches the files.  Epoch ids are NOT a safe key here: a
+      fresh-checkpoint re-drive (or a changed ``maxFilesPerTrigger``)
+      renumbers epochs, which would duplicate dead letters under one
+      key and clobber them under another — files are the immutable
+      redelivery unit, so files key the partitions.
 
     The batch frame is persisted for the two passes (bad + good) so a
     redelivered batch's files are read once, not twice; dead letters
-    keep ALL columns — any fields that did parse plus the raw line —
-    which both aids triage and keeps the corrupt-column scan legal
-    (SPARK-21610; see sources/text_formats.quarantine).
+    keep ALL columns — any fields that did parse, the raw line, and
+    the full source path — which both aids triage and keeps the
+    corrupt-column scan legal (SPARK-21610; see
+    sources/text_formats.quarantine).
     """
-    import os as _os
-
-    from ..sources.text_formats import CORRUPT_COL, _with_corrupt
+    from ..sources.text_formats import CORRUPT_COL, _with_corrupt, quarantine
 
     reader = (
         spark.readStream.schema(_with_corrupt(schema))
@@ -181,13 +184,21 @@ def stream_jsonl_ingest(
     stream = reader.json(src_dir)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.persist()
+        batch_df = batch_df.withColumn(
+            "src_path", F.input_file_name()
+        ).withColumn(
+            "src_file", F.sha1(F.input_file_name()).substr(1, 12)
+        ).persist()
         try:
-            bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull())
-            bad.write.mode("overwrite").json(
-                _os.path.join(dead_dir, f"epoch={epoch_id}"))
-            good = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-            sink.write(insert_if_absent(sink.read(), good, key_cols))
+            good, bad = quarantine(batch_df)
+            (
+                bad.write.partitionBy("src_file")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .json(dead_dir)
+            )
+            sink.write(insert_if_absent(
+                sink.read(), good.drop("src_path", "src_file"), key_cols))
         finally:
             batch_df.unpersist()
 

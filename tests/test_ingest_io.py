@@ -86,6 +86,17 @@ def test_csv_junk_values_coerce_to_null(spark, tmp_path):
     assert rows[3]["flag"] is True  # numeric branch: bool(2) -> True
     assert rows[3]["price"] is None and rows[3]["qty"] is None
 
+    # decimal branch must ALSO degrade junk to NULL under ANSI mode
+    # (try_cast, not cast — a plain cast raises on "oops")
+    dec = coerce_columns(good, {"price": "decimal(18,4)"})
+    drows = {r["k"]: r for r in dec.collect()}
+    assert str(drows["1"]["price"]) == "12.5000"
+    assert drows["2"]["price"] is None and drows["3"]["price"] is None
+
+    # a typo'd spec key is an error, not a silent no-op
+    with pytest.raises(ValueError, match="absent"):
+        coerce_columns(good, {"pricee": "numeric"})
+
 
 def test_csv_structural_damage_quarantined(spark, tmp_path):
     # wrong column count is structural: the row must reach the
@@ -109,6 +120,7 @@ def test_registered_roundtrips_nonempty(spark, sf_dir, name):
     _load_all()
     df = REGISTRY[name].fn(spark, sf_dir)
     assert df.count() > 0
-    # scratch tree really lands under the per-SF dir
+    # scratch tree really lands under the per-process per-SF dir
+    from etl_pipe_spark.plans.ingest_plans import _IO_ROOT
     tag = os.path.basename(os.path.normpath(sf_dir))
-    assert os.path.isdir(os.path.join("/tmp/etl_pipe_io", tag))
+    assert os.path.isdir(os.path.join(_IO_ROOT, tag))

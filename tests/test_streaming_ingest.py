@@ -44,7 +44,7 @@ def _write_shards(src: str) -> None:
 
 def _dead_lines(dead: str) -> list[str]:
     out = []
-    for p in glob.glob(os.path.join(dead, "epoch=*", "part-*")):
+    for p in glob.glob(os.path.join(dead, "src_file=*", "part-*")):
         with open(p) as f:
             out.extend(json.loads(line)["_corrupt_record"]
                        for line in f if line.strip())
@@ -67,14 +67,16 @@ def test_stream_jsonl_ingest_quarantine_and_replay(spark, tmp_path):
     assert rows[3]["text"] == "noch eins"
     assert _dead_lines(dead) == ['garbage line one', '{"doc_id": 99, "la']
 
-    # full redelivery: fresh checkpoint re-reads every shard; the
-    # key-merge and the epoch-keyed dead-letter partitions must both
-    # converge to the same state, not double up
+    # full redelivery: fresh checkpoint re-reads every shard, and with
+    # DIFFERENT batching (all files in one epoch instead of one file
+    # per epoch) — epoch numbering shifts, so only the file-keyed
+    # dead-letter partitions keep this idempotent; the key-merge and
+    # the dead-letter tree must both converge, not double up
     before = sorted(map(tuple, sink.read().collect()))
     stream_jsonl_ingest(
         spark, src, SCHEMA, sink, dead,
         checkpoint_dir=str(tmp_path / "ckpt2"),
-        key_cols=["doc_id"], max_files_per_trigger=1,
+        key_cols=["doc_id"],
     )
     assert sorted(map(tuple, sink.read().collect())) == before
     assert _dead_lines(dead) == ['garbage line one', '{"doc_id": 99, "la']
