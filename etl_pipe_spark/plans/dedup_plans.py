@@ -1257,7 +1257,7 @@ def pq_fit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # touches, PQ bounds the BYTES each one costs).
 # --------------------------------------------------------------------------
 
-_IVFPQ_ORACLE = f"""
+_IVFPQ_RANKED_CTES = f"""
 WITH {_IVF_ASSIGN_CTE},
 subs AS (SELECT unnest(range(0, {_PQ_M})) AS sub),
 seed_rank AS (
@@ -1317,7 +1317,9 @@ ranked_out AS (
          row_number() OVER (
            PARTITION BY query_id ORDER BY score, neighbor_id) AS rnk
   FROM scored
-)
+)"""
+
+_IVFPQ_ORACLE = _IVFPQ_RANKED_CTES + f"""
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
 FROM ranked_out WHERE rnk <= {_PQ_K}
 ORDER BY query_id, rnk
@@ -1356,5 +1358,92 @@ def ivfpq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         PQ.ivfpq_adc_topk(enc, ranked, queries, cb, k=_PQ_K, nprobe=2)
         .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVFADC + exact rerank: compressed codes build the SHORTLIST, raw
+# vectors decide the FINAL ranking — the standard two-stage refinement
+# (Jegou et al. 2011 §V; FAISS's IndexRefineFlat) that buys back the
+# quantization error at the cost of `shortlist` exact distances per
+# query instead of a full scan.
+# --------------------------------------------------------------------------
+
+_PQ_SHORTLIST = 15  # ADC candidates per query re-scored exactly (3x k)
+
+_IVFPQ_RERANK_ORACLE = _IVFPQ_RANKED_CTES + f""",
+shortlist AS (
+  SELECT query_id, neighbor_id FROM ranked_out WHERE rnk <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY list_dot_product(q.v, n.v)
+                  / (sqrt(list_dot_product(q.v, q.v))
+                     * sqrt(list_dot_product(n.v, n.v))) DESC,
+             s.neighbor_id) AS rnk
+  FROM shortlist s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM rerank WHERE rnk <= {_PQ_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("ivfpq_rerank", oracle=_IVFPQ_RERANK_ORACLE)
+def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC shortlist + exact cosine rerank under the hash check.
+
+    Stage 1 runs the combined index exactly as ivfpq_ann_adc but keeps
+    the top ``_PQ_SHORTLIST`` ADC candidates per query; stage 2 joins
+    the shortlist back to the RAW vectors and re-ranks by exact cosine
+    (pair-invariant norms precomputed once, the cross-dot folded
+    per shortlist row — queries x shortlist pairs total, never a
+    corpus scan).  Both engines rank by the identical sequential-fold
+    cosine with the (score, neighbor_id) tie break, so the final
+    (query_id, neighbor_id, rnk) triples are EXACT — hash-checking
+    that the rerank stage reorders the ADC shortlist the same way in
+    both engines.
+
+    At scale the rerank join is a broadcast (queries x shortlist rows
+    vs the corpus table's hash-partitioned vec_id lookup) and adds
+    one shuffle-free projection per candidate — the cost model FAISS
+    documents for IndexRefineFlat.
+    """
+    from ..operators import pq as PQ
+
+    emb = _emb_with_norms(spark, sf_dir)
+    ranked = _ivf_ranked(emb, n_centroids=N_CENTROIDS)
+    vecs = emb.select("vec_id", "v")
+    cb = PQ.pq_codebooks_deterministic(vecs, m=_PQ_M, ksub=_PQ_KSUB)
+    enc = PQ.pq_encode(vecs, cb)
+    queries = (
+        vecs.filter(F.col("vec_id") % 100 == 0)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    shortlist = PQ.ivfpq_adc_topk(
+        enc, ranked, queries, cb, k=_PQ_SHORTLIST, nprobe=2
+    ).select("query_id", "neighbor_id")
+
+    q_side = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"), F.col("v_norm").alias("qv_norm"))
+    n_side = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"), F.col("v_norm").alias("nv_norm"))
+    cos = VX.safe_div(VX.dot(F.col("qv"), F.col("nv")),
+                      F.col("qv_norm") * F.col("nv_norm"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        shortlist.join(q_side, "query_id").join(n_side, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _PQ_K)
+        .select("query_id", "neighbor_id", "rnk")
         .orderBy("query_id", "rnk")
     )
