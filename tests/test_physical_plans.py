@@ -251,3 +251,19 @@ def test_snapshot_cdc_is_one_full_outer_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "snapshot_diff_cdc")
     assert "FullOuter" in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_ivfpq_rerank_shortlist_join_not_cartesian(spark, sf_dir):
+    """The rerank stage joins the tiny ADC shortlist to raw vectors on
+    equi-keys — never a nested loop over the corpus, and the final
+    top-k must stay a partitioned window (no global sort of the
+    corpus)."""
+    plan = _plan(spark, sf_dir, "ivfpq_rerank")
+    assert "CartesianProduct" not in plan
+    # the single nested-loop is the deliberate broadcast k-row
+    # centroid cross join inside _ivf_ranked (bounded build side);
+    # every keyed join — shortlist->query vecs, shortlist->neighbor
+    # vecs, codes->cells — must be a hash join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan
