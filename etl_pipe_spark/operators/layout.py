@@ -144,6 +144,56 @@ def spread_for_compute(
 
 
 def compact(df: DataFrame, path: str, target_partitions: int) -> None:
-    """Small-file compaction: rewrite a dataset at a chosen file count
-    (the maintenance job every long-lived incremental sink needs)."""
+    """Small-file compaction at a FIXED file count: rewrite a dataset
+    via coalesce.  Prefer :func:`compact_to_size` — it sizes the file
+    count from the actual bytes and can preserve clustering."""
     df.coalesce(target_partitions).write.mode("overwrite").parquet(path)
+
+
+def compact_to_size(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Size-targeted small-file compaction — the OPTIMIZE maintenance
+    job every long-lived incremental sink needs (each micro-batch
+    leaves a few small files; a year of 30 s cycles leaves a million).
+
+    * The output file count comes from the dataset's ACTUAL bytes
+      (summed from the ``_metadata.file_size`` hidden column — a
+      listing-only aggregate on any filesystem, no driver-side walk),
+      so files land near ``target_bytes`` regardless of how skewed
+      the input files are.
+    * ``sort_cols`` preserves CLUSTERING: plain ``coalesce`` glues
+      arbitrary input files together, destroying the footer min/max
+      locality a z-ordered or sorted write paid for — with
+      ``sort_cols`` the rewrite range-partitions and re-sorts on the
+      same keys, so pruning survives compaction (pinned against real
+      footers in tests/test_layout_ops.py).
+    * Never in-place: readers of ``src_path`` keep a consistent view
+      and a mid-job crash cannot destroy the only copy; the caller
+      swaps paths (or a sink snapshot pointer) after the rewrite.
+
+    Returns {files_before, files_after, total_bytes} for the
+    maintenance log.
+    """
+    src = spark.read.parquet(src_path)
+    stats = src.select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("fs"),
+    ).groupBy("fp").agg(F.first("fs").alias("fs")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("fs").alias("bytes")).first()
+    files_before, total_bytes = int(stats["n"]), int(stats["bytes"] or 0)
+    n_out = max(1, -(-total_bytes // target_bytes))
+    if sort_cols:
+        out = src.repartitionByRange(n_out, *sort_cols) \
+                 .sortWithinPartitions(*sort_cols)
+    else:
+        out = src.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    files_after = len([f for f in spark.read.parquet(dst_path).select(
+        F.col("_metadata.file_path").alias("fp")).distinct().collect()])
+    return {"files_before": files_before, "files_after": files_after,
+            "total_bytes": total_bytes}

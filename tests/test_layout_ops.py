@@ -178,3 +178,37 @@ def test_lsh_probe_excludes_reingested_self_pairs(spark, sf_dir):
     pairs = DD.lsh_probe_pairs(sig, batch).collect()  # history ⊇ batch
     assert pairs, "re-ingested docs should still find cross candidates"
     assert all(r["left_id"] != r["right_id"] for r in pairs)
+
+
+def test_compact_to_size_preserves_clustering(spark, tmp_path):
+    """Size-targeted compaction: 32 tiny sorted files -> few files near
+    the byte target, with DISJOINT per-file key ranges when sort_cols
+    is given (pruning survives), and row-level content identical."""
+    from etl_pipe_spark.operators.layout import compact_to_size
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "big")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+    )
+    # 32 small sorted files, ~totaling a few hundred KB
+    df.repartitionByRange(32, "k").sortWithinPartitions("k") \
+        .write.mode("overwrite").parquet(src)
+
+    stats = compact_to_size(spark, src, dst,
+                            target_bytes=96 << 10, sort_cols=["k"])
+    assert stats["files_before"] == 32
+    assert 1 <= stats["files_after"] < 32
+    expected = max(1, -(-stats["total_bytes"] // (96 << 10)))
+    assert stats["files_after"] == expected
+
+    # content parity
+    a = sorted(r["k"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["k"] for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+    # clustering preserved: footer key ranges must not overlap
+    ranges = sorted((s["k"][0], s["k"][1]) for s in _file_stats(dst, ["k"]))
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "compacted files overlap in key space"
