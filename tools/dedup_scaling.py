@@ -201,6 +201,21 @@ def zipf_sweep(scales: list[int]) -> None:
             row["semantic_dedup_scaled_rows"] = semantic_dedup_scaled(
                 spark, sf_dir).count()
             row["semantic_dedup_scaled"] = round(_t.time() - t0, 2)
+            # IVFADC under the same hot cell: the score_cell group for
+            # the hot centroid holds max_cell x m int64 codes — must
+            # stay flat-ish, never corpus x corpus
+            from etl_pipe_spark.operators import pq as PQ
+
+            vecs = emb.select("vec_id", "v")
+            cb = PQ.pq_codebooks_deterministic(vecs)
+            enc = PQ.pq_encode(vecs, cb)
+            ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=2)
+            queries_df = (vecs.filter(F.col("vec_id") % 1000 == 0)
+                          .withColumnRenamed("vec_id", "query_id"))
+            t0 = _t.time()
+            row["ivfpq_search_rows"] = PQ.ivfpq_adc_topk(
+                enc, ranked, queries_df, cb, k=5, nprobe=2).count()
+            row["ivfpq_search"] = round(_t.time() - t0, 2)
             print(json.dumps(row), flush=True)
 
 
