@@ -156,6 +156,7 @@ def compact_to_size(
     dst_path: str,
     target_bytes: int = 128 << 20,
     sort_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """Size-targeted small-file compaction — the OPTIMIZE maintenance
     job every long-lived incremental sink needs (each micro-batch
@@ -172,28 +173,44 @@ def compact_to_size(
       ``sort_cols`` the rewrite range-partitions and re-sorts on the
       same keys, so pruning survives compaction (pinned against real
       footers in tests/test_layout_ops.py).
-    * Never in-place: readers of ``src_path`` keep a consistent view
-      and a mid-job crash cannot destroy the only copy; the caller
-      swaps paths (or a sink snapshot pointer) after the rewrite.
+    * ``partition_cols`` preserves HIVE PARTITIONING: reading a
+      partitioned tree promotes the directory columns to data
+      columns, and an unpartitioned rewrite would flatten them —
+      destroying directory pruning.  Pass the partition columns and
+      the rewrite re-emits the same tree (``target_bytes`` then
+      applies per partition on average, not per file).
+    * Never in-place — ENFORCED: readers of ``src_path`` keep a
+      consistent view and a mid-job crash cannot destroy the only
+      copy; the caller swaps paths (or a sink snapshot pointer)
+      after the rewrite.
 
     Returns {files_before, files_after, total_bytes} for the
-    maintenance log.
+    maintenance log (file counts via driver-side listings, no extra
+    job).
     """
+    import os as _os
+
+    if _os.path.realpath(src_path) == _os.path.realpath(dst_path):
+        raise ValueError(
+            "compact_to_size is never-in-place: src and dst resolve to "
+            f"the same location ({src_path!r})")
     src = spark.read.parquet(src_path)
-    stats = src.select(
+    files_before = len(src.inputFiles())
+    total_bytes = int(src.select(
         F.col("_metadata.file_path").alias("fp"),
         F.col("_metadata.file_size").alias("fs"),
-    ).groupBy("fp").agg(F.first("fs").alias("fs")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("fs").alias("bytes")).first()
-    files_before, total_bytes = int(stats["n"]), int(stats["bytes"] or 0)
+    ).groupBy("fp").agg(F.first("fs").alias("fs"))
+        .agg(F.sum("fs")).first()[0] or 0)
     n_out = max(1, -(-total_bytes // target_bytes))
     if sort_cols:
         out = src.repartitionByRange(n_out, *sort_cols) \
                  .sortWithinPartitions(*sort_cols)
     else:
         out = src.repartition(n_out)
-    out.write.mode("overwrite").parquet(dst_path)
-    files_after = len([f for f in spark.read.parquet(dst_path).select(
-        F.col("_metadata.file_path").alias("fp")).distinct().collect()])
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(dst_path)
+    files_after = len(spark.read.parquet(dst_path).inputFiles())
     return {"files_before": files_before, "files_after": files_after,
             "total_bytes": total_bytes}

@@ -1,9 +1,11 @@
 """Unit tests for the late-round-5 additions: Z-order layout,
-length-bucket batching, distributed PCA, and the incremental LSH
-probe.  The registered queries' full differential checks live in
-test_oracle_parity.py; these tests pin the operator-level contracts
-the oracle can't see (bit-level Morton correctness, pruning DOMINANCE
-over the linear layout, eigen invariants, probe-vs-batch agreement)."""
+length-bucket batching, distributed PCA, the incremental LSH probe,
+and size-targeted file compaction.  The registered queries' full
+differential checks live in test_oracle_parity.py; these tests pin
+the operator-level contracts the oracle can't see (bit-level Morton
+correctness, pruning DOMINANCE over the linear layout, eigen
+invariants, probe-vs-batch agreement, footer-range disjointness and
+hive-tree survival across compaction)."""
 
 from __future__ import annotations
 
@@ -178,6 +180,45 @@ def test_lsh_probe_excludes_reingested_self_pairs(spark, sf_dir):
     pairs = DD.lsh_probe_pairs(sig, batch).collect()  # history ⊇ batch
     assert pairs, "re-ingested docs should still find cross candidates"
     assert all(r["left_id"] != r["right_id"] for r in pairs)
+
+
+def test_compact_to_size_rejects_in_place(spark, tmp_path):
+    import pytest
+
+    from etl_pipe_spark.operators.layout import compact_to_size
+
+    p = str(tmp_path / "same")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError, match="never-in-place"):
+        compact_to_size(spark, p, p + "/../same")
+
+
+def test_compact_to_size_preserves_hive_partitions(spark, tmp_path):
+    """partition_cols must re-emit the directory tree — a flat rewrite
+    would silently destroy partition pruning."""
+    import glob as _glob
+
+    from etl_pipe_spark.operators.layout import compact_to_size
+
+    src, dst = str(tmp_path / "part_src"), str(tmp_path / "part_dst")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"))
+    df.repartition(8).write.partitionBy("p").parquet(src)
+
+    stats = compact_to_size(spark, src, dst, target_bytes=1 << 20,
+                            partition_cols=["p"])
+    assert sorted(_os_basename(d) for d in _glob.glob(f"{dst}/p=*")) == [
+        "p=0", "p=1", "p=2", "p=3"]
+    assert stats["files_after"] <= stats["files_before"]
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+
+def _os_basename(p: str) -> str:
+    import os
+
+    return os.path.basename(p)
 
 
 def test_compact_to_size_preserves_clustering(spark, tmp_path):

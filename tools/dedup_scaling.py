@@ -186,9 +186,13 @@ def zipf_sweep(scales: list[int]) -> None:
             emb = _emb_with_norms(spark, sf_dir)
             k = ivf_centroids_for_corpus(n)
             cent_ids, cent_mat = centroid_matrix(emb, k)
+            # ONE assignment pass serves both the cell-size stats
+            # (rn = 1) and the ADC search probes (rn <= 2), cached so
+            # neither consumer recomputes the matmul
+            ranked = ivf_assign_vectorized(
+                emb, cent_ids, cent_mat, nprobe=2).cache()
             cells = (
-                ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=1)
-                .filter("rn = 1").groupBy("cent_id").count()
+                ranked.filter("rn = 1").groupBy("cent_id").count()
                 .agg(F.max("count"), F.count(F.lit(1))).first()
             )
             row["k"] = k
@@ -203,19 +207,25 @@ def zipf_sweep(scales: list[int]) -> None:
             row["semantic_dedup_scaled"] = round(_t.time() - t0, 2)
             # IVFADC under the same hot cell: the score_cell group for
             # the hot centroid holds max_cell x m int64 codes — must
-            # stay flat-ish, never corpus x corpus
+            # stay flat-ish, never corpus x corpus.  encode + ranked
+            # are cached and MATERIALIZED before the timer (same
+            # isolation as vector_sweep) so the reported time is the
+            # search stage, not lineage recompute.
             from etl_pipe_spark.operators import pq as PQ
 
             vecs = emb.select("vec_id", "v")
             cb = PQ.pq_codebooks_deterministic(vecs)
-            enc = PQ.pq_encode(vecs, cb)
-            ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=2)
+            enc = PQ.pq_encode(vecs, cb).cache()
+            enc.count()
+            ranked.count()
             queries_df = (vecs.filter(F.col("vec_id") % 1000 == 0)
                           .withColumnRenamed("vec_id", "query_id"))
             t0 = _t.time()
             row["ivfpq_search_rows"] = PQ.ivfpq_adc_topk(
                 enc, ranked, queries_df, cb, k=5, nprobe=2).count()
             row["ivfpq_search"] = round(_t.time() - t0, 2)
+            enc.unpersist()
+            ranked.unpersist()
             print(json.dumps(row), flush=True)
 
 
