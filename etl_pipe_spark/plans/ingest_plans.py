@@ -151,3 +151,42 @@ def csv_ingest_coerced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_ORC_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register("orc_roundtrip_ingest", oracle=_ORC_ORACLE)
+def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders → ORC files → read back → projection, vs parquet truth.
+
+    Completes the source-format matrix (parquet / JSONL / CSV / ORC /
+    JDBC): ORC is the other splittable columnar format Spark ships a
+    vectorized reader for, with the same pushdown/pruning contract as
+    parquet.  The status equality is a searchable argument and must
+    reach the ORC scan as a pushed filter (pinned in
+    tests/test_physical_plans.py); the modulo term is row sampling
+    evaluated above the scan.  The hash certifies type fidelity
+    through the round trip for ints, strings, exact decimals, and
+    timestamps.
+    """
+    path = _io_dir(sf_dir, "orders_orc")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    src.coalesce(4).write.mode("overwrite").orc(path)
+    return (
+        spark.read.schema(src.schema).orc(path)
+        .filter((F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % 5 == 0))
+        .orderBy("o_orderkey")
+    )

@@ -267,3 +267,13 @@ def test_ivfpq_rerank_shortlist_join_not_cartesian(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert plan.count("BroadcastHashJoin") >= 3
     assert "Window" in plan
+
+
+def test_orc_roundtrip_pushes_status_filter(spark, sf_dir):
+    """The ORC read must receive the status equality as a pushed
+    filter (same contract as the parquet scans); the modulo sampling
+    term stays above the scan."""
+    plan = _plan(spark, sf_dir, "orc_roundtrip_ingest")
+    assert "orc" in plan.lower()
+    assert "EqualTo(o_orderstatus,F)" in plan or \
+        "o_orderstatus = F" in plan.replace("'", "")
