@@ -108,14 +108,21 @@ _COERCERS = {
     "bool": safe_bool,
     "int": safe_int,
     "numeric": safe_numeric,
+    # lenient temporal parses: junk -> NULL, never an ANSI error.
+    # try_cast accepts ISO dates/timestamps (the formats the engine's
+    # own writers emit); non-ISO drops should parse explicitly with
+    # F.try_to_timestamp(col, format) before coercion.
+    "timestamp": lambda c: c.try_cast("timestamp_ntz"),
+    "date": lambda c: c.try_cast("date"),
 }
 
 
 def coerce_columns(df: DataFrame, spec: dict[str, str]) -> DataFrame:
     """Apply the safe_* ladder to string columns: ``spec`` maps column
-    name -> 'bool' | 'int' | 'numeric' | 'decimal(p,s)'.  Unknown or
-    junk values become NULL (the reference's transform.py contract) —
-    all native expressions, no Python in the row path.
+    name -> 'bool' | 'int' | 'numeric' | 'timestamp' | 'date' |
+    'decimal(p,s)'.  Unknown or junk values become NULL (the
+    reference's transform.py contract) — all native expressions, no
+    Python in the row path.
 
     The decimal branch uses ``try_cast``, not ``cast``: the session
     runs ANSI mode, where a plain cast on junk raises instead of

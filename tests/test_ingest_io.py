@@ -124,3 +124,19 @@ def test_registered_roundtrips_nonempty(spark, sf_dir, name):
     from etl_pipe_spark.plans.ingest_plans import _IO_ROOT
     tag = os.path.basename(os.path.normpath(sf_dir))
     assert os.path.isdir(os.path.join(_IO_ROOT, tag))
+
+
+def test_csv_temporal_coercion(spark, tmp_path):
+    path = str(tmp_path / "temporal.csv")
+    with open(path, "w") as f:
+        f.write("k,seen_at,day\n")
+        f.write("1,2024-03-01 12:30:00,2024-03-01\n")
+        f.write("2,not a time,2024-13-99\n")  # junk -> NULL, no error
+    schema = T.StructType([T.StructField(c, T.StringType())
+                           for c in ("k", "seen_at", "day")])
+    good, _ = quarantine(read_csv(spark, path, schema))
+    typed = coerce_columns(good, {"seen_at": "timestamp", "day": "date"})
+    rows = {r["k"]: r for r in typed.collect()}
+    assert str(rows["1"]["seen_at"]) == "2024-03-01 12:30:00"
+    assert str(rows["1"]["day"]) == "2024-03-01"
+    assert rows["2"]["seen_at"] is None and rows["2"]["day"] is None
