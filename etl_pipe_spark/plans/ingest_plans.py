@@ -3,11 +3,15 @@ CSV round trips through the explicit-schema readers, the corrupt-
 record quarantine, and the safe-coercion ladder
 (sources/text_formats.py).
 
-Both queries write a deterministic derivation of a parquet truth
-table to the text format, read it back through the PRODUCTION ingest
-path, and return a projection the DuckDB oracle recomputes directly
+Each query writes a deterministic derivation of a parquet truth
+table to its format, reads it back through the PRODUCTION ingest
+path, and returns a projection the DuckDB oracle recomputes directly
 from parquet — so a hash match proves the full write→parse→coerce
-round trip is faithful, not merely that the query ran.
+round trip is faithful, not merely that the query ran.  The JSONL
+and CSV queries exercise sources/text_formats.py (PERMISSIVE parse,
+quarantine, coercion ladder); the ORC query exercises Spark's native
+columnar reader directly — ORC needs no text-layer quarantine, its
+failure mode is scan-level, not line-level.
 
 Scale shape: the written shards are line-delimited (splittable), the
 read pins an explicit schema (no inference pass), and every coercion

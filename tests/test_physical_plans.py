@@ -274,6 +274,6 @@ def test_orc_roundtrip_pushes_status_filter(spark, sf_dir):
     filter (same contract as the parquet scans); the modulo sampling
     term stays above the scan."""
     plan = _plan(spark, sf_dir, "orc_roundtrip_ingest")
-    assert "orc" in plan.lower()
+    assert "FileScan orc" in plan  # the scan FORMAT, not just the path name
     assert "EqualTo(o_orderstatus,F)" in plan or \
         "o_orderstatus = F" in plan.replace("'", "")
