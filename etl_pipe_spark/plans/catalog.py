@@ -59,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 69 names: 119 registered − 69 demoted = 50 in-window.
+# Exactly 70 names: 120 registered − 70 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -197,6 +197,7 @@ _DEMOTED = (
     "csv_ingest_coerced",        # all-string CSV read + safe-coercion ladder + exact decimal rollup
     "ivfpq_rerank",              # ADC shortlist + exact-cosine rerank (IndexRefineFlat two-stage)
     "orc_roundtrip_ingest",      # ORC write→typed read→pushdown filter vs parquet truth
+    "streaming_dedup_watermark", # doubled-delivery stream deduped in-stream (bounded state), drained counts vs batch truth
 )
 
 

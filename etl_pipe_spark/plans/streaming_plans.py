@@ -31,3 +31,37 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     stream = read_events_stream(spark, sf_dir)
     return run_stream_to_table(spark, windowed_counts(stream))
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_unique
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("streaming_dedup_watermark", oracle=_STREAM_DEDUP_ORACLE)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup under the hash check: every event
+    is delivered TWICE (the stream unions with itself — the worst
+    at-least-once redelivery), ``dropDuplicatesWithinWatermark`` on
+    event_id absorbs the duplicates inside the 90 s lateness bound,
+    and the drained per-type counts must equal DuckDB's counts over
+    the ORIGINAL table — proving exactly-once semantics came from the
+    operator's state, not from sink-side key merges (ST3 moved into
+    the stream; streaming/stateful.dedup_within_watermark).
+    """
+    from ..streaming.stateful import dedup_within_watermark
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    deduped = dedup_within_watermark(doubled, keys=["event_id"], ts_col="ts")
+    drained = run_stream_to_table(
+        spark, deduped.select("event_id", "event_type"),
+        output_mode="append")
+    return (
+        drained.groupBy("event_type")
+        .agg({"*": "count"}).withColumnRenamed("count(1)", "n_unique")
+        .orderBy("event_type")
+    )
