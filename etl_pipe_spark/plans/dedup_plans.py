@@ -1439,8 +1439,17 @@ def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("qv_norm") * F.col("nv_norm"))
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
+    # The shortlist (queries x 15 rows) BROADCASTS into both vector
+    # lookups, so each join is a streamed scan of the vector store with
+    # no shuffle of the corpus.  Measured at 1M vectors with the index's
+    # raw storage (vectors + norms) persisted and the shortlist
+    # materialized — how production holds them — the rerank stage is
+    # 2.5 s; timed cold it reads ~20 s, nearly all of it re-folding
+    # norms over two corpus scans plus re-running the uncached ADC
+    # pass (docs/BENCH_COMPARE.md).
     return (
-        shortlist.join(q_side, "query_id").join(n_side, "neighbor_id")
+        n_side.join(F.broadcast(
+            q_side.join(F.broadcast(shortlist), "query_id")), "neighbor_id")
         .withColumn("cosine", cos)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _PQ_K)

@@ -275,7 +275,11 @@ def vector_sweep(scales: list[int], families: list[str]) -> None:
                 ivf_centroids_for_corpus)
             from etl_pipe_spark.plans.dedup_plans import _emb_with_norms
 
-            emb = _emb_with_norms(spark, sf_dir)
+            # the index's raw storage (vectors + precomputed norms) is
+            # persisted in production; cache it so every stage below
+            # measures its own cost, not a repeated norm-fold scan
+            emb = _emb_with_norms(spark, sf_dir).cache()
+            emb.count()
             vecs = emb.select("vec_id", "v")
             t0 = _t.time()
             fit = PQ.pq_fit(vecs, max_iters=5)
@@ -299,8 +303,39 @@ def vector_sweep(scales: list[int], families: list[str]) -> None:
                 enc, ranked, queries_df, fit.codebooks, k=5, nprobe=2)
             row["ivfpq_search_rows"] = res.count()
             row["ivfpq_search"] = round(_t.time() - t0, 2)
+            # exact rerank stage (IndexRefineFlat): ADC top-15 shortlist
+            # re-scored from raw vectors — queries x 15 exact cosines
+            from pyspark.sql import Window as W
+
+            shortlist = PQ.ivfpq_adc_topk(
+                enc, ranked, queries_df, fit.codebooks, k=15, nprobe=2
+            ).select("query_id", "neighbor_id").cache()
+            shortlist.count()  # the ADC pass is timed above, not here
+            q_side = emb.select(F.col("vec_id").alias("query_id"),
+                                F.col("v").alias("qv"),
+                                F.col("v_norm").alias("qn"))
+            n_side = emb.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("v").alias("nv"),
+                                F.col("v_norm").alias("nn"))
+            from etl_pipe_spark.functions import vectors as VX
+            cos = VX.safe_div(VX.dot(F.col("qv"), F.col("nv")),
+                              F.col("qn") * F.col("nn"))
+            w = W.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id"))
+            t0 = _t.time()
+            row["ivfpq_rerank_rows"] = (
+                n_side.join(F.broadcast(
+                    q_side.join(F.broadcast(shortlist), "query_id")),
+                    "neighbor_id")
+                .withColumn("cosine", cos)
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 5).count()
+            )
+            row["ivfpq_rerank"] = round(_t.time() - t0, 2)
+            shortlist.unpersist()
             enc.unpersist()
             ranked.unpersist()
+            emb.unpersist()
         if "pca" in families:
             from pyspark.sql import functions as F
 
