@@ -24,11 +24,27 @@ def duck(sf_dir):
     con.close()
 
 
+_COMPLEX_TYPES = ("array", "map", "struct")
+
+
 @pytest.mark.parametrize("name", [n for n, _, _ in _specs()])
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     df = qs[name](spark, sf_dir)
+    # Driver-compat gate: the round driver canonicalizes results through
+    # pandas sort_values, which raises `unhashable type: 'list'` on any
+    # array/map/struct cell (the r5 pq_ann_adc red row).  Every
+    # registered output column must therefore be scalar — serialize
+    # complex values (concat_ws / to_json) before returning them.
+    bad = [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in _COMPLEX_TYPES
+    ]
+    assert not bad, (
+        f"[{name}] complex-typed output columns {bad} would crash the "
+        f"driver's pandas canonicalizer; serialize them to scalars"
+    )
     if name in oracles:
         compare(df, duck, oracles[name], name=name)
     else:

@@ -17,12 +17,13 @@ FLAGSHIPS = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "similarity_srp_lsh",
+    # similarity_srp_lsh / text_redact rotated out r6 after four green
+    # driver rounds each; incremental_neardup_lsh + ann_ivf_scaled hold
+    # the LSH/ANN families, the jsonl quarantine path holds regex-surface.
     "multimodal_features",
     "tfidf_top_terms",
     "approx_aggregates",
     "doc_chunking",
-    "text_redact",
     "pandas_group_zscore",
     "corpus_curation_pipeline",
     # dedup_clusters / semantic_dedup rotated out late r5 under the
@@ -100,6 +101,27 @@ FLAGSHIPS = [
     # yielded under the superset convention (notes above).
     "zorder_layout_skipping",
     "length_bucket_batching",
+    # Round-6: every never-driver-checked registration promoted — the
+    # combined IVFADC pair (the r5 flagship production paths), the
+    # in-stream bounded-state dedup, the three ingest round-trips, the
+    # three monitoring ops, the deterministic hash split, and the five
+    # remaining TPC-H shapes.  After this round the never-checked set
+    # is empty.
+    "ivfpq_ann_adc",
+    "ivfpq_rerank",
+    "streaming_dedup_watermark",
+    "jsonl_roundtrip_ingest",
+    "csv_ingest_coerced",
+    "orc_roundtrip_ingest",
+    "table_profile_stats",
+    "dq_audit_violations",
+    "snapshot_diff_cdc",
+    "train_test_split_hash",
+    "tpch_q2_best_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q16_supplier_cnt",
 ]
 
 
