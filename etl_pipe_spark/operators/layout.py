@@ -150,6 +150,31 @@ def compact(df: DataFrame, path: str, target_partitions: int) -> None:
     df.coalesce(target_partitions).write.mode("overwrite").parquet(path)
 
 
+def _listed_total_bytes(spark: SparkSession, files: list[str]) -> int:
+    """Sum file lengths from filesystem LISTINGS — one ``listStatus``
+    RPC per distinct parent directory of ``files`` (not one
+    ``getFileStatus`` per file, which would be a million RPCs against
+    an object store; not a row scan, which would read the data).
+    Zero-row files are counted: they still appear in ``inputFiles()``
+    and carry footer bytes."""
+    from collections import defaultdict
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    by_dir: dict[str, set[str]] = defaultdict(set)
+    for f in files:
+        d, _, name = f.rpartition("/")
+        by_dir[d].add(name)
+    total = 0
+    for d, names in by_dir.items():
+        dp = jvm.org.apache.hadoop.fs.Path(d)
+        fs = dp.getFileSystem(hconf)
+        for st in fs.listStatus(dp):
+            if st.getPath().getName() in names:
+                total += st.getLen()
+    return int(total)
+
+
 def compact_to_size(
     spark: SparkSession,
     src_path: str,
@@ -162,11 +187,15 @@ def compact_to_size(
     job every long-lived incremental sink needs (each micro-batch
     leaves a few small files; a year of 30 s cycles leaves a million).
 
-    * The output file count comes from the dataset's ACTUAL bytes
-      (summed from the ``_metadata.file_size`` hidden column — a
-      listing-only aggregate on any filesystem, no driver-side walk),
-      so files land near ``target_bytes`` regardless of how skewed
-      the input files are.
+    * The output file count comes from the dataset's ACTUAL bytes,
+      summed from a real filesystem listing (one ``listStatus`` per
+      source directory over the scan's ``inputFiles()`` — metadata
+      RPCs only, the data is NOT read), so files land near
+      ``target_bytes`` regardless of how skewed the input files are.
+      An earlier revision summed the per-row ``_metadata.file_size``
+      hidden column, which silently cost a full scan of every row
+      plus a shuffle — exactly wrong for a maintenance job scheduled
+      against 100 TB sinks.
     * ``sort_cols`` preserves CLUSTERING: plain ``coalesce`` glues
       arbitrary input files together, destroying the footer min/max
       locality a z-ordered or sorted write paid for — with
@@ -195,12 +224,9 @@ def compact_to_size(
             "compact_to_size is never-in-place: src and dst resolve to "
             f"the same location ({src_path!r})")
     src = spark.read.parquet(src_path)
-    files_before = len(src.inputFiles())
-    total_bytes = int(src.select(
-        F.col("_metadata.file_path").alias("fp"),
-        F.col("_metadata.file_size").alias("fs"),
-    ).groupBy("fp").agg(F.first("fs").alias("fs"))
-        .agg(F.sum("fs")).first()[0] or 0)
+    in_files = src.inputFiles()
+    files_before = len(in_files)
+    total_bytes = _listed_total_bytes(spark, in_files)
     n_out = max(1, -(-total_bytes // target_bytes))
     if sort_cols:
         out = src.repartitionByRange(n_out, *sort_cols) \

@@ -97,6 +97,91 @@ def gram_matrix(emb: DataFrame, vec_col: str = "v") -> DataFrame:
     )
 
 
+class PCAKResult(NamedTuple):
+    """pca_top_k result: the top-k orthonormal eigenvectors as a
+    (dim, k) column matrix (descending eigenvalue order), their
+    Rayleigh quotients, the exact integer trace and max diagonal of
+    G, the corpus row count, and the per-component DISTRIBUTED sums
+    of squared projections (length-k, same order) from the second
+    corpus pass."""
+
+    components: np.ndarray
+    lams: np.ndarray
+    trace: int
+    max_diag: int
+    n: int
+    proj_sumsq: np.ndarray
+
+
+def pca_top_k(emb: DataFrame, k: int, vec_col: str = "v") -> PCAKResult:
+    """Distributed PCA, top-K components — the next thing a real
+    embedding pipeline asks of PCA (whitening / dimensionality
+    reduction ahead of clustering or ANN).
+
+    SAME cost shape as the top-1 fit: ``eigh`` on the driver already
+    factorizes the full dim x dim Gram (no deflation loop — that
+    would only make sense if dim itself were huge, and then the
+    covariance route is the wrong algorithm), so top-K costs ONE Gram
+    pass + ONE projection pass regardless of K: the projection kernel
+    right-multiplies each quantized Arrow batch by the (dim, k)
+    component matrix and emits k partial sums of squares per batch —
+    shuffle volume batches x k, corpus-size independent.
+
+    Sign convention per component: first coordinate with magnitude
+    above 1e-12 made positive (reproducible under eigh's sign
+    ambiguity).  Components are returned in DESCENDING eigenvalue
+    order: components[:, 0] is the top component.
+    """
+    if k < 1:
+        raise ValueError(f"pca_top_k: k must be >= 1, got {k}")
+    rows = gram_matrix(emb, vec_col).collect()  # dim^2/2 rows
+    if not rows:
+        raise ValueError("pca_top_k: input frame has no rows")
+    dim = max(r["j"] for r in rows) + 1
+    if k > dim:
+        raise ValueError(f"pca_top_k: k={k} exceeds dim={dim}")
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r["i"], r["j"]] = r["gram"]
+        g[r["j"], r["i"]] = r["gram"]
+    trace = int(sum(int(r["gram"]) for r in rows if r["i"] == r["j"]))
+    max_diag = int(max(int(r["gram"]) for r in rows if r["i"] == r["j"]))
+    _, vecs = np.linalg.eigh(g)
+    V = vecs[:, ::-1][:, :k].copy()          # descending eigenvalue order
+    for c in range(k):
+        nz = np.flatnonzero(np.abs(V[:, c]) > 1e-12)
+        if len(nz) and V[nz[0], c] < 0:
+            V[:, c] = -V[:, c]
+    lams = np.einsum("dk,de,ek->k", V, g, V)  # per-component v^T G v
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not len(b):
+                continue
+            x = _batch_matrix(b, vec_col)
+            q = np.floor(x * GRAM_Q + 0.5)
+            s = q @ V                         # (n, k)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((s * s).sum(axis=0).tolist(), pa.float64()),
+                    pa.array(list(range(s.shape[1])), pa.int32()),
+                    pa.array([len(s)] + [0] * (s.shape[1] - 1), pa.int64()),
+                ],
+                ["ss", "comp", "cnt"],
+            )
+
+    agg = (
+        emb.select(vec_col).mapInArrow(op, "ss double, comp int, cnt bigint")
+        .groupBy("comp")
+        .agg(F.sum("ss").alias("ss"), F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    by_comp = {r["comp"]: r for r in agg}
+    proj = np.array([float(by_comp[c]["ss"]) for c in range(k)])
+    n = int(sum(int(r["cnt"]) for r in agg))
+    return PCAKResult(V, lams, trace, max_diag, n, proj)
+
+
 class PCAResult(NamedTuple):
     """pca_top_component result: the unit top eigenvector, its Rayleigh
     quotient lambda-hat = v^T G v (quantized-lattice scale), the exact
@@ -137,43 +222,11 @@ def pca_top_component(emb: DataFrame, vec_col: str = "v") -> PCAResult:
     relative — callers comparing it to lambda-hat must use a
     tolerance, which is exactly what the registered query's
     invariant boolean does.
+
+    Since round 6 this is the k=1 specialization of :func:`pca_top_k`
+    (identical passes and conventions), kept for its scalar-shaped
+    result and existing call sites.
     """
-    rows = gram_matrix(emb, vec_col).collect()  # dim^2/2 rows
-    if not rows:
-        raise ValueError("pca_top_component: input frame has no rows")
-    dim = max(r["j"] for r in rows) + 1
-    g = np.zeros((dim, dim))
-    for r in rows:
-        g[r["i"], r["j"]] = r["gram"]
-        g[r["j"], r["i"]] = r["gram"]
-    trace = int(sum(int(r["gram"]) for r in rows if r["i"] == r["j"]))
-    max_diag = int(max(int(r["gram"]) for r in rows if r["i"] == r["j"]))
-    _, vecs = np.linalg.eigh(g)
-    v1 = vecs[:, -1]
-    nz = np.flatnonzero(np.abs(v1) > 1e-12)
-    if len(nz) and v1[nz[0]] < 0:
-        v1 = -v1
-    lam1 = float(v1 @ g @ v1)
-
-    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            if not len(b):
-                continue
-            x = _batch_matrix(b, vec_col)
-            q = np.floor(x * GRAM_Q + 0.5)
-            s = q @ v1
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([float((s * s).sum())], pa.float64()),
-                    pa.array([len(s)], pa.int64()),
-                ],
-                ["ss", "cnt"],
-            )
-
-    agg = (
-        emb.select(vec_col).mapInArrow(op, "ss double, cnt bigint")
-        .agg(F.sum("ss").alias("ss"), F.sum("cnt").alias("cnt"))
-        .collect()[0]
-    )
-    return PCAResult(v1, lam1, trace, max_diag,
-                     int(agg["cnt"]), float(agg["ss"]))
+    r = pca_top_k(emb, 1, vec_col)
+    return PCAResult(r.components[:, 0], float(r.lams[0]), r.trace,
+                     r.max_diag, r.n, float(r.proj_sumsq[0]))

@@ -170,23 +170,48 @@ def scd2_apply_versions(
     )
 
 
-class ParquetMergeSink:
-    """Versioned-snapshot merge sink with an atomic commit pointer.
-
-    A miniature of the Delta/Iceberg commit protocol, sufficient for
-    single-writer exactly-once sinks: each write lands in a fresh
-    ``snapshot-N`` directory, then a one-line ``CURRENT`` pointer file
-    is swapped via ``os.replace`` (atomic on POSIX).  A crash mid-write
-    leaves an orphan snapshot directory but never a torn table —
-    readers always see the last committed snapshot.  ``keep_snapshots``
-    bounds retention (time travel over the retained window).
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed (or is committing) the same snapshot
+    version.  Optimistic-concurrency contract: re-read the sink and
+    re-derive the merge from the NEW current snapshot, then retry —
+    blindly retrying the same DataFrame would resurrect lost updates.
     """
 
-    def __init__(self, spark, path: str, schema_ddl: str, keep_snapshots: int = 2):
+
+class ParquetMergeSink:
+    """Versioned-snapshot merge sink with an atomic commit pointer
+    and optimistic concurrent-writer protection.
+
+    A miniature of the Delta/Iceberg commit protocol: each write lands
+    in a fresh ``snapshot-N`` directory, then a one-line ``CURRENT``
+    pointer file is swapped via ``os.replace`` (atomic on POSIX).  A
+    crash mid-write leaves an orphan snapshot directory but never a
+    torn table — readers always see the last committed snapshot.
+    ``keep_snapshots`` bounds retention (time travel over the retained
+    window).
+
+    CONCURRENT WRITERS (round 6): version N+1's commit slot is claimed
+    by exclusive creation of the ``snapshot-(N+1)`` directory itself
+    (``mkdir`` is atomic; the loser gets ``FileExistsError``) — the
+    same compare-and-swap Delta performs with its ``N.json`` commit
+    file.  Two writers that both read snapshot N therefore cannot both
+    commit N+1: the loser raises :class:`ConcurrentWriteError` BEFORE
+    writing any data, and must re-derive its merge from the winner's
+    snapshot (lost-update prevention, not just mutual exclusion).  A
+    writer that crashed after claiming the slot but before committing
+    leaves an orphan claim; a later writer reclaims it only once the
+    claim is ``stale_after_s`` old AND still uncommitted (the pointer
+    never advanced to it), so a live slow writer is never clobbered
+    within its grace window.
+    """
+
+    def __init__(self, spark, path: str, schema_ddl: str, keep_snapshots: int = 2,
+                 stale_after_s: float = 3600.0):
         self.spark = spark
         self.path = path
         self.schema_ddl = schema_ddl
         self.keep_snapshots = keep_snapshots
+        self.stale_after_s = stale_after_s
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "CURRENT")
@@ -204,19 +229,55 @@ class ParquetMergeSink:
             return self.spark.createDataFrame([], self.schema_ddl)
         return self.spark.read.parquet(os.path.join(self.path, snap))
 
+    def _claim_slot(self, version: int, new_snap: str) -> str:
+        """CAS: atomically claim the version slot by creating its
+        snapshot directory exclusively.  Raises ConcurrentWriteError
+        when another writer holds a live or committed claim."""
+        import time
+
+        snap_dir = os.path.join(self.path, new_snap)
+        try:
+            os.mkdir(snap_dir)
+            return snap_dir
+        except FileExistsError:
+            committed = self.current_snapshot()
+            committed_v = (
+                int(committed.rsplit("-", 1)[1]) if committed else 0
+            )
+            age = time.time() - os.path.getmtime(snap_dir)
+            if committed_v < version and age > self.stale_after_s:
+                # crashed claimant: uncommitted and past the grace
+                # window — reclaim the slot (rmtree then re-claim
+                # exclusively, so two reclaimers still race safely).
+                shutil.rmtree(snap_dir, ignore_errors=True)
+                try:
+                    os.mkdir(snap_dir)
+                    return snap_dir
+                except FileExistsError:
+                    pass
+            raise ConcurrentWriteError(
+                f"snapshot slot {new_snap} already claimed "
+                f"(committed version {committed_v}, claim age {age:.0f}s); "
+                f"re-read the sink and re-derive the merge before retrying"
+            )
+
     def write(self, df: DataFrame) -> int:
         snap = self.current_snapshot()
         version = int(snap.rsplit("-", 1)[1]) + 1 if snap else 1
         new_snap = f"snapshot-{version:08d}"
         os.makedirs(self.path, exist_ok=True)
-        df.write.mode("overwrite").parquet(os.path.join(self.path, new_snap))
+        snap_dir = self._claim_slot(version, new_snap)
+        # append, not overwrite: overwrite DELETES the directory before
+        # rewriting it, which would momentarily release the CAS claim;
+        # the freshly claimed slot is empty, so append is equivalent.
+        df.write.mode("append").parquet(snap_dir)
         # commit: write pointer sideways, atomically replace
-        tmp = self._pointer() + ".tmp"
+        tmp = self._pointer() + f".tmp-{new_snap}"
         with open(tmp, "w") as f:
             f.write(new_snap)
         os.replace(tmp, self._pointer())
         self._vacuum(version)
-        return self.spark.read.parquet(os.path.join(self.path, new_snap)).count()
+        return self.spark.read.parquet(snap_dir).count()
 
     def _vacuum(self, current_version: int) -> None:
         """Drop snapshots older than the retention window."""

@@ -154,10 +154,21 @@ def _query_chunks(q_rows, codebooks: np.ndarray, max_query_bytes: int):
     byte-budget scaffold of every ADC scorer: if the collected query
     set exceeds ``max_query_bytes`` it splits into independent passes
     (per-query results are independent, so the union of chunk outputs
-    is exact; each extra chunk costs one more scan of the codes)."""
+    is exact; each extra chunk costs one more scan of the codes).
+
+    The budget is charged against what each chunk actually
+    materializes on the driver and ships in the task closure: the ADC
+    LUT at m*ksub float64 PER QUERY — not the raw query matrix, which
+    is dim*8 per query and (at the production m=8/ksub=256 defaults)
+    32x SMALLER.  Budgeting the raw matrix would let a 64 MB budget
+    admit ~131k queries whose LUT is ~2.1 GB — past the 2 GB task
+    serialization limit.  max(dim, m*ksub) covers the degenerate
+    ksub < dsub corner where the raw matrix is briefly the larger
+    object (it also transits the driver)."""
     m, ksub, dsub = codebooks.shape
     dim = m * dsub
-    n_chunks = max(1, -(-(len(q_rows) * dim * 8) // max_query_bytes))
+    per_query_bytes = max(dim, m * ksub) * 8
+    n_chunks = max(1, -(-(len(q_rows) * per_query_bytes) // max_query_bytes))
     chunk_sz = -(-len(q_rows) // n_chunks)
     for c0 in range(0, len(q_rows), chunk_sz):
         chunk = q_rows[c0:c0 + chunk_sz]

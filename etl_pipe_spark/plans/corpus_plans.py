@@ -43,6 +43,7 @@ argument as the TPC-H revenue aggregates).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.linalg import gram_matrix
@@ -298,7 +299,9 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the quantized Gram matrix (trace(Q^T Q) = sum of squared lattice
 # values — no gram needed) and asserts the four booleans TRUE that the
 # Spark side derives from the actual fit.
-_PCA_ORACLE = """
+_PCA_K = 4  # components certified; one Gram + one projection pass at any k
+
+_PCA_ORACLE = f"""
 WITH q AS (
   SELECT list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5)
@@ -308,54 +311,64 @@ WITH q AS (
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(sum(list_sum(list_transform(qv, v -> v * v))) AS BIGINT)
          AS trace_q,
-       TRUE AS unit_norm_ok,
+       {_PCA_K} AS k,
+       TRUE AS components_orthonormal,
        TRUE AS rayleigh_ge_max_diag,
-       TRUE AS explained_le_trace,
-       TRUE AS projection_matches_rayleigh
+       TRUE AS eigenvalues_nonincreasing,
+       TRUE AS topk_explained_le_trace,
+       TRUE AS projections_match_rayleigh
 FROM q
 """
 
 
 @register("pca_top_component", oracle=_PCA_ORACLE)
 def pca_top_component_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end distributed PCA (top principal component) as a
+    """End-to-end distributed PCA — top-K principal components (round
+    6: lifted from top-1, the r5 verdict's optional item) as a
     hash-checked query: one Gram pass, a driver-side 64 x 64
-    eigendecomposition, one projection pass — then the fit's
+    eigendecomposition, one K-wide projection pass — then the fit's
     invariants as one row of exact stats + booleans.
 
     What the row certifies: ``n_vectors`` and ``trace_q`` are exact
     integers BOTH engines recompute independently (DuckDB never sees
-    the eigenvector — trace(Q^T Q) is just the lattice sum of
-    squares); ``unit_norm_ok`` pins eigh's output scale;
-    ``rayleigh_ge_max_diag`` is the spectral floor lambda_1 >= max_ii
-    G_ii every true top eigenvector satisfies (a shuffled/garbage
-    vector fails it); ``explained_le_trace`` is PSD sanity; and
-    ``projection_matches_rayleigh`` ties the DISTRIBUTED second pass
-    to the driver-side algebra: Sigma (q . v)^2 over the corpus must
-    equal v^T G v to float tolerance — a wrong projection kernel, a
-    stale component, or a lattice mismatch all break it.
+    the eigenvectors — trace(Q^T Q) is just the lattice sum of
+    squares); ``components_orthonormal`` pins V^T V = I_k (eigh
+    output scale AND mutual orthogonality — a duplicated or
+    contaminated component fails it); ``rayleigh_ge_max_diag`` is the
+    spectral floor lambda_1 >= max_ii G_ii every true top eigenvector
+    satisfies; ``eigenvalues_nonincreasing`` pins the descending
+    component order; ``topk_explained_le_trace`` is PSD sanity
+    (sum_k lambda_k <= trace); and ``projections_match_rayleigh``
+    ties the DISTRIBUTED second pass to the driver-side algebra
+    per component: Sigma (q . v_c)^2 over the corpus must equal
+    v_c^T G v_c to float tolerance for EVERY c — a wrong projection
+    kernel, a stale component, or a lattice mismatch all break it.
     """
-    from ..operators.linalg import pca_top_component
+    from ..operators.linalg import pca_top_k
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
     )
-    res = pca_top_component(emb)
-    v = res.component
-    rel = abs(res.proj_sumsq - res.lam1) / max(abs(res.lam1), 1.0)
+    res = pca_top_k(emb, k=_PCA_K)
+    V = res.components
+    ortho = float(np.abs(V.T @ V - np.eye(_PCA_K)).max())
+    rels = np.abs(res.proj_sumsq - res.lams) / np.maximum(np.abs(res.lams), 1.0)
     row = (
         res.n,
         res.trace,
-        bool(abs(float(v @ v) - 1.0) < 1e-9),
-        bool(res.lam1 >= res.max_diag * (1.0 - 1e-9) - 1e-6),
-        bool(res.lam1 <= res.trace * (1.0 + 1e-12) + 1e-6),
-        bool(rel < 1e-9),
+        _PCA_K,
+        bool(ortho < 1e-9),
+        bool(res.lams[0] >= res.max_diag * (1.0 - 1e-9) - 1e-6),
+        bool(np.all(res.lams[:-1] >= res.lams[1:] * (1.0 - 1e-12) - 1e-6)),
+        bool(res.lams.sum() <= res.trace * (1.0 + 1e-12) + 1e-6),
+        bool(np.all(rels < 1e-9)),
     )
     return spark.createDataFrame(
         [row],
-        "n_vectors bigint, trace_q bigint, unit_norm_ok boolean, "
-        "rayleigh_ge_max_diag boolean, explained_le_trace boolean, "
-        "projection_matches_rayleigh boolean",
+        "n_vectors bigint, trace_q bigint, k int, "
+        "components_orthonormal boolean, rayleigh_ge_max_diag boolean, "
+        "eigenvalues_nonincreasing boolean, topk_explained_le_trace boolean, "
+        "projections_match_rayleigh boolean",
     )
 
 

@@ -184,10 +184,16 @@ def stream_jsonl_ingest(
     stream = reader.json(src_dir)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Partition value is the FULL 160-bit sha1 of the source path.
+        # A truncated prefix is not safe here: a collision between two
+        # landing files would make one file's dynamic-partition
+        # overwrite silently delete the other file's quarantined lines
+        # (a 48-bit prefix reaches ~50% birthday collision around 16M
+        # files — inside the landing-zone scale this module targets).
         batch_df = batch_df.withColumn(
             "src_path", F.input_file_name()
         ).withColumn(
-            "src_file", F.sha1(F.input_file_name()).substr(1, 12)
+            "src_file", F.sha1(F.input_file_name())
         ).persist()
         try:
             good, bad = quarantine(batch_df)

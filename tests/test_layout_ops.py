@@ -77,6 +77,35 @@ def test_pca_component_invariants(spark, sf_dir):
     assert v[nz[0]] > 0
 
 
+def test_pca_top_k_invariants_and_numpy_agreement(spark, sf_dir):
+    """Top-K fit: orthonormal descending components whose distributed
+    projections match the Rayleigh quotients, and — the exactness
+    teeth — component-by-component agreement with a sequential numpy
+    PCA over the same quantized lattice."""
+    from etl_pipe_spark.operators.linalg import GRAM_Q, pca_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v"))
+    k = 4
+    res = pca_top_k(emb, k=k)
+    V, lams = res.components, res.lams
+    assert V.shape[1] == k and len(lams) == k and len(res.proj_sumsq) == k
+    assert np.abs(V.T @ V - np.eye(k)).max() < 1e-9
+    assert np.all(lams[:-1] >= lams[1:] - 1e-6)
+    assert lams.sum() <= res.trace * (1 + 1e-12) + 1e-6
+    rel = np.abs(res.proj_sumsq - lams) / np.maximum(np.abs(lams), 1.0)
+    assert np.all(rel < 1e-9)
+    # k=1 specialization equals the top column
+    top1 = pca_top_k(emb, k=1)
+    assert np.allclose(top1.components[:, 0], V[:, 0])
+    # sequential numpy reference on the identical lattice
+    X = np.array([r.v for r in emb.collect()])
+    Q = np.floor(X * GRAM_Q + 0.5)
+    g_ref = Q.T @ Q
+    w_ref = np.linalg.eigh(g_ref)[0][::-1][:k]
+    assert np.allclose(np.sort(w_ref), np.sort(lams), rtol=1e-9)
+
+
 def test_lsh_probe_agrees_with_batch_candidates(spark, sf_dir):
     """Probing batch-vs-history buckets must find exactly the
     candidate pairs the batch-mode self-join finds between the two

@@ -176,6 +176,71 @@ def test_sink_vacuum_retention(spark, tmp_path):
     assert sink.read().collect()[0].id == 4
 
 
+def test_sink_concurrent_writer_loses_cas_before_writing_data(spark, tmp_path):
+    """Two writers that both read snapshot N must not both commit N+1:
+    the CAS on the snapshot directory makes the second claimant fail
+    with ConcurrentWriteError BEFORE any data lands, so its re-derived
+    retry sees the winner's rows (lost-update prevention)."""
+    import os
+
+    from etl_pipe_spark.operators.merge import (
+        ConcurrentWriteError, ParquetMergeSink)
+
+    sink_a = ParquetMergeSink(spark, str(tmp_path / "t"), "id long, v string")
+    sink_b = ParquetMergeSink(spark, str(tmp_path / "t"), "id long, v string")
+    sink_a.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    # B claims the v2 slot first (simulating its in-flight write)...
+    os.mkdir(tmp_path / "t" / "snapshot-00000002")
+    # ...so A's write of v2 must refuse, leaving v1 committed intact.
+    import pytest as _pytest
+    with _pytest.raises(ConcurrentWriteError):
+        sink_a.write(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert sink_a.current_snapshot() == "snapshot-00000001"
+    assert [(r.id, r.v) for r in sink_a.read().collect()] == [(1, "a")]
+    # no data files leaked into the contested slot by the loser
+    assert os.listdir(tmp_path / "t" / "snapshot-00000002") == []
+
+
+def test_sink_stale_orphan_claim_is_reclaimed(spark, tmp_path):
+    """A claimant that crashed after mkdir but before commit must not
+    block the version slot forever: once the claim is older than
+    stale_after_s and still uncommitted, the next writer reclaims it."""
+    import os
+    import time
+
+    from etl_pipe_spark.operators.merge import ParquetMergeSink
+
+    sink = ParquetMergeSink(
+        spark, str(tmp_path / "t"), "id long, v string", stale_after_s=0.2)
+    sink.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    orphan = tmp_path / "t" / "snapshot-00000002"
+    os.mkdir(orphan)
+    time.sleep(0.3)  # claim goes stale, pointer never advanced to it
+    sink.write(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert sink.current_snapshot() == "snapshot-00000002"
+    assert sorted((r.id, r.v) for r in sink.read().collect()) == [(2, "b")]
+
+
+def test_sink_committed_snapshot_is_never_reclaimed(spark, tmp_path):
+    """The stale-claim path must only fire for UNCOMMITTED claims: a
+    slot the pointer already advanced to is a committed table version
+    and raises ConcurrentWriteError regardless of age."""
+    from etl_pipe_spark.operators.merge import (
+        ConcurrentWriteError, ParquetMergeSink)
+
+    sink = ParquetMergeSink(
+        spark, str(tmp_path / "t"), "id long, v string", stale_after_s=0.0)
+    sink.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # a writer whose pre-claim read was stale (table looked empty)
+    # targets v1 — the slot the pointer has already advanced to.  The
+    # claim re-reads the pointer and must refuse even at age > stale.
+    import pytest as _pytest
+    with _pytest.raises(ConcurrentWriteError):
+        sink._claim_slot(1, "snapshot-00000001")
+    assert [(r.id, r.v) for r in sink.read().collect()] == [(1, "a")]
+
+
 def test_upsert_no_order_col_collapses_duplicate_keys(spark):
     """Duplicate keys in a batch without order_col must not fan out
     through the full_outer join (one-row-per-key upsert contract)."""

@@ -82,6 +82,27 @@ def test_adc_chunked_budget_identical(emb, ref):
     assert wide == tight and len(wide) > 0
 
 
+def test_query_chunks_budget_the_lut_not_the_raw_matrix(ref):
+    """The chunk budget must charge m*ksub*8 bytes per query (the ADC
+    LUT each chunk materializes on the driver and ships in the task
+    closure), not dim*8 (the raw query matrix, 32x smaller at the
+    production m=8/ksub=256 defaults) — otherwise a 64 MB budget
+    admits a multi-GB LUT."""
+    ids, X, cb, _, _ = ref
+    m, ksub, dsub = cb.shape
+    dim = m * dsub
+    assert m * ksub > dim, "fixture must exercise the LUT-dominant regime"
+    q_rows = [(i, X[i].tolist()) for i in ids[:8]]
+    lut_bytes = m * ksub * 8
+    # budget = exactly 2 queries' worth of LUT -> ceil(8/ceil(8/4))=4 chunks
+    chunks = list(PQ._query_chunks(q_rows, cb, max_query_bytes=2 * lut_bytes))
+    assert len(chunks) == 4
+    for qids, lut in chunks:
+        assert lut.shape == (len(qids), m, ksub)
+        # per-chunk LUT really is within budget
+        assert lut.nbytes <= 2 * lut_bytes
+
+
 def test_adc_tie_stable_across_batches(spark):
     """Duplicate vectors score identically; the survivor set must be
     the lowest neighbor_ids regardless of batch boundaries."""
