@@ -59,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 70 names: 120 registered − 70 demoted = 50 in-window.
+# Exactly 71 names: 121 registered − 71 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -104,6 +104,9 @@ _DEMOTED = (
     "doc_fingerprint",           # green r1+r2+r4+r5 (4 rounds); rolling-hash fingerprint covered by dedup_exact + train_test_split_hash (promoted r6, arithmetic-hash oracle)
     "similarity_srp_lsh",        # green r2-r5 (4 rounds); LSH family rep in-window: incremental_neardup_lsh (band-bucket probe) + ann_ivf_scaled production path
     "text_redact",               # green r2-r5 (4 rounds); regex-surface rep — text family coverage noted at lang_id_stopwords; jsonl quarantine (promoted r6) keeps the malformed-input path hard-checked
+    # yielded its slot to the NEW bm25_retrieval (query-scored ranked
+    # retrieval — a first-ever driver row beats a fifth green round):
+    "doc_chunking",              # green r2-r5 (4 rounds); chunk/packing family rep in-window: sequence_packing (consumes chunk-shaped output) + boilerplate_span_removal
     # yielded their slots to the FOUR new round-5 corpus ops
     # (corpus_shuffle_shards / vocab_top_coverage /
     # unigram_logprob_quality / embedding_gram_matrix — first-ever

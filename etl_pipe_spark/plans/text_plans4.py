@@ -32,6 +32,7 @@ iteration anywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
 from ..sources.catalog import load_table
 from .catalog import register
@@ -253,3 +254,142 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "ttr", "rnk", "tokens_before")
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval — the query-scored counterpart to the TF-IDF
+# term audit (tfidf_top_terms): given a set of term queries, rank the
+# corpus by Okapi BM25.  At 100 TB this is the "find training docs
+# about X" primitive: postings build in one shuffle, the query table
+# broadcasts, and only per-(query, doc) partial scores move.
+# --------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+# deterministic multi-term queries over the corpus vocabulary
+_BM25_QUERIES = (
+    (0, ("spark", "hash", "join")),
+    (1, ("window", "sort", "merge")),
+    (2, ("table", "scan", "batch", "value")),
+)
+
+_BM25_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), doclen AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
+), tok AS (
+  SELECT doc_id, unnest(w) AS term FROM docs
+), postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doclen
+), qterms (query_id, term) AS (
+  VALUES {", ".join(f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts)}
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln((stats.n - d.df + 0.5) / (d.df + 0.5) + 1)
+           * (p.tf * ({_BM25_K1} + 1))
+           / (p.tf + {_BM25_K1}
+              * (1 - {_BM25_B} + {_BM25_B} * l.dl / stats.avgdl))
+         ) AS s
+  FROM qterms q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN doclen l ON l.doc_id = p.doc_id, stats
+  GROUP BY q.query_id, p.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, round(s, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(s, 4) DESC, doc_id
+         ) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_BM25_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("bm25_retrieval", oracle=_BM25_ORACLE)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query set, hash-checked
+    end to end (Robertson & Zaragoza 2009; the Lucene-style
+    +1-inside-the-log idf, so scores stay positive).
+
+    Exactness recipe (the unigram_logprob_quality precedent): every
+    BM25 input is an exact bigint (tf, df, N, doclen) or a single
+    bigint/bigint IEEE division (avgdl), so both engines feed
+    identical bits into ln(); the only order-dependent step — the
+    per-(query, doc) float sum across query terms — is absorbed by
+    rounding to 4 decimals before ranking, and the rank itself orders
+    by the ROUNDED score with a doc_id tie-break, so massive
+    synthetic-vocabulary ties resolve identically in both engines.
+
+    Plan shape at scale — filter FIRST, aggregate second: the token
+    stream broadcast-semi-joins the (tiny, literal) query-term list
+    BEFORE any shuffle, so the tf aggregation and everything after it
+    move only MATCHED postings — never the whole-vocabulary postings
+    table.  The matched-postings frame feeds both tf and df, so it is
+    persisted for the query's lifetime (a retrieval system persists
+    its inverted index; the ivfpq_rerank warm-path precedent), the
+    tiny final ranking is localCheckpoint'ed, and the cache is
+    released before returning.  df per query term is exact even
+    though it is computed POST-filter: filtering to a term's own
+    postings does not change that term's document count.  Corpus
+    stats (N, avgdl) are a 1-row broadcast crossJoin (the repo-wide
+    scalar pattern) computed from a narrow no-shuffle scan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    doclen = docs.select(
+        "doc_id", F.size("w").cast("bigint").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"))
+    qterms = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id int, term string")
+    tok = docs.select("doc_id", F.explode("w").alias("term"))
+    matched = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    try:
+        dfm = matched.groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"))
+        contrib = (
+            F.log((F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (F.col("tf") + _BM25_K1
+               * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl")))
+        )
+        scored = (
+            matched.join(F.broadcast(dfm), "term")
+            .join(F.broadcast(qterms), "term")
+            .join(doclen, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum(contrib), 4).alias("score"))
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _BM25_TOPK)
+            .select("query_id", "doc_id", "score", "rnk")
+            .orderBy("query_id", "rnk")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        matched.unpersist()

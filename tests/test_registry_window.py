@@ -20,10 +20,12 @@ FLAGSHIPS = [
     # similarity_srp_lsh / text_redact rotated out r6 after four green
     # driver rounds each; incremental_neardup_lsh + ann_ivf_scaled hold
     # the LSH/ANN families, the jsonl quarantine path holds regex-surface.
+    # doc_chunking rotated out r6 after four green rounds — it yielded
+    # its slot to bm25_retrieval; sequence_packing + boilerplate spans
+    # keep the chunk/packing family in-window.
     "multimodal_features",
     "tfidf_top_terms",
     "approx_aggregates",
-    "doc_chunking",
     "pandas_group_zscore",
     "corpus_curation_pipeline",
     # dedup_clusters / semantic_dedup rotated out late r5 under the
@@ -122,6 +124,11 @@ FLAGSHIPS = [
     "tpch_q11_important_stock",
     "tpch_q12_late_shipments",
     "tpch_q16_supplier_cnt",
+    # Round-6 NEW: Okapi BM25 top-k retrieval — the query-scored
+    # counterpart to tfidf_top_terms; doc_chunking yielded after four
+    # green rounds (sequence_packing + boilerplate_span_removal keep
+    # the chunk/packing family in-window).
+    "bm25_retrieval",
 ]
 
 
