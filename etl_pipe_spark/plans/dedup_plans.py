@@ -1403,7 +1403,8 @@ ORDER BY query_id, rnk
 
 
 @register("ivfpq_rerank", oracle=_IVFPQ_RERANK_ORACLE)
-def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_rerank(spark: SparkSession, sf_dir: str,
+                 checkpoint: bool = True) -> DataFrame:
     """IVFADC shortlist + exact cosine rerank under the hash check.
 
     Stage 1 runs the combined index exactly as ivfpq_ann_adc but keeps
@@ -1465,7 +1466,7 @@ def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The shortlist (queries x 15 rows) BROADCASTS into both vector
         # lookups, so each join is a streamed scan of the cached vector
         # store with no shuffle of the corpus.
-        return (
+        out = (
             n_side.join(F.broadcast(
                 q_side.join(F.broadcast(shortlist), "query_id")), "neighbor_id")
             .withColumn("cosine", cos)
@@ -1473,8 +1474,11 @@ def ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= _PQ_K)
             .select("query_id", "neighbor_id", "rnk")
             .orderBy("query_id", "rnk")
-            .localCheckpoint(eager=True)
         )
+        # checkpoint=False is the PLAN-INSPECTION seam
+        # (tests/test_physical_plans.py pins the rerank join shapes,
+        # which a checkpointed scan would hide); results are identical.
+        return out.localCheckpoint(eager=True) if checkpoint else out
     finally:
         emb.unpersist()
         if shortlist is not None:

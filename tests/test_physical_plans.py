@@ -258,7 +258,12 @@ def test_ivfpq_rerank_shortlist_join_not_cartesian(spark, sf_dir):
     equi-keys — never a nested loop over the corpus, and the final
     top-k must stay a partitioned window (no global sort of the
     corpus)."""
-    plan = _plan(spark, sf_dir, "ivfpq_rerank")
+    # checkpoint=False: the registered (warm-path) form returns a
+    # localCheckpoint scan whose plan hides the joins it already ran
+    from etl_pipe_spark.plans.dedup_plans import ivfpq_rerank
+
+    df = ivfpq_rerank(spark, sf_dir, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     # the single nested-loop is the deliberate broadcast k-row
     # centroid cross join inside _ivf_ranked (bounded build side);
