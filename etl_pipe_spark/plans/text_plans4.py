@@ -319,7 +319,8 @@ ORDER BY query_id, rnk
 
 
 @register("bm25_retrieval", oracle=_BM25_ORACLE)
-def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_retrieval(spark: SparkSession, sf_dir: str,
+                   checkpoint: bool = True) -> DataFrame:
     """Okapi BM25 top-k retrieval for a fixed query set, hash-checked
     end to end (Robertson & Zaragoza 2009; the Lucene-style
     +1-inside-the-log idf, so scores stay positive).
@@ -384,12 +385,14 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = W.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id"))
-        return (
+        out = (
             scored.withColumn("rnk", F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= _BM25_TOPK)
             .select("query_id", "doc_id", "score", "rnk")
             .orderBy("query_id", "rnk")
-            .localCheckpoint(eager=True)
         )
+        # checkpoint=False is the plan-inspection seam (the ivfpq_rerank
+        # convention): identical results, lazy plan visible.
+        return out.localCheckpoint(eager=True) if checkpoint else out
     finally:
         matched.unpersist()
