@@ -250,6 +250,26 @@ def _os_basename(p: str) -> str:
     return os.path.basename(p)
 
 
+def test_listed_total_bytes_matches_os_sizes(spark, tmp_path):
+    """The listing-based size sum must equal the on-disk byte total of
+    exactly the scan's input files — including across a partitioned
+    tree's many directories — with NO row scan (it is the sizing input
+    for maintenance jobs scheduled against 100 TB sinks)."""
+    import os
+
+    from etl_pipe_spark.operators.layout import _listed_total_bytes
+
+    p = str(tmp_path / "sized")
+    spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    ).repartition(4).write.partitionBy("p").parquet(p)
+    src = spark.read.parquet(p)
+    files = src.inputFiles()
+    expected = sum(
+        os.path.getsize(f.removeprefix("file:")) for f in files)
+    assert _listed_total_bytes(spark, files) == expected > 0
+
+
 def test_compact_to_size_preserves_clustering(spark, tmp_path):
     """Size-targeted compaction: 32 tiny sorted files -> few files near
     the byte target, with DISJOINT per-file key ranges when sort_cols
