@@ -320,7 +320,8 @@ ORDER BY query_id, rnk
 
 @register("bm25_retrieval", oracle=_BM25_ORACLE)
 def bm25_retrieval(spark: SparkSession, sf_dir: str,
-                   checkpoint: bool = True) -> DataFrame:
+                   checkpoint: bool = True,
+                   query_set=None) -> DataFrame:
     """Okapi BM25 top-k retrieval for a fixed query set, hash-checked
     end to end (Robertson & Zaragoza 2009; the Lucene-style
     +1-inside-the-log idf, so scores stay positive).
@@ -356,8 +357,11 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str,
     stats = doclen.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"))
+    # query_set overrides the pinned oracle queries for scale sweeps
+    # over corpora with a different vocabulary (tools/dedup_scaling);
+    # the registered/oracle-checked form always uses the module set
     qterms = docs.sparkSession.createDataFrame(
-        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        [(qid, t) for qid, ts in (query_set or _BM25_QUERIES) for t in ts],
         "query_id int, term string")
     tok = docs.select("doc_id", F.explode("w").alias("term"))
     matched = (
