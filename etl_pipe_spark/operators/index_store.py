@@ -1,0 +1,227 @@
+"""Persisted IVFPQ index: build once, search many, append increments.
+
+The registered ANN queries rebuild their index per run — correct for
+the oracle harness, wrong for production, where the index is the
+artifact: a 10^9-vector IVFPQ build is hours of cluster time and the
+searches against it are seconds.  This module persists the three
+index components as parquet tables and reloads them for search:
+
+* ``centroids``   — (cent_id, v)             k rows, k ~ sqrt(N)
+* ``codebooks``   — (sub, code_id, cw)       m x ksub rows
+* ``codes``       — (vec_id, codes, cent_id) N rows, hive-partitioned
+                    by ``cell_bucket = cent_id % n_buckets``
+
+Partitioning by a BOUNDED bucket of the cell id (not cent_id itself —
+k ~ sqrt(N) directories would be 10^4+ partitions at 10^8 vectors)
+lets a search prune the codes scan to the probed cells' buckets via
+ordinary Hive partition pruning: an nprobe=2 query set touching c
+distinct cells reads at most min(c, n_buckets)/n_buckets of the codes
+files, and the residual cent_id row filter lands on the parquet
+footer min/max within each bucket.
+
+Search REUSES the exact ivfpq_adc_topk scoring kernel (operators/pq):
+the loaded tables are adapted into the (codes_df, ranked, queries)
+frames that kernel expects, so the persisted path cannot drift from
+the oracle-checked in-memory path — a property the tests assert by
+literal result equality.
+
+Append encodes NEW vectors with the SAVED centroids + codebooks (the
+standard frozen-quantizer increment: FAISS `add` after `train`) and
+appends their code rows into the partitioned table — history is never
+re-read, the same incremental contract as the LSH probe-vs-history
+and Bloom-filter dedup paths.
+
+Reference stake: SURVEY §2.12 similarity family (driver-mandated
+extension); the reference engine has no index artifacts at all.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .ann import centroid_matrix, ivf_assign_vectorized
+from .pq import KSUB, M_SUB, ivfpq_adc_topk, pq_codebooks_deterministic, pq_encode
+from .similarity import ivf_centroids_for_corpus
+
+N_BUCKETS = 64  # bounded partition-directory count for cell pruning
+
+
+def _p(path: str, *parts: str) -> str:
+    return os.path.join(path, *parts)
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    m: int = M_SUB,
+    ksub: int = KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> dict:
+    """Build and persist the full IVFPQ index from an embedding frame.
+
+    One centroid collect (k rows), one assignment pass, one encode
+    pass, one partitioned write of the codes — the corpus streams
+    through exactly twice and never concentrates anywhere.  Returns
+    {n_vectors, k, m, ksub} for the build log.
+    """
+    n = emb.count()
+    if n == 0:
+        raise ValueError("build_ivfpq_index: empty embedding frame")
+    k = n_centroids or ivf_centroids_for_corpus(n)
+    cent_ids, cent_mat = centroid_matrix(emb, k, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cb = pq_codebooks_deterministic(vecs, m=m, ksub=ksub)
+
+    assign = (
+        ivf_assign_vectorized(vecs, cent_ids, cent_mat, nprobe=1)
+        .filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    )
+    codes = pq_encode(vecs, cb).select("vec_id", "codes").join(assign, "vec_id")
+    (
+        codes.withColumn("cell_bucket", F.pmod(F.col("cent_id"), F.lit(N_BUCKETS)))
+        .write.partitionBy("cell_bucket").mode("overwrite")
+        .parquet(_p(path, "codes"))
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(cent_ids, cent_mat)],
+        "cent_id bigint, v array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "centroids"))
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cb[s, c]])
+            for s in range(m) for c in range(ksub)
+        ],
+        "sub int, code_id int, cw array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "codebooks"))
+    spark.createDataFrame(
+        [(int(n), int(k), int(m), int(ksub), int(N_BUCKETS))],
+        "n_vectors bigint, k int, m int, ksub int, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
+    return {"n_vectors": n, "k": k, "m": m, "ksub": ksub}
+
+
+def load_index_meta(spark: SparkSession, path: str) -> dict:
+    r = spark.read.parquet(_p(path, "meta")).first()
+    return {k: int(r[k]) for k in ("n_vectors", "k", "m", "ksub", "n_buckets")}
+
+
+def _load_centroids(spark: SparkSession, path: str) -> tuple:
+    rows = spark.read.parquet(_p(path, "centroids")).orderBy("cent_id").collect()
+    return (np.array([r["cent_id"] for r in rows], dtype=np.int64),
+            np.array([r["v"] for r in rows], dtype=np.float64))
+
+
+def _load_codebooks(spark: SparkSession, path: str, m: int, ksub: int) -> np.ndarray:
+    rows = spark.read.parquet(_p(path, "codebooks")).collect()
+    dsub = len(rows[0]["cw"])
+    cb = np.zeros((m, ksub, dsub))
+    for r in rows:
+        cb[r["sub"], r["code_id"]] = r["cw"]
+    return cb
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Search the persisted index with the in-memory scoring kernel.
+
+    The centroid/codebook dimension tables load to the driver (k and
+    m x ksub rows).  Query cells are assigned via the SAME vectorized
+    kernel as the build (a numpy matmul over the collected query set),
+    and the codes scan is pruned TWICE before any scoring: a Hive
+    partition filter on cell_bucket drops unprobed buckets' files
+    entirely, and the cent_id IN filter lands on parquet footers
+    within the surviving buckets.  Scoring itself is the exact
+    ``ivfpq_adc_topk`` applyInPandas kernel — the persisted path and
+    the oracle-checked path cannot diverge.
+    """
+    meta = load_index_meta(spark, path)
+    cent_ids, cent_mat = _load_centroids(spark, path)
+    cb = _load_codebooks(spark, path, meta["m"], meta["ksub"])
+
+    q = queries.select(F.col(query_id_col).alias("vec_id"),
+                       F.col(vec_col).alias("v"))
+    probe = ivf_assign_vectorized(q, cent_ids, cent_mat, nprobe=nprobe)
+    probe_rows = probe.collect()  # queries x nprobe — the bounded side
+    probed_cells = sorted({int(r["cent_id"]) for r in probe_rows})
+    buckets = sorted({c % meta["n_buckets"] for c in probed_cells})
+
+    codes_df = (
+        spark.read.parquet(_p(path, "codes"))
+        .filter(F.col("cell_bucket").isin(buckets))      # partition pruning
+        .filter(F.col("cent_id").isin(probed_cells))     # footer min/max
+    )
+    members = codes_df.select("vec_id", "cent_id", F.lit(1).alias("rn"))
+    # A query that is itself a corpus member already has its rn=1 row
+    # in `members` (same kernel, same saved centroids => same cell);
+    # emitting the probe's rn=1 row too would double-score that cell
+    # and inflate ranks.  The membership lookup is bounded: query ids
+    # against the already-pruned codes scan.
+    qids = [int(r["vec_id"]) for r in probe_rows if r["rn"] == 1]
+    member_qids = {
+        int(r["vec_id"])
+        for r in codes_df.filter(F.col("vec_id").isin(qids))
+        .select("vec_id").collect()
+    }
+    probes_df = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(r["cent_id"]), int(r["rn"]))
+            for r in probe_rows
+            if not (int(r["rn"]) == 1 and int(r["vec_id"]) in member_qids)
+        ],
+        "vec_id bigint, cent_id bigint, rn int",
+    )
+    ranked = members.unionByName(probes_df)
+    out_queries = queries.select(F.col(query_id_col).alias("query_id"),
+                                 F.col(vec_col).alias("v"))
+    return ivfpq_adc_topk(
+        codes_df.select("vec_id", "codes"), ranked, out_queries, cb,
+        k=k, nprobe=nprobe)
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession,
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> dict:
+    """Frozen-quantizer increment: encode NEW vectors with the saved
+    centroids + codebooks and append their code rows — history is
+    never read, daily cost tracks the batch.  Caller owns id
+    uniqueness (the engine-wide insert-if-absent merge handles replay
+    when ids may repeat)."""
+    meta = load_index_meta(spark, path)
+    cent_ids, cent_mat = _load_centroids(spark, path)
+    cb = _load_codebooks(spark, path, meta["m"], meta["ksub"])
+
+    vecs = emb_new.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    n_new = vecs.count()
+    assign = (
+        ivf_assign_vectorized(vecs, cent_ids, cent_mat, nprobe=1)
+        .filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    )
+    codes = pq_encode(vecs, cb).select("vec_id", "codes").join(assign, "vec_id")
+    (
+        codes.withColumn("cell_bucket", F.pmod(F.col("cent_id"), F.lit(meta["n_buckets"])))
+        .write.partitionBy("cell_bucket").mode("append")
+        .parquet(_p(path, "codes"))
+    )
+    total = meta["n_vectors"] + n_new
+    spark.createDataFrame(
+        [(int(total), meta["k"], meta["m"], meta["ksub"], meta["n_buckets"])],
+        "n_vectors bigint, k int, m int, ksub int, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
+    return {"appended": n_new, "n_vectors": total}

@@ -59,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 71 names: 121 registered − 71 demoted = 50 in-window.
+# Exactly 72 names: 122 registered − 72 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -107,6 +107,9 @@ _DEMOTED = (
     # yielded its slot to the NEW bm25_retrieval (query-scored ranked
     # retrieval — a first-ever driver row beats a fifth green round):
     "doc_chunking",              # green r2-r5 (4 rounds); chunk/packing family rep in-window: sequence_packing (consumes chunk-shaped output) + boilerplate_span_removal
+    # yielded its slot to the NEW ivfpq_index_persisted (the persisted
+    # index build+search round trip under the exact IVFADC oracle):
+    "dedup_simhash",             # green r2-r5 (4 rounds); simhash machinery stays hard-checked via dedup_clusters_star (star contraction OVER the simhash pair graph), dedup family also holds exact/jaccard/minhash in-window
     # yielded their slots to the FOUR new round-5 corpus ops
     # (corpus_shuffle_shards / vocab_top_coverage /
     # unigram_logprob_quality / embedding_gram_matrix — first-ever

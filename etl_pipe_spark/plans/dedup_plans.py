@@ -1483,3 +1483,34 @@ def ivfpq_rerank(spark: SparkSession, sf_dir: str,
         emb.unpersist()
         if shortlist is not None:
             shortlist.unpersist()
+
+
+@register("ivfpq_index_persisted", oracle=_IVFPQ_ORACLE)
+def ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVFPQ index under the exact-ranking hash check
+    (round 6): build writes the centroid / codebook / bucketed-codes
+    parquet tables (operators/index_store.py), then search RELOADS
+    them from disk and ranks via the same applyInPandas kernel as
+    ivfpq_ann_adc — the identical _IVFPQ_ORACLE certifies that a
+    save/load round trip through the on-disk layout (including the
+    cell_bucket partition pruning on the codes scan) changes NOTHING
+    about the rankings.  Production builds once and serves many
+    searches; this query exercises the full build+search cycle so the
+    driver re-checks both sides every round.
+    """
+    from .ingest_plans import _io_dir
+    from ..operators.index_store import build_ivfpq_index, search_ivfpq_index
+
+    emb = _emb_with_norms(spark, sf_dir).select("vec_id", "v")
+    path = _io_dir(sf_dir, "ivfpq_index")
+    build_ivfpq_index(spark, emb, path, n_centroids=N_CENTROIDS,
+                      m=_PQ_M, ksub=_PQ_KSUB)
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    return (
+        search_ivfpq_index(spark, path, queries, k=_PQ_K, nprobe=2)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )

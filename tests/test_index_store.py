@@ -1,0 +1,100 @@
+"""Persisted IVFPQ index: build/search/append round trips.
+
+The load-bearing property: searching the PERSISTED index returns
+literally the same (query_id, neighbor_id, rnk) triples as running the
+oracle-checked in-memory IVFADC pipeline with the same centroids and
+codebooks — persistence must not be a second implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipe_spark.operators import pq as PQ
+from etl_pipe_spark.operators.ann import centroid_matrix, ivf_assign_vectorized
+from etl_pipe_spark.operators.index_store import (
+    append_to_ivfpq_index, build_ivfpq_index, load_index_meta,
+    search_ivfpq_index)
+from etl_pipe_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0) \
+              .withColumnRenamed("vec_id", "query_id")
+
+
+def test_persisted_search_equals_in_memory_pipeline(spark, emb, queries,
+                                                    tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    stats = build_ivfpq_index(spark, emb, path)
+    assert stats["n_vectors"] == emb.count()
+
+    got = sorted(
+        tuple(r) for r in
+        search_ivfpq_index(spark, path, queries, k=5, nprobe=2).collect())
+
+    # reference: the oracle-checked in-memory path with the identical
+    # deterministic centroids + codebooks
+    cent_ids, cent_mat = centroid_matrix(emb, stats["k"])
+    cb = PQ.pq_codebooks_deterministic(emb, m=stats["m"], ksub=stats["ksub"])
+    enc = PQ.pq_encode(emb, cb)
+    ranked = ivf_assign_vectorized(emb, cent_ids, cent_mat, nprobe=2)
+    ref = sorted(
+        tuple(r) for r in
+        PQ.ivfpq_adc_topk(enc, ranked, queries, cb, k=5, nprobe=2).collect())
+    assert got == ref and len(got) > 0
+
+
+def test_search_prunes_codes_partitions(spark, emb, queries, tmp_path_factory):
+    """The codes scan must carry a cell_bucket PartitionFilter — the
+    mechanism that keeps a 10^9-vector search from listing every
+    codes file."""
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    build_ivfpq_index(spark, emb, path)
+    one_q = queries.limit(1)
+    out = search_ivfpq_index(spark, path, one_q, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_bucket" in plan
+    # one query, nprobe=1 -> at most one bucket of files survives
+    assert out.count() == 5
+
+
+def test_append_is_incremental_and_searchable(spark, emb, tmp_path_factory):
+    """Appending re-encodes ONLY the batch with the frozen quantizer;
+    appended near-copies of a probe vector must dominate its top-k."""
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    build_ivfpq_index(spark, emb, path)
+    n0 = load_index_meta(spark, path)["n_vectors"]
+
+    base = emb.filter(F.col("vec_id") == 0).first()
+    new_ids = [10_000_000 + i for i in range(3)]
+    batch = spark.createDataFrame(
+        [(i, list(base["v"])) for i in new_ids],
+        "vec_id bigint, v array<double>")
+    out = append_to_ivfpq_index(spark, batch, path)
+    assert out == {"appended": 3, "n_vectors": n0 + 3}
+
+    # frozen-quantizer contract: byte-identical vectors encode to the
+    # SAME codes and land in the SAME cell as their original — the
+    # saved centroids/codebooks, not re-derived ones, did the encoding
+    codes = spark.read.parquet(f"{path}/codes")
+    ref = codes.filter(F.col("vec_id") == 0).first()
+    for r in codes.filter(F.col("vec_id").isin(new_ids)).collect():
+        assert list(r["codes"]) == list(ref["codes"])
+        assert r["cent_id"] == ref["cent_id"]
+
+    # and the appended rows are immediately searchable
+    q = spark.createDataFrame([(0, list(base["v"]))],
+                              "query_id bigint, v array<double>")
+    got = search_ivfpq_index(spark, path, q, k=5, nprobe=1).collect()
+    assert len(got) == 5
+    assert all(r["neighbor_id"] != 0 for r in got)  # self excluded

@@ -16,7 +16,9 @@ FLAGSHIPS = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # dedup_simhash rotated out r6 after four green rounds — yielded to
+    # ivfpq_index_persisted; dedup_clusters_star star-contracts the
+    # simhash pair graph, keeping the machinery hard-checked.
     # similarity_srp_lsh / text_redact rotated out r6 after four green
     # driver rounds each; incremental_neardup_lsh + ann_ivf_scaled hold
     # the LSH/ANN families, the jsonl quarantine path holds regex-surface.
@@ -129,6 +131,9 @@ FLAGSHIPS = [
     # green rounds (sequence_packing + boilerplate_span_removal keep
     # the chunk/packing family in-window).
     "bm25_retrieval",
+    # Round-6 NEW: persisted IVFPQ index build+search round trip under
+    # the exact IVFADC ranking oracle (operators/index_store.py).
+    "ivfpq_index_persisted",
 ]
 
 
