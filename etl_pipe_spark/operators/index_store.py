@@ -85,6 +85,12 @@ def build_ivfpq_index(
     codes = pq_encode(vecs, cb).select("vec_id", "codes").join(assign, "vec_id")
     (
         codes.withColumn("cell_bucket", F.pmod(F.col("cent_id"), F.lit(N_BUCKETS)))
+        # repartition ON the partition column first: without it every
+        # shuffle task writes into every bucket directory (tasks x
+        # buckets small files — the small-file problem at birth);
+        # with it each bucket's rows land in one task -> one file per
+        # directory, and compact_to_size never needs to visit
+        .repartition(N_BUCKETS, "cell_bucket")
         .write.partitionBy("cell_bucket").mode("overwrite")
         .parquet(_p(path, "codes"))
     )
@@ -216,6 +222,7 @@ def append_to_ivfpq_index(
     codes = pq_encode(vecs, cb).select("vec_id", "codes").join(assign, "vec_id")
     (
         codes.withColumn("cell_bucket", F.pmod(F.col("cent_id"), F.lit(meta["n_buckets"])))
+        .repartition(meta["n_buckets"], "cell_bucket")  # one file/bucket/batch
         .write.partitionBy("cell_bucket").mode("append")
         .parquet(_p(path, "codes"))
     )
