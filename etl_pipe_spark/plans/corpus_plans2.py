@@ -1,0 +1,372 @@
+"""Corpus-construction operators round 5: exact substring dedup,
+per-domain cap sampling, BPE pair statistics, and int8 embedding
+quantization.
+
+Four operations from the published LLM-pretraining-pipeline canon that
+the registry still lacked (SURVEY §2.12 north-star family):
+
+* **Exact substring dedup** — the ExactSubstr pass of Lee et al. 2022
+  ("Deduplicating Training Data Makes Language Models Better"): find
+  w-token substrings that occur more than once anywhere in the corpus
+  and remove every occurrence except the first.  The paper builds one
+  giant suffix array; the distributed re-expression is stride-1
+  rolling windows hashed into a global window index — the same
+  duplicated-substring set, computed with one groupBy instead of a
+  single-node suffix sort.
+
+* **Per-domain cap sampling** — the RefinedWeb/C4 rule of capping how
+  many documents any one domain may contribute, so a handful of giant
+  hosts cannot dominate the mix.  Selection within a domain is by
+  deterministic key hash, so the sample is reproducible and
+  oracle-checkable.
+
+* **BPE pair statistics** — the first step of byte-pair-encoding
+  tokenizer training (Sennrich et al. 2016): corpus word frequencies
+  joined with within-word adjacent-symbol pairs, aggregated to the
+  top merge candidates.  The full BPE loop is sequential by nature
+  (each merge depends on the last); the distributed unit of work is
+  exactly this pair-count pass, re-run per merge round.
+
+* **Int8 scalar quantization** — per-dimension min/max linear
+  quantization of float embeddings to uint8 codes (the standard 4x
+  storage shrink before ANN indexing; the scalar-quantizer half of
+  the FAISS SQ8 index).  The query certifies the codes themselves —
+  integer outputs, exact across engines — not a float-tolerance echo.
+
+Scale notes (100 TB): the substring window index is one groupBy on the
+window text (postings bounded by occurrence counts, same shape as the
+shingle index in dedup_plans); the per-domain cap is a partitioned
+window — parallel across domains, and a skewed mega-domain can be
+pre-capped per partition (any per-partition top-CAP superset contains
+the global top-CAP) before the final rank; the pair count is two
+narrow aggs (word counts, then pair sums); quantization is one
+64-row dimension-stats agg broadcast back over a single explode pass.
+No driver-side loops, no global single-task windows, no all-pairs
+stage anywhere.
+
+Reference parity: the reference engine (extract.py/transform.py) has
+no corpus operators at all — this family extends it toward the
+training-data workload the prompt stakes out, like text_plans4 and
+corpus_plans before it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources.catalog import load_table
+from .catalog import register
+
+WIN_WORDS = 8            # substring window width (tokens)
+_POS_ENC = 1_000_000     # encodes (doc_id, sid) as one orderable bigint
+DOMAIN_CAP = 10          # max docs any one source may contribute
+_CAP_MULT = 2654435761   # Knuth multiplicative constant (2^32 / phi)
+_CAP_MOD = 4294967296    # 2^32
+BPE_TOP_K = 20           # merge candidates reported per pair-count pass
+Q_LEVELS = 255           # uint8 code range 0..255
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, ExactSubstr)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), wins AS (
+  SELECT doc_id, sid,
+         array_to_string(w[(sid+1):(sid+{WIN_WORDS})], ' ') AS win,
+         doc_id * {_POS_ENC} + sid AS pos_key
+  FROM words, unnest(range(len(w) - {WIN_WORDS} + 1)) AS t(sid)
+  WHERE len(w) >= {WIN_WORDS}
+), idx AS (
+  SELECT win, count(*) AS occ, min(pos_key) AS keep_key
+  FROM wins GROUP BY win HAVING count(*) >= 2
+)
+SELECT ws.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN i.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows,
+       CAST(sum(CASE WHEN i.win IS NOT NULL AND ws.pos_key <> i.keep_key
+                     THEN 1 ELSE 0 END) AS BIGINT) AS removed_windows
+FROM wins ws LEFT JOIN idx i ON i.win = ws.win
+GROUP BY ws.doc_id
+ORDER BY ws.doc_id
+"""
+
+
+@register("substring_dedup_windows", oracle=_SUBSTR_ORACLE)
+def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring audit with first-occurrence-
+    wins removal counts — Lee et al. 2022's ExactSubstr, re-expressed
+    as rolling windows over a distributed window index.
+
+    Every stride-1 window of WIN_WORDS tokens is emitted with its
+    corpus position encoded as one orderable bigint; windows whose
+    text occurs >= 2 times anywhere (cross-document OR self-repeat)
+    are duplicates, and the occurrence with the smallest position key
+    is the keeper — every other occurrence is a removal candidate.
+    Differs from boilerplate_span_removal (text_plans4) in kind:
+    stride-1 overlapping windows vs disjoint spans, any-second-
+    occurrence vs a document-frequency threshold, and positional
+    first-wins vs strip-everywhere.
+
+    Scale: the window stream is |tokens| rows wide but two columns
+    narrow; the index groupBy is the only wide shuffle, and its
+    postings are bounded by real duplication (a window seen once
+    carries no group state beyond the count).  The index→stream join
+    is an ordinary shuffle join on the window text that AQE downgrades
+    to broadcast when the duplicate set fits.  min() over the encoded
+    position replaces a struct-min so the oracle computes the identical
+    bigint with plain integer arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= WIN_WORDS)
+    n_win = (F.size("w") - WIN_WORDS + 1).cast("bigint")
+    wins = (
+        docs.select(
+            "doc_id", "w",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_win - 1)).alias("sid"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("w"), (F.col("sid") + 1).cast("int"), WIN_WORDS)
+            ).alias("win"),
+            (F.col("doc_id") * _POS_ENC + F.col("sid")).alias("pos_key"),
+        )
+    )
+    idx = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("occ"), F.min("pos_key").alias("keep_key"))
+        .where(F.col("occ") >= 2)
+    )
+    flagged = wins.join(idx, "win", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("occ").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("dup_windows"),
+            F.sum(
+                F.when(
+                    F.col("occ").isNotNull()
+                    & (F.col("pos_key") != F.col("keep_key")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("removed_windows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap sampling (RefinedWeb / C4 domain balancing)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH hashed AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (doc_id * {_CAP_MULT}) % {_CAP_MOD} AS h
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk
+  FROM hashed
+)
+SELECT source, doc_id, n_tokens, rnk
+FROM ranked WHERE rnk <= {DOMAIN_CAP}
+ORDER BY source, rnk
+"""
+
+
+@register("domain_cap_sampling", oracle=_DOMAIN_CAP_ORACLE)
+def domain_cap_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source domain at DOMAIN_CAP documents, selected by
+    deterministic key hash — the RefinedWeb/C4 domain-balancing rule
+    that stops a handful of giant hosts dominating the training mix.
+
+    The within-domain order is the Knuth multiplicative hash of the
+    stable document key (same portable scheme as
+    train_test_split_hash — pure 64-bit integer arithmetic both
+    engines evaluate identically), tie-broken by the key itself, so
+    the sample is reproducible under repartitioning and re-crawls.
+
+    Scale: one partitioned window — parallel across domains.  For a
+    skewed mega-domain the rank never needs the whole domain in one
+    task: any per-partition top-CAP is a superset of the global
+    top-CAP, so a pre-filter (per-partition row_number <= CAP over the
+    same order) bounds the final window's input at CAP * shuffle
+    partitions rows per domain; at this corpus the plain window is
+    already the right plan and AQE handles residual skew.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    h = (F.col("doc_id") * F.lit(_CAP_MULT)) % F.lit(_CAP_MOD)
+    ranked = docs.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+        ).cast("bigint"),
+    )
+    return (
+        ranked.where(F.col("rnk") <= DOMAIN_CAP)
+        .select("source", "doc_id", "n_tokens", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (Sennrich et al. 2016, one merge round's counts)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+), pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, wc
+  FROM words, unnest(range(1, len(word))) AS t(i)
+  WHERE len(word) >= 2
+), counted AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+FROM counted
+ORDER BY rnk
+LIMIT {BPE_TOP_K}
+"""
+
+
+@register("bpe_pair_stats", oracle=_BPE_ORACLE)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top merge candidates for one byte-pair-encoding round: corpus
+    word frequencies x within-word adjacent character pairs, summed
+    and ranked (Sennrich et al. 2016's count step, the distributed
+    unit of BPE tokenizer training).
+
+    Scale: the corpus collapses to the word-frequency table first
+    (groupBy word — vocabulary-sized, tiny next to the token stream),
+    so the pair explosion runs over |vocab| * avg_word_len rows, not
+    the corpus; the final top-K is a TakeOrderedAndProject, never a
+    global sort.  Later merge rounds re-run the same pass over the
+    re-symbolized word table — each round is this query with a wider
+    symbol alphabet.
+    """
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            "word", "wc",
+            F.explode(
+                F.sequence(F.lit(1), (F.length("word") - 1).cast("int"))
+            ).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "wc")
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("wc").cast("bigint").alias("cnt"))
+    # Top-K first (TakeOrderedAndProject — never a global sort), THEN
+    # rank: the no-partition window runs over <= BPE_TOP_K rows, and
+    # because its order equals the top-K order the ranks are identical
+    # to ranking-then-limiting.
+    top = counted.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(BPE_TOP_K)
+    return top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("pair").asc()))
+        .cast("bigint"),
+    ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of embeddings (FAISS SQ8 storage half)
+# ---------------------------------------------------------------------------
+
+_SQ8_ORACLE = f"""
+WITH flat AS (
+  SELECT vec_id, CAST(t.i - 1 AS INT) AS dim,
+         CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), stats AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM flat GROUP BY dim
+), coded AS (
+  SELECT f.vec_id,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE CAST(floor((f.x - s.lo) / ((s.hi - s.lo) / {Q_LEVELS}) + 0.5)
+                        AS BIGINT) END AS code
+  FROM flat f JOIN stats s ON s.dim = f.dim
+)
+SELECT vec_id,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(sum(CASE WHEN code = {Q_LEVELS} THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM coded
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@register("sq8_embedding_quantization", oracle=_SQ8_ORACLE)
+def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uint8 scalar quantization of the embedding table: per-dimension
+    corpus min/max -> linear codes 0..255 — the storage half of a
+    FAISS-style SQ8 index (4x shrink before ANN), certified by exact
+    integer outputs per vector (code sum + saturation counts).
+
+    Both engines compute the identical double-precision expression
+    floor((x - lo) / ((hi - lo) / 255) + 0.5): float32 -> double
+    widening is exact and IEEE ops are bit-deterministic, so the codes
+    — and hence the integer aggregates — hash-match exactly; no
+    float-tolerance oracle needed.  Degenerate constant dimensions
+    (hi = lo) code to 0 in both engines instead of dividing by zero.
+
+    Scale: one posexplode pass (N x dim narrow rows), a 64-row
+    dimension-stats aggregate broadcast back onto the stream, one
+    groupBy vec_id.  The stats table is dim-sized — broadcastable at
+    any corpus size — so the corpus never shuffles; production would
+    write the codes column alongside the vectors (same plan minus the
+    final agg) and feed ivfpq/ann from it.
+    """
+    flat = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    )
+    stats = flat.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    coded = flat.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / Q_LEVELS)
+                + 0.5
+            ).cast("bigint")
+        )
+        .alias("code"),
+    )
+    return (
+        coded.groupBy("vec_id")
+        .agg(
+            F.sum("code").cast("bigint").alias("code_sum"),
+            F.sum(F.when(F.col("code") == 0, 1).otherwise(0))
+            .cast("bigint").alias("n_lo"),
+            F.sum(F.when(F.col("code") == Q_LEVELS, 1).otherwise(0))
+            .cast("bigint").alias("n_hi"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,188 @@
+"""Round-6 corpus ops: ExactSubstr rolling-window dedup, per-domain
+cap sampling, BPE pair statistics, and int8 scalar quantization.
+
+DuckDB hash parity for all four is covered by
+tests/test_oracle_parity.py (registered queries); these tests pin the
+properties the oracle can't see — exactness vs sequential Python/numpy
+references, first-occurrence-wins semantics on a crafted corpus, and
+partition-count independence.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_pipe_spark.plans.corpus_plans2 import (
+    DOMAIN_CAP,
+    Q_LEVELS,
+    WIN_WORDS,
+    _CAP_MOD,
+    _CAP_MULT,
+    bpe_pair_stats,
+    domain_cap_sampling,
+    sq8_embedding_quantization,
+    substring_dedup_windows,
+)
+from etl_pipe_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup_windows
+# ---------------------------------------------------------------------------
+
+def _seq_substring_reference(rows):
+    """Sequential ExactSubstr reference: (doc_id, text) -> per-doc
+    (n_windows, dup_windows, removed_windows)."""
+    occurrences = collections.defaultdict(list)
+    per_doc = {}
+    for doc_id, text in rows:
+        words = text.split(" ")
+        if len(words) < WIN_WORDS:
+            continue
+        n = len(words) - WIN_WORDS + 1
+        per_doc[doc_id] = [n, 0, 0]
+        for sid in range(n):
+            win = " ".join(words[sid:sid + WIN_WORDS])
+            occurrences[win].append((doc_id, sid))
+    for win, occ in occurrences.items():
+        if len(occ) < 2:
+            continue
+        keeper = min(occ)
+        for pos in occ:
+            doc = per_doc[pos[0]]
+            doc[1] += 1
+            if pos != keeper:
+                doc[2] += 1
+    return per_doc
+
+
+def test_substring_dedup_matches_sequential_reference(spark, sf_dir):
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    expected = _seq_substring_reference(rows)
+    got = {
+        r["doc_id"]: [r["n_windows"], r["dup_windows"], r["removed_windows"]]
+        for r in substring_dedup_windows(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_substring_dedup_first_occurrence_wins(spark, tmp_path):
+    """Crafted corpus: doc 2 repeats doc 1's window verbatim, doc 3
+    self-repeats a window; the earliest (doc_id, sid) keeps."""
+    base = " ".join(f"w{i}" for i in range(WIN_WORDS))          # 8 unique words
+    uniq2 = " ".join(f"x{i}" for i in range(WIN_WORDS))
+    docs = [
+        (1, base + " tail1 tail2 tail3"),                        # windows incl. base
+        (2, base),                                               # exactly the dup window
+        (3, uniq2 + " " + uniq2),                                # self-repeat
+        (4, "short words only"),                                 # < WIN_WORDS: dropped
+    ]
+    d = str(tmp_path / "crafted")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r.asDict() for r in substring_dedup_windows(spark, d).collect()}
+    assert 4 not in out                          # too short to window
+    # doc1's window at sid=0 is the keeper; doc2's single window is removed.
+    assert out[2]["dup_windows"] == 1 and out[2]["removed_windows"] == 1
+    assert out[1]["dup_windows"] == 1 and out[1]["removed_windows"] == 0
+    # doc3: uniq2 appears at sid=0 and sid=WIN_WORDS+? — the repeated
+    # window (x0..x7) occurs at sid 0 and sid WIN_WORDS+1-? exactly twice;
+    # earliest sid keeps, later one removed.
+    assert out[3]["dup_windows"] >= 2 and out[3]["removed_windows"] >= 1
+    # Global invariant: every duplicate group loses all but one member.
+    seq = _seq_substring_reference(docs[:3])
+    assert {k: v for k, v in out.items()} == {k: dict(zip(
+        ("doc_id", "n_windows", "dup_windows", "removed_windows"),
+        (k, *v))) for k, v in seq.items()}
+
+
+def test_substring_dedup_partition_count_independent(spark, sf_dir):
+    a = substring_dedup_windows(spark, sf_dir).collect()
+    # Same plan under a different shuffle-partition setting must agree.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = substring_dedup_windows(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# domain_cap_sampling
+# ---------------------------------------------------------------------------
+
+def test_domain_cap_respects_cap_and_hash_order(spark, sf_dir):
+    out = domain_cap_sampling(spark, sf_dir).collect()
+    per_src = collections.defaultdict(list)
+    for r in out:
+        per_src[r["source"]].append(r)
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id").collect()
+    universe = collections.defaultdict(list)
+    for r in docs:
+        universe[r["source"]].append(r["doc_id"])
+    for src, rows in per_src.items():
+        assert len(rows) <= DOMAIN_CAP
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+        # Selection = first CAP ids under the Knuth-hash total order.
+        expect = sorted(
+            universe[src], key=lambda i: ((i * _CAP_MULT) % _CAP_MOD, i)
+        )[:DOMAIN_CAP]
+        got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert got == expect
+    assert set(per_src) == set(universe)  # every domain contributes
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_stats
+# ---------------------------------------------------------------------------
+
+def test_bpe_pairs_match_sequential_counter(spark, sf_dir):
+    texts = [r["text"] for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    wc = collections.Counter(w for t in texts for w in t.split(" "))
+    pc = collections.Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i:i + 2]] += c
+    expect = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["pair"], r["cnt"]) for r in bpe_pair_stats(spark, sf_dir).collect()]
+    assert got == expect
+    assert [r["rnk"] for r in bpe_pair_stats(spark, sf_dir).collect()] == list(
+        range(1, len(got) + 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sq8_embedding_quantization
+# ---------------------------------------------------------------------------
+
+def test_sq8_codes_match_numpy_and_are_saturating(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    scale = (hi - lo) / Q_LEVELS
+    with np.errstate(divide="ignore", invalid="ignore"):
+        codes = np.floor((X - lo) / scale + 0.5)
+    codes = np.where(hi == lo, 0.0, codes).astype(np.int64)
+    assert codes.min() >= 0 and codes.max() <= Q_LEVELS
+    expect = {
+        int(i): (int(c.sum()), int((c == 0).sum()), int((c == Q_LEVELS).sum()))
+        for i, c in zip(ids, codes)
+    }
+    got = {
+        r["vec_id"]: (r["code_sum"], r["n_lo"], r["n_hi"])
+        for r in sq8_embedding_quantization(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # Every dimension's min and max rows saturate somewhere in the corpus.
+    assert sum(v[1] for v in got.values()) >= X.shape[1]
+    assert sum(v[2] for v in got.values()) >= X.shape[1]

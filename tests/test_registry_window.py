@@ -14,7 +14,6 @@ DRIVER_WINDOW = 50
 FLAGSHIPS = [
     # LLM-data-pipeline north stars (VERDICT r01 "no hard-signal row").
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     # dedup_simhash rotated out r6 after four green rounds — yielded to
     # ivfpq_index_persisted; dedup_clusters_star star-contracts the
@@ -26,10 +25,14 @@ FLAGSHIPS = [
     # its slot to bm25_retrieval; sequence_packing + boilerplate spans
     # keep the chunk/packing family in-window.
     "multimodal_features",
-    "tfidf_top_terms",
+    # tfidf_top_terms / dedup_ngram_jaccard / corpus_curation_pipeline /
+    # multimodal_frame_sample rotated out mid-r6 after 2-4 green driver
+    # rounds each, yielding slots to the four new corpus_plans2 ops
+    # below; bm25_retrieval (tf-idf superset), dedup_minhash_lsh
+    # (jaccard verify stage), the per-stage pipeline reps, and
+    # multimodal_features hold their families in-window.
     "approx_aggregates",
     "pandas_group_zscore",
-    "corpus_curation_pipeline",
     # dedup_clusters / semantic_dedup rotated out late r5 under the
     # superset convention: dedup_clusters_star (same pair graph,
     # two-phase star contraction) and semantic_dedup_scaled (the
@@ -38,10 +41,8 @@ FLAGSHIPS = [
     "sequence_packing",
     "contamination_check",
     "quality_repetition_filter",
-    # Round-4: the full Lloyd loop registered as a rows-only query,
-    # and the multimodal 1->N frame-sampling shape.
+    # Round-4: the full Lloyd loop registered as a rows-only query.
     "kmeans_fit_clusters",
-    "multimodal_frame_sample",
     # Round-5: the production BLAS kernels under driver check (the r4
     # verdict's top item) — corpus-sized k, vectorized assignment,
     # per-cell matmul scoring, exact dynamic-k oracles.
@@ -134,6 +135,14 @@ FLAGSHIPS = [
     # Round-6 NEW: persisted IVFPQ index build+search round trip under
     # the exact IVFADC ranking oracle (operators/index_store.py).
     "ivfpq_index_persisted",
+    # Round-6 NEW: the corpus_plans2 quartet — ExactSubstr rolling-
+    # window dedup (Lee et al. 2022), RefinedWeb per-domain cap
+    # sampling, BPE merge-pair statistics, and int8 scalar quantization
+    # of the embedding table (first driver rows).
+    "substring_dedup_windows",
+    "domain_cap_sampling",
+    "bpe_pair_stats",
+    "sq8_embedding_quantization",
 ]
 
 
