@@ -47,7 +47,7 @@ _PLAN_MODULES = (
     "windows", "incremental", "streaming_plans", "extensions", "dedup_plans",
     "text_plans", "text_plans2", "text_plans3", "text_plans4",
     "pandas_ops", "curation_pipeline", "corpus_plans", "corpus_plans2",
-    "layout_plans", "profiling_plans", "ingest_plans",
+    "layout_plans", "profiling_plans", "ingest_plans", "maintenance_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -59,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 76 names: 126 registered − 76 demoted = 50 in-window.
+# Exactly 78 names: 128 registered − 78 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -95,6 +95,10 @@ _DEMOTED = (
     "dedup_ngram_jaccard",       # green r2-r5 (4 rounds); jaccard verify stage in-window via dedup_minhash_lsh; n-gram window family gains substring_dedup_windows
     "corpus_curation_pipeline",  # green r2-r5 (4 rounds); every stage has an in-window rep (dedup_exact, quality_repetition_filter, token_budget_selection, corpus_shuffle_shards)
     "multimodal_frame_sample",   # green r4+r5; multimodal family rep in-window: multimodal_features (same Arrow-batched binary plumbing; 1->N explode shape covered by substring window explode)
+    # --- rotated out mid-r6 (slots yielded to the TWO maintenance ops
+    # — incremental_rollup_merge / fuzzy_join_blocked, first driver rows) ---
+    "pandas_group_zscore",       # green r2-r5 (4 rounds); Arrow-batched python surface stays hard-checked in-window by multimodal_features (mapInPandas) + ann_ivf_scaled / pq kernels (mapInArrow)
+    "contamination_check",       # green r3-r5 (3 rounds); n-gram collision machinery in-window via substring_dedup_windows (stride-1 window index — the same collision join, positional)
     # --- rotated out r6 (slots yielded to the 15 never-checked) ---
     "run_summary_rollup",        # green r1-r5 (5 rounds); grouped multi-agg + conditional counts covered in-window by tpch_q12_late_shipments (promoted r6) + tpch_q9_product_profit
     "incremental_scan",          # green r1-r5 (5 rounds); pushdown scan-agg covered in-window by tpch_q6_forecast_revenue (promoted r6, PushedFilters-pinned)

@@ -31,15 +31,18 @@ FLAGSHIPS = [
     # below; bm25_retrieval (tf-idf superset), dedup_minhash_lsh
     # (jaccard verify stage), the per-stage pipeline reps, and
     # multimodal_features hold their families in-window.
+    # pandas_group_zscore / contamination_check rotated out mid-r6
+    # after 3-4 green rounds, yielding to the maintenance pair below;
+    # the Arrow-batched python surface stays hard-checked via
+    # multimodal_features + the ann/pq mapInArrow kernels, and the
+    # n-gram collision machinery via substring_dedup_windows.
     "approx_aggregates",
-    "pandas_group_zscore",
     # dedup_clusters / semantic_dedup rotated out late r5 under the
     # superset convention: dedup_clusters_star (same pair graph,
     # two-phase star contraction) and semantic_dedup_scaled (the
     # production BLAS kernel) hold their families' hard signal.
     # Round-3 corpus-construction flagships — first driver rows pending.
     "sequence_packing",
-    "contamination_check",
     "quality_repetition_filter",
     # Round-4: the full Lloyd loop registered as a rows-only query.
     "kmeans_fit_clusters",
@@ -143,6 +146,11 @@ FLAGSHIPS = [
     "domain_cap_sampling",
     "bpe_pair_stats",
     "sq8_embedding_quantization",
+    # Round-6 NEW: the maintenance pair — incremental aggregate
+    # maintenance (algebraic partial-merge, proven equal to recompute)
+    # and blocked edit-distance record linkage (first driver rows).
+    "incremental_rollup_merge",
+    "fuzzy_join_blocked",
 ]
 
 
