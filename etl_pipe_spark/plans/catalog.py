@@ -59,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 78 names: 128 registered − 78 demoted = 50 in-window.
+# Exactly 79 names: 129 registered − 79 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -93,12 +93,15 @@ _DEMOTED = (
     # bpe_pair_stats / sq8_embedding_quantization, first driver rows) ---
     "tfidf_top_terms",           # green r2-r5 (4 rounds); in-window superset: bm25_retrieval (same DF postings + IDF machinery, query-scored)
     "dedup_ngram_jaccard",       # green r2-r5 (4 rounds); jaccard verify stage in-window via dedup_minhash_lsh; n-gram window family gains substring_dedup_windows
-    "corpus_curation_pipeline",  # green r2-r5 (4 rounds); every stage has an in-window rep (dedup_exact, quality_repetition_filter, token_budget_selection, corpus_shuffle_shards)
+    "corpus_curation_pipeline",  # green r2-r5 (4 rounds); every stage has an in-window rep (dedup_exact, unigram_logprob_quality, token_budget_selection, corpus_shuffle_shards)
     "multimodal_frame_sample",   # green r4+r5; multimodal family rep in-window: multimodal_features (same Arrow-batched binary plumbing; 1->N explode shape covered by substring window explode)
     # --- rotated out mid-r6 (slots yielded to the TWO maintenance ops
     # — incremental_rollup_merge / fuzzy_join_blocked, first driver rows) ---
     "pandas_group_zscore",       # green r2-r5 (4 rounds); Arrow-batched python surface stays hard-checked in-window by multimodal_features (mapInPandas) + ann_ivf_scaled / pq kernels (mapInArrow)
     "contamination_check",       # green r3-r5 (3 rounds); n-gram collision machinery in-window via substring_dedup_windows (stride-1 window index — the same collision join, positional)
+    # --- rotated out mid-r6 (slot yielded to sq8_ann_rerank — the SQ8
+    # index's search leg, first driver row) ---
+    "quality_repetition_filter", # green r3-r5 (3 rounds); quality-score family in-window via unigram_logprob_quality (CCNet scoring) + token_budget_selection (TTR-ranked curriculum cut)
     # --- rotated out r6 (slots yielded to the 15 never-checked) ---
     "run_summary_rollup",        # green r1-r5 (5 rounds); grouped multi-agg + conditional counts covered in-window by tpch_q12_late_shipments (promoted r6) + tpch_q9_product_profit
     "incremental_scan",          # green r1-r5 (5 rounds); pushdown scan-agg covered in-window by tpch_q6_forecast_revenue (promoted r6, PushedFilters-pinned)
@@ -111,7 +114,7 @@ _DEMOTED = (
     "supplier_nation_rollup",    # green r1+r5; COUNT(DISTINCT) rollup covered in-window by tpch_q16_supplier_cnt (promoted r6: COUNT(DISTINCT)+anti join superset)
     "grouping_sets_orders",      # green r1+r3-r5 (4 rounds); grouping machinery family rep — table_profile_stats (promoted r6) carries the multi-agg-one-scan shape
     "json_flatten_input_data",   # green r1+r2+r5; JS1/F7-F10 coercion ladder covered in-window by csv_ingest_coerced (same safe_* ladder over ingested strings) + jsonl_roundtrip_ingest
-    "lang_id_stopwords",         # green r1-r3+r5 (4 rounds); text family keeps unigram_logprob_quality / vocab_top_coverage / quality_repetition_filter in-window
+    "lang_id_stopwords",         # green r1-r3+r5 (4 rounds); text family keeps unigram_logprob_quality / vocab_top_coverage in-window
     "doc_fingerprint",           # green r1+r2+r4+r5 (4 rounds); rolling-hash fingerprint covered by dedup_exact + train_test_split_hash (promoted r6, arithmetic-hash oracle)
     "similarity_srp_lsh",        # green r2-r5 (4 rounds); LSH family rep in-window: incremental_neardup_lsh (band-bucket probe) + ann_ivf_scaled production path
     "text_redact",               # green r2-r5 (4 rounds); regex-surface rep — text family coverage noted at lang_id_stopwords; jsonl quarantine (promoted r6) keeps the malformed-input path hard-checked

@@ -55,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions import vectors as VX
 from ..sources.catalog import load_table
 from .catalog import register
 
@@ -370,3 +371,118 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 ANN: asymmetric search over the int8 codes + exact rerank
+# ---------------------------------------------------------------------------
+
+SQ8_SHORTLIST = 15
+SQ8_TOPK = 5
+SQ8_RECALL_FLOOR = 0.6
+
+_SQ8_RECON = (
+    f"CASE WHEN s.hi = s.lo THEN s.lo ELSE s.lo + ((s.hi - s.lo) / {Q_LEVELS}) * "
+    f"least(greatest(floor((f.x - s.lo) / ((s.hi - s.lo) / {Q_LEVELS}) + 0.5), 0), {Q_LEVELS}) END"
+)
+
+_SQ8_ANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), flat AS (
+  SELECT vec_id, CAST(t.i AS INT) AS dimi,
+         CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), stats AS (
+  SELECT dimi, min(x) AS lo, max(x) AS hi FROM flat GROUP BY dimi
+), recon AS (
+  SELECT f.vec_id, list({_SQ8_RECON} ORDER BY f.dimi) AS rv
+  FROM flat f JOIN stats s USING (dimi) GROUP BY f.vec_id
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+), short AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, r.rv)
+                  / (sqrt(list_dot_product(q.qv, q.qv))
+                     * sqrt(list_dot_product(r.rv, r.rv))) DESC,
+             r.vec_id) AS srnk
+  FROM q JOIN recon r ON r.vec_id <> q.query_id
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY list_dot_product(q.qv, e.v)
+                  / (sqrt(list_dot_product(q.qv, q.qv))
+                     * sqrt(list_dot_product(e.v, e.v))) DESC,
+             s.neighbor_id) AS rnk
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN e ON e.vec_id = s.neighbor_id
+  WHERE s.srnk <= {SQ8_SHORTLIST}
+)
+SELECT query_id, neighbor_id, rnk, TRUE AS recall_ge_floor
+FROM rer WHERE rnk <= {SQ8_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("sq8_ann_rerank", oracle=_SQ8_ANN_ORACLE)
+def sq8_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 as a USABLE index: asymmetric search (raw float queries vs
+    int8-reconstructed corpus, BLAS-scored in operators/sq8.py) feeding
+    an exact expression-fold rerank — the SQ8 counterpart of
+    ivfpq_rerank (IndexRefineFlat over a scalar quantizer instead of
+    PQ).
+
+    Parity: codes are bit-identical across engines (the
+    sq8_embedding_quantization contract); the shortlist stage compares
+    RANKS only (matmul vs SQL fold differ at ulp level — the
+    operators/ann.py stance, rank agreement verified at
+    sf0.001/0.01/0.1); the rerank stage uses the zip_with/fold cosine
+    (functions/vectors.py) whose bits MATCH DuckDB exactly.  The
+    recall_ge_floor boolean re-certifies quality every round against
+    the in-query brute-force answer over raw vectors.
+
+    Scale: encode is one shuffle-free pass writing dim BYTES per
+    vector (4x under float32); search touches the codes once per
+    query chunk, per-batch argpartition prunes to (k+1) candidates
+    before anything shuffles, and the merge window sees batches x
+    (k+1) rows per query.  Production composes these codes with the
+    IVF cell index (probe cells -> decode only cell members), same as
+    ivfpq; the flat scan here is the registered exact-oracle surface.
+    """
+    from ..operators import sq8 as SQ8
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double(F.col("embedding")).alias("v"))
+    lo, scale = SQ8.sq8_stats(emb)
+    codes = SQ8.sq8_encode(emb, lo, scale)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    short = SQ8.sq8_search_topk(codes, q, lo, scale, k=SQ8_SHORTLIST)
+    reranked = (
+        short.join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            VX.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    out = (
+        reranked.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= SQ8_TOPK)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+    from .extensions import similarity_topk_cosine
+
+    brute = similarity_topk_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    n_brute = brute.count()
+    n_hit = out.join(brute, ["query_id", "neighbor_id"]).count()
+    recall_ok = n_brute > 0 and (n_hit / n_brute) >= SQ8_RECALL_FLOOR
+    return out.withColumn(
+        "recall_ge_floor", F.lit(bool(recall_ok))
+    ).orderBy("query_id", "rnk")

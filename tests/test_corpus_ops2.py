@@ -186,3 +186,70 @@ def test_sq8_codes_match_numpy_and_are_saturating(spark, sf_dir):
     # Every dimension's min and max rows saturate somewhere in the corpus.
     assert sum(v[1] for v in got.values()) >= X.shape[1]
     assert sum(v[2] for v in got.values()) >= X.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# sq8 search kernel (operators/sq8.py)
+# ---------------------------------------------------------------------------
+
+def test_sq8_codes_are_one_byte_per_dim_and_search_matches_numpy(spark, sf_dir):
+    from etl_pipe_spark.functions import vectors as VX
+    from etl_pipe_spark.operators import sq8 as SQ8
+    from pyspark.sql import functions as FF
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double(FF.col("embedding")).alias("v"))
+    lo, scale = SQ8.sq8_stats(emb)
+    codes = SQ8.sq8_encode(emb, lo, scale)
+    rows = codes.collect()
+    dim = lo.shape[0]
+    assert all(len(r["codes"]) == dim for r in rows)     # 1 byte/dim storage
+
+    # Sequential reference: decode every code, cosine-score against the
+    # sampled queries, take top-k (score desc, id asc), self excluded.
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    C = np.array([np.frombuffer(r["codes"], dtype=np.uint8) for r in rows],
+                 dtype=np.float64)
+    recon = lo + scale * C
+    rn = np.linalg.norm(recon, axis=1)
+    raw = {r["vec_id"]: np.array(r["v"], dtype=np.float64)
+           for r in emb.collect()}
+    k = 7
+    expect = {}
+    for qid in sorted(raw):
+        if qid % 100 != 0:
+            continue
+        q = raw[qid]
+        s = (recon @ q) / (np.linalg.norm(q) * rn)
+        order = sorted(
+            ((float(-s[i]), int(ids[i])) for i in range(len(ids))
+             if ids[i] != qid))
+        expect[qid] = [v for _, v in order[:k]]
+    q_df = emb.filter(FF.col("vec_id") % 100 == 0).select(
+        FF.col("vec_id").alias("query_id"), FF.col("v").alias("qv"))
+    got = {}
+    for r in SQ8.sq8_search_topk(codes, q_df, lo, scale, k=k).collect():
+        got.setdefault(r["query_id"], {})[r["srnk"]] = r["neighbor_id"]
+    got = {q: [d[i] for i in sorted(d)] for q, d in got.items()}
+    assert got == expect
+
+
+def test_sq8_search_chunking_is_result_invariant(spark, sf_dir):
+    from etl_pipe_spark.functions import vectors as VX
+    from etl_pipe_spark.operators import sq8 as SQ8
+    from pyspark.sql import functions as FF
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double(FF.col("embedding")).alias("v"))
+    lo, scale = SQ8.sq8_stats(emb)
+    codes = SQ8.sq8_encode(emb, lo, scale).cache()
+    q_df = emb.filter(FF.col("vec_id") % 100 == 0).select(
+        FF.col("vec_id").alias("query_id"), FF.col("v").alias("qv"))
+    one = sorted(map(tuple, SQ8.sq8_search_topk(
+        codes, q_df, lo, scale, k=5).collect()))
+    # Force multiple chunks: budget of one query's bytes per chunk.
+    many = sorted(map(tuple, SQ8.sq8_search_topk(
+        codes, q_df, lo, scale, k=5,
+        max_query_bytes=lo.shape[0] * 8).collect()))
+    codes.unpersist()
+    assert one == many

@@ -42,8 +42,10 @@ FLAGSHIPS = [
     # two-phase star contraction) and semantic_dedup_scaled (the
     # production BLAS kernel) hold their families' hard signal.
     # Round-3 corpus-construction flagships — first driver rows pending.
+    # quality_repetition_filter rotated out mid-r6 after 3 green rounds
+    # (slot yielded to sq8_ann_rerank); unigram_logprob_quality +
+    # token_budget_selection keep the quality family in-window.
     "sequence_packing",
-    "quality_repetition_filter",
     # Round-4: the full Lloyd loop registered as a rows-only query.
     "kmeans_fit_clusters",
     # Round-5: the production BLAS kernels under driver check (the r4
@@ -151,6 +153,9 @@ FLAGSHIPS = [
     # and blocked edit-distance record linkage (first driver rows).
     "incremental_rollup_merge",
     "fuzzy_join_blocked",
+    # Round-6 NEW: the SQ8 search leg — asymmetric int8 ANN with exact
+    # expression-fold rerank and an in-query recall certificate.
+    "sq8_ann_rerank",
 ]
 
 

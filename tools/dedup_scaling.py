@@ -229,6 +229,50 @@ def zipf_sweep(scales: list[int]) -> None:
             print(json.dumps(row), flush=True)
 
 
+def corpus6_sweep(scales: list[int]) -> None:
+    """Scale the round-6 corpus quartet on the boilerplate-heavy corpus.
+
+    The adversarial bits per op: substring_dedup_windows sees ONE
+    8-gram window (the boilerplate opener) with df = 0.3N — the window
+    index groupBy must partial-aggregate it, and the dup-index join
+    must not blow up; domain_cap_sampling sees THREE mega-domains of
+    N/3 docs each — the rank must stay a WindowGroupLimit pre-filter,
+    never a full per-domain sort of N/3 rows beyond the cap;
+    bpe_pair_stats must collapse the token stream to the 2,001-word
+    vocabulary BEFORE exploding pairs (cost flat in N after the word
+    count); sq8 is two linear passes + a 64-row broadcast.
+    """
+    import time as _t
+
+    from etl_pipe_spark.plans.catalog import queries
+    from etl_pipe_spark.session import get_spark
+
+    spark = get_spark("corpus6-scaling")
+    qs = queries()
+    results = []
+    for n in scales:
+        sf_dir = gen_corpus(n)
+        row: dict = {"n_docs": n}
+        for name in ("substring_dedup_windows", "domain_cap_sampling",
+                     "bpe_pair_stats", "sq8_embedding_quantization"):
+            t0 = _t.time()
+            cnt = qs[name](spark, sf_dir).count()
+            row[name] = round(_t.time() - t0, 2)
+            row[f"{name}_rows"] = cnt
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    base = results[0]
+    print("\nscaling ratios vs first row:")
+    for r in results:
+        k = r["n_docs"] / base["n_docs"]
+        ratios = " ".join(
+            f"{name}={r[name] / max(base[name], 0.01):.1f}x"
+            for name in ("substring_dedup_windows", "domain_cap_sampling",
+                         "bpe_pair_stats", "sq8_embedding_quantization")
+        )
+        print(f'{r["n_docs"]:7d} (x{k:.0f} docs): {ratios}')
+
+
 def vector_sweep(scales: list[int], families: list[str]) -> None:
     """Time the production vector paths at each scale; one JSON row per
     scale.  kmeans_fit reports time-to-converge (k=16 matching the
@@ -364,7 +408,13 @@ def main() -> None:
     ap.add_argument("--zipf-scales", default=None,
                     help="run ONLY the Zipf hot-cell stress sweep at these "
                          "sizes (e.g. 250000,1000000)")
+    ap.add_argument("--corpus6-scales", default=None,
+                    help="run ONLY the round-6 corpus-quartet sweep at these "
+                         "sizes (e.g. 5000,50000,250000)")
     args = ap.parse_args()
+    if args.corpus6_scales:
+        corpus6_sweep([int(s) for s in args.corpus6_scales.split(",")])
+        return
     if args.zipf_scales:
         zipf_sweep([int(s) for s in args.zipf_scales.split(",")])
         return
