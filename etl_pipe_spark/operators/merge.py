@@ -261,7 +261,7 @@ class ParquetMergeSink:
                 f"re-read the sink and re-derive the merge before retrying"
             )
 
-    def write(self, df: DataFrame) -> int:
+    def write(self, df: DataFrame, meta: dict[str, str] | None = None) -> int:
         snap = self.current_snapshot()
         version = int(snap.rsplit("-", 1)[1]) + 1 if snap else 1
         new_snap = f"snapshot-{version:08d}"
@@ -271,6 +271,14 @@ class ParquetMergeSink:
         # rewriting it, which would momentarily release the CAS claim;
         # the freshly claimed slot is empty, so append is equivalent.
         df.write.mode("append").parquet(snap_dir)
+        # commit metadata rides INSIDE the snapshot directory, written
+        # BEFORE the pointer swap — so a key (e.g. the streaming
+        # maintainer's last-applied epoch) is atomic with the data it
+        # describes: a crash between data write and pointer swap loses
+        # both together, never one without the other.
+        for key, value in (meta or {}).items():
+            with open(os.path.join(snap_dir, f"_meta_{key}"), "w") as f:
+                f.write(value)
         # commit: write pointer sideways, atomically replace
         tmp = self._pointer() + f".tmp-{new_snap}"
         with open(tmp, "w") as f:
@@ -278,6 +286,18 @@ class ParquetMergeSink:
         os.replace(tmp, self._pointer())
         self._vacuum(version)
         return self.spark.read.parquet(snap_dir).count()
+
+    def current_meta(self, key: str) -> str | None:
+        """Commit metadata of the CURRENT snapshot (None before the
+        first commit or if the key was never written)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        try:
+            with open(os.path.join(self.path, snap, f"_meta_{key}")) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
 
     def _vacuum(self, current_version: int) -> None:
         """Drop snapshots older than the retention window."""
