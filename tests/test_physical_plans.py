@@ -282,3 +282,55 @@ def test_orc_roundtrip_pushes_status_filter(spark, sf_dir):
     assert "FileScan orc" in plan  # the scan FORMAT, not just the path name
     assert "EqualTo(o_orderstatus,F)" in plan or \
         "o_orderstatus = F" in plan.replace("'", "")
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """The per-domain cap must compile to WindowGroupLimit on BOTH
+    sides of the rank exchange — the pre-filter that keeps a skewed
+    mega-domain from sorting past the cap (the 100 TB contract the
+    corpus6 sweep measured flat at three 83k-member domains)."""
+    plan = _plan(spark, sf_dir, "domain_cap_sampling")
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_substring_dedup_index_join_and_partial_agg(spark, sf_dir):
+    """The window-index groupBy partial-aggregates map-side (the
+    df=0.3N hot window collapses before the exchange), and the
+    dup-index join is hash-based, never a nested loop."""
+    plan = _plan(spark, sf_dir, "substring_dedup_windows")
+    assert "partial_count" in plan or "partial" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sq8_dim_stats_join_broadcasts(spark, sf_dir):
+    """The 64-row dimension-stats table must broadcast back onto the
+    exploded stream — the corpus side never shuffles for the join."""
+    plan = _plan(spark, sf_dir, "sq8_embedding_quantization")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_is_hash_blocked_not_allpairs(spark, sf_dir):
+    """Blocking must compile to an equi-join (hash) with levenshtein
+    evaluated AFTER the join — no cartesian/nested-loop all-pairs."""
+    plan = _plan(spark, sf_dir, "fuzzy_join_blocked")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_rollup_merge_pushes_split_and_partial_aggregates(spark, sf_dir):
+    """Both branches scan with the date split PUSHED to parquet, and
+    each partial-aggregates before its exchange (the merge shuffle is
+    rollup-sized, not history-sized)."""
+    plan = _plan(spark, sf_dir, "incremental_rollup_merge")
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
