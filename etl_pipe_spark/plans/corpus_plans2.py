@@ -374,6 +374,134 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram stupid-backoff LM quality on a held-out split
+# ---------------------------------------------------------------------------
+
+BACKOFF_ALPHA = 0.4       # Brants et al. 2007 "Stupid Backoff" constant
+_LM_HOLDOUT_MOD = 5       # doc_id % 5 == 0 -> held-out (scored); else train
+
+_BIGRAM_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), train_tok AS (
+  SELECT unnest(w) AS token FROM words WHERE doc_id % {_LM_HOLDOUT_MOD} <> 0
+), uc AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM train_tok GROUP BY token
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM train_tok
+), bc AS (
+  SELECT w[i] AS prev, w[i+1] AS cur, CAST(count(*) AS BIGINT) AS c2
+  FROM words, unnest(range(1, len(w))) AS t(i)
+  WHERE doc_id % {_LM_HOLDOUT_MOD} <> 0
+  GROUP BY 1, 2
+), eval_big AS (
+  SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+  FROM words, unnest(range(1, len(w))) AS t(i)
+  WHERE doc_id % {_LM_HOLDOUT_MOD} = 0
+), scored AS (
+  SELECT e.doc_id,
+         CASE WHEN bc.c2 IS NOT NULL THEN bc.c2 / CAST(up.c1 AS DOUBLE)
+              WHEN ucur.c1 IS NOT NULL THEN {BACKOFF_ALPHA} * ucur.c1 / tot.n
+              ELSE {BACKOFF_ALPHA} * 1.0 / tot.n END AS p,
+         CASE WHEN bc.c2 IS NULL THEN 1 ELSE 0 END AS backed_off
+  FROM eval_big e
+  LEFT JOIN bc ON bc.prev = e.prev AND bc.cur = e.cur
+  LEFT JOIN uc up ON up.token = e.prev
+  LEFT JOIN uc ucur ON ucur.token = e.cur, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(backed_off) AS BIGINT) AS backoff_bigrams,
+       round(-sum(ln(p)) / count(*), 4) AS avg_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("bigram_backoff_quality", oracle=_BIGRAM_ORACLE)
+def bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity scoring under a bigram stupid-backoff model
+    — the KenLM-shaped quality filter of CCNet, with the smoothing of
+    Brants et al. 2007 ("Stupid Backoff": score = c(prev,cur)/c(prev),
+    backing off to alpha * c(cur)/N, floored at alpha * 1/N for
+    out-of-vocabulary tokens).  The model trains on 80% of documents
+    and scores the held-out 20%, so the backoff path genuinely
+    triggers (a model scored on its own training text never sees an
+    unseen bigram — the unigram_logprob_quality query's limitation
+    this op removes); backoff_bigrams is an exact integer per doc,
+    hard-checking the CASE ladder itself, and avg_nll follows the
+    unigram recipe: exact bigint-ratio probabilities, one float
+    log-sum per doc absorbed by round(4).
+
+    Plan: bigram and unigram count tables are one groupBy each over
+    the train slice (vocabulary- and bigram-vocabulary-sized — joined
+    back on their keys as ordinary shuffle joins, NOT assumed
+    broadcastable; AQE splits the stop-word-key skew); the eval bigram
+    stream is built by zipping each doc's word array against its own
+    tail — no self-join, no window.  In production the train slice is
+    last month's corpus and the eval slice is the new crawl: the same
+    plan incrementally scores each day's batch against a frozen count
+    model, exactly like incremental_neardup_lsh probes frozen band
+    keys.
+    """
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    train = words.where(F.col("doc_id") % _LM_HOLDOUT_MOD != 0)
+    held = words.where(F.col("doc_id") % _LM_HOLDOUT_MOD == 0)
+
+    train_tok = train.select(F.explode("w").alias("token"))
+    uc = train_tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1"))
+    tot = train_tok.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        pair = F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.size("w") - 1).alias("prev"),
+                F.slice(F.col("w"), 2, F.size("w") - 1).alias("cur"),
+            )
+        ).alias("bg")
+        return df.where(F.size("w") >= 2).select("doc_id", pair).select(
+            "doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+        )
+
+    bc = bigrams(train).groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2"))
+
+    e = (
+        bigrams(held)
+        .join(bc, ["prev", "cur"], "left")
+        .join(uc.withColumnRenamed("token", "prev")
+                .withColumnRenamed("c1", "prev_c1"), "prev", "left")
+        .join(uc.withColumnRenamed("token", "cur")
+                .withColumnRenamed("c1", "cur_c1"), "cur", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (
+        F.when(F.col("c2").isNotNull(),
+               F.col("c2") / F.col("prev_c1").cast("double"))
+        .when(F.col("cur_c1").isNotNull(),
+              F.lit(BACKOFF_ALPHA) * F.col("cur_c1") / F.col("__n"))
+        .otherwise(F.lit(BACKOFF_ALPHA) * F.lit(1.0) / F.col("__n"))
+    )
+    return (
+        e.select(
+            "doc_id", p.alias("p"),
+            F.when(F.col("c2").isNull(), 1).otherwise(0).alias("backed_off"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("backed_off").cast("bigint").alias("backoff_bigrams"),
+            F.round(-F.sum(F.log("p")) / F.count(F.lit(1)), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQ8 ANN: asymmetric search over the int8 codes + exact rerank
 # ---------------------------------------------------------------------------
 

@@ -253,3 +253,42 @@ def test_sq8_search_chunking_is_result_invariant(spark, sf_dir):
         max_query_bytes=lo.shape[0] * 8).collect()))
     codes.unpersist()
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# bigram_backoff_quality
+# ---------------------------------------------------------------------------
+
+def test_bigram_backoff_exercises_all_three_ladder_branches(spark, tmp_path):
+    """Crafted corpus: the held-out doc (doc_id % 5 == 0) contains a
+    seen bigram, an unseen bigram of seen tokens, and an OOV token —
+    one bigram per ladder branch, with hand-computed probabilities."""
+    import math
+    from etl_pipe_spark.plans.corpus_plans2 import (
+        BACKOFF_ALPHA, bigram_backoff_quality)
+
+    docs = [
+        (1, "a b a b c"),      # train: bigrams ab, ba, ab, bc
+        (2, "c a"),            # train: bigram ca
+        (5, "a b c a zzz"),    # held-out: ab(seen) bc(seen) ca(seen) a-zzz(OOV)
+        (10, "b a c b"),       # held-out: ba(seen) ac(UNSEEN, both tokens seen) cb(unseen)
+    ]
+    d = str(tmp_path / "lm")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r.asDict()
+           for r in bigram_backoff_quality(spark, d).collect()}
+    # train counts: tokens a:3 b:2 c:2 (N=7); bigrams ab:2 ba:1 bc:1 ca:1
+    N = 7.0
+    # doc 5: ab=2/3? no — S(cur|prev)=c2/c1(prev): ab=2/3, bc=1/2, ca=1/2,
+    # a->zzz OOV floor = alpha/N
+    p5 = [2 / 3, 1 / 2, 1 / 2, BACKOFF_ALPHA / N]
+    assert out[5]["n_bigrams"] == 4 and out[5]["backoff_bigrams"] == 1
+    assert out[5]["avg_nll"] == round(-sum(map(math.log, p5)) / 4, 4)
+    # doc 10: ba=1/2, ac unseen -> alpha*c(c)/N = .4*2/7, cb unseen ->
+    # alpha*c(b)/N = .4*2/7
+    p10 = [1 / 2, BACKOFF_ALPHA * 2 / N, BACKOFF_ALPHA * 2 / N]
+    assert out[10]["n_bigrams"] == 3 and out[10]["backoff_bigrams"] == 2
+    assert out[10]["avg_nll"] == round(-sum(map(math.log, p10)) / 3, 4)
+    assert set(out) == {5, 10}  # train docs are never scored

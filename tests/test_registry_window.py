@@ -13,7 +13,10 @@ DRIVER_WINDOW = 50
 
 FLAGSHIPS = [
     # LLM-data-pipeline north stars (VERDICT r01 "no hard-signal row").
-    "dedup_exact",
+    # dedup_exact rotated out mid-r6 after FIVE green rounds (slot
+    # yielded to bigram_backoff_quality); the exact-dedup family stays
+    # hard-checked via bloom_incremental_filter, streaming_dedup_watermark
+    # and substring_dedup_windows.
     "dedup_minhash_lsh",
     # dedup_simhash rotated out r6 after four green rounds — yielded to
     # ivfpq_index_persisted; dedup_clusters_star star-contracts the
@@ -156,6 +159,9 @@ FLAGSHIPS = [
     # Round-6 NEW: the SQ8 search leg — asymmetric int8 ANN with exact
     # expression-fold rerank and an in-query recall certificate.
     "sq8_ann_rerank",
+    # Round-6 NEW: held-out bigram stupid-backoff LM quality scoring
+    # (the KenLM-shaped CCNet filter with a real OOV/backoff path).
+    "bigram_backoff_quality",
 ]
 
 
