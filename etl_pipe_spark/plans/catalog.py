@@ -59,7 +59,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 80 names: 130 registered − 80 demoted = 50 in-window.
+# Exactly 81 names: 131 registered − 81 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -102,6 +102,9 @@ _DEMOTED = (
     # --- rotated out mid-r6 (slot yielded to sq8_ann_rerank — the SQ8
     # index's search leg, first driver row) ---
     "quality_repetition_filter", # green r3-r5 (3 rounds); quality-score family in-window via unigram_logprob_quality (CCNet scoring) + token_budget_selection (TTR-ranked curriculum cut)
+    # --- rotated out mid-r6 (slot yielded to logreg_quality_fit — the
+    # distributed GPT-3-style quality-classifier fit, first driver row) ---
+    "dedup_minhash_lsh",         # green r2-r5 (4 rounds); MinHash+LSH banding machinery in-window via incremental_neardup_lsh (probes the SAME band-key index batch-vs-history) + dedup_clusters_star (components over the pair graph); exact band/verify semantics stay pinned by tests/test_dedup_cap.py and the local artifact
     # --- rotated out mid-r6 (slot yielded to bigram_backoff_quality —
     # held-out stupid-backoff LM scoring, first driver row) ---
     "dedup_exact",               # green r1-r5 (ALL 5 rounds — the repo's most-proven row); exact-dedup family in-window via bloom_incremental_filter (exact-hash membership), streaming_dedup_watermark (exact-key in-stream), substring_dedup_windows (exact window identity), merge-sink tests (replay idempotence)

@@ -374,6 +374,94 @@ def sq8_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed logistic-regression quality classifier (full-batch GD)
+# ---------------------------------------------------------------------------
+
+_LOGREG_ITERS = 8
+_LOGREG_LR = 1.0
+_LOGREG_ACC_FLOOR = 0.85
+_LOGREG_LABEL_TOKENS = 55   # near the corpus mean -> balanced classes
+# Loss-trace slack: per-row quantization error <= 2^-25; GD on a
+# convex loss with lr < 2/L decreases every step, so 1e-6 absolute
+# slack dwarfs the fixed-point wobble while catching regressions.
+_LOGREG_EPS = 1e-6
+
+_LOGREG_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       {_LOGREG_ITERS} AS n_iters,
+       TRUE AS loss_monotone_decreasing,
+       TRUE AS final_loss_below_initial,
+       TRUE AS accuracy_ge_floor,
+       TRUE AS weights_finite
+FROM documents
+"""
+
+
+@register("logreg_quality_fit", oracle=_LOGREG_ORACLE)
+def logreg_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the corpus quality classifier — the GPT-3/CCNet keep-drop
+    filter as a DISTRIBUTED fit: binary logistic regression by
+    full-batch gradient descent, one whole-stage-codegen aggregation
+    per step (operators/logreg.py), gradient and loss traces in 2^-24
+    fixed point so the fit is bit-deterministic under any partitioning
+    (the kmeans_fit_clusters recipe).
+
+    Features are the cheap text statistics a real filter uses (token
+    count, type-token ratio, mean word length, plus bias); the label
+    is a deterministic length-class rule so training is reproducible
+    and the accuracy floor is meaningful.  Invariant-boolean oracle:
+    the loss trace must decrease EVERY step (guaranteed for convex
+    log-loss at lr < 2/L — features are bounded in [0,1], so L <= 1),
+    the final model must beat the accuracy floor, and the weights must
+    be finite; the exact doc count pins that the fit saw the whole
+    corpus.
+
+    Scale: each GD step aggregates d+1 bigints — the shuffle is
+    MODEL-sized, never data-sized; the feature frame is cached once.
+    Mini-batch or L-BFGS drop into the same frame-agg seam.
+    """
+    from ..operators.logreg import logreg_fit_gd
+
+    toks = F.split("text", " ")
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.lit(1.0).alias("f_bias"),
+            (F.size(toks) / 100.0).alias("f_ntok"),
+            (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f_ttr"),
+            ((F.length("text") - F.size(toks) + 1) / F.size(toks) / 10.0)
+            .alias("f_wlen"),
+            (F.size(toks) >= _LOGREG_LABEL_TOKENS).cast("int").alias("y"),
+        )
+        .cache()
+    )
+    try:
+        fit = logreg_fit_gd(
+            feats, ["f_bias", "f_ntok", "f_ttr", "f_wlen"], "y",
+            lr=_LOGREG_LR, n_iters=_LOGREG_ITERS,
+        )
+    finally:
+        feats.unpersist()
+    import math as _m
+
+    losses = fit.losses
+    row = (
+        int(fit.n_rows),
+        _LOGREG_ITERS,
+        all(b <= a + _LOGREG_EPS for a, b in zip(losses, losses[1:])),
+        losses[-1] < losses[0] - _LOGREG_EPS,
+        fit.accuracy >= _LOGREG_ACC_FLOOR,
+        all(_m.isfinite(w) for w in fit.weights),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_docs bigint, n_iters int, loss_monotone_decreasing boolean, "
+        "final_loss_below_initial boolean, accuracy_ge_floor boolean, "
+        "weights_finite boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram stupid-backoff LM quality on a held-out split
 # ---------------------------------------------------------------------------
 

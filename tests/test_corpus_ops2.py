@@ -292,3 +292,65 @@ def test_bigram_backoff_exercises_all_three_ladder_branches(spark, tmp_path):
     assert out[10]["n_bigrams"] == 3 and out[10]["backoff_bigrams"] == 2
     assert out[10]["avg_nll"] == round(-sum(map(math.log, p10)) / 3, 4)
     assert set(out) == {5, 10}  # train docs are never scored
+
+
+# ---------------------------------------------------------------------------
+# logreg_quality_fit (operators/logreg.py)
+# ---------------------------------------------------------------------------
+
+def _logreg_features(spark, sf_dir):
+    toks = F.split("text", " ")
+    return load_table(spark, sf_dir, "documents").select(
+        F.lit(1.0).alias("f_bias"),
+        (F.size(toks) / 100.0).alias("f_ntok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f_ttr"),
+        ((F.length("text") - F.size(toks) + 1) / F.size(toks) / 10.0)
+        .alias("f_wlen"),
+        (F.size(toks) >= 55).cast("int").alias("y"),
+    )
+
+
+def test_logreg_gd_matches_numpy_reference(spark, sf_dir):
+    """Same fixed-point GD in numpy must reproduce the distributed fit
+    exactly — weights, loss trace, and accuracy."""
+    from etl_pipe_spark.operators.logreg import _Q, logreg_fit_gd
+
+    feats = _logreg_features(spark, sf_dir).cache()
+    fit = logreg_fit_gd(feats, ["f_bias", "f_ntok", "f_ttr", "f_wlen"], "y",
+                        lr=1.0, n_iters=4)
+    rows = feats.collect()
+    feats.unpersist()
+    X = np.array([[r["f_bias"], r["f_ntok"], r["f_ttr"], r["f_wlen"]]
+                  for r in rows])
+    y = np.array([r["y"] for r in rows], dtype=np.float64)
+    n = len(y)
+    w = np.zeros(4)
+    losses = []
+    for _ in range(4):
+        z = X @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        softplus = np.where(z > 30.0, z, np.log1p(np.exp(np.minimum(z, 30.0))))
+        losses.append(np.rint((softplus - y * z) * _Q).sum() / _Q / n)
+        g = np.rint(((p - y)[:, None] * X) * _Q).sum(axis=0) / _Q
+        w = w - 1.0 * g / n
+    z = X @ w
+    softplus = np.where(z > 30.0, z, np.log1p(np.exp(np.minimum(z, 30.0))))
+    losses.append(np.rint((softplus - y * z) * _Q).sum() / _Q / n)
+    acc = float(((z >= 0) == (y >= 0.5)).mean())
+    assert fit.n_rows == n
+    assert np.allclose(fit.weights, w, rtol=0, atol=1e-12)
+    assert np.allclose(fit.losses, losses, rtol=0, atol=1e-12)
+    assert abs(fit.accuracy - acc) < 1e-12
+
+
+def test_logreg_fit_is_partition_independent(spark, sf_dir):
+    """The fixed-point gradient trace makes the fit bit-deterministic
+    under any partitioning (the kmeans_fit recipe)."""
+    from etl_pipe_spark.operators.logreg import logreg_fit_gd
+
+    cols = ["f_bias", "f_ntok", "f_ttr", "f_wlen"]
+    a = logreg_fit_gd(_logreg_features(spark, sf_dir).repartition(1),
+                      cols, "y", n_iters=3)
+    b = logreg_fit_gd(_logreg_features(spark, sf_dir).repartition(13),
+                      cols, "y", n_iters=3)
+    assert a.weights == b.weights and a.losses == b.losses

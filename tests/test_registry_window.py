@@ -16,8 +16,9 @@ FLAGSHIPS = [
     # dedup_exact rotated out mid-r6 after FIVE green rounds (slot
     # yielded to bigram_backoff_quality); the exact-dedup family stays
     # hard-checked via bloom_incremental_filter, streaming_dedup_watermark
-    # and substring_dedup_windows.
-    "dedup_minhash_lsh",
+    # and substring_dedup_windows.  dedup_minhash_lsh followed after
+    # FOUR green rounds (slot yielded to logreg_quality_fit); the
+    # banding machinery stays hard-checked via incremental_neardup_lsh.
     # dedup_simhash rotated out r6 after four green rounds — yielded to
     # ivfpq_index_persisted; dedup_clusters_star star-contracts the
     # simhash pair graph, keeping the machinery hard-checked.
@@ -162,6 +163,9 @@ FLAGSHIPS = [
     # Round-6 NEW: held-out bigram stupid-backoff LM quality scoring
     # (the KenLM-shaped CCNet filter with a real OOV/backoff path).
     "bigram_backoff_quality",
+    # Round-6 NEW: distributed logistic-regression quality-classifier
+    # fit (full-batch GD, fixed-point-deterministic gradient trace).
+    "logreg_quality_fit",
 ]
 
 
