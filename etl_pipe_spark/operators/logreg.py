@@ -40,6 +40,39 @@ class LogregFit(NamedTuple):
     accuracy: float
 
 
+def standardize(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Z-score the given feature columns with BIT-DETERMINISTIC corpus
+    stats: per-column sum and sum-of-squares are accumulated as 2^-24
+    fixed-point bigints (partition-order independent), so mean/std —
+    and therefore every standardized value — are identical under any
+    partitioning.  Constant columns (std 0) pass through centered.
+
+    GD on raw, badly-scaled features needs many more iterations when
+    the decision boundary sits in a dense region (measured: the
+    1M-doc sweep corpus fails a 0.85 accuracy floor in 8 raw-feature
+    steps but converges immediately standardized) — this is the
+    conditioning step every production linear-model pipeline runs.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.round(F.col(c) * _Q).cast("bigint")).alias(f"s_{c}"))
+        aggs.append(F.sum(F.round(F.col(c) * F.col(c) * _Q).cast("bigint"))
+                    .alias(f"q_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = df.agg(*aggs).first()
+    n = row["n"]
+    out = df
+    for c in cols:
+        mean = row[f"s_{c}"] / _Q / n
+        var = max(0.0, row[f"q_{c}"] / _Q / n - mean * mean)
+        std = math.sqrt(var)
+        if std == 0.0:
+            out = out.withColumn(c, F.col(c) - F.lit(mean))
+        else:
+            out = out.withColumn(c, (F.col(c) - F.lit(mean)) / F.lit(std))
+    return out
+
+
 def _dot_w(feat_cols: list[str], w: list[float]):
     expr = F.lit(float(w[0])) * F.col(feat_cols[0])
     for c, wi in zip(feat_cols[1:], w[1:]):

@@ -420,21 +420,22 @@ def logreg_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     MODEL-sized, never data-sized; the feature frame is cached once.
     Mini-batch or L-BFGS drop into the same frame-agg seam.
     """
-    from ..operators.logreg import logreg_fit_gd
+    from ..operators.logreg import logreg_fit_gd, standardize
 
     toks = F.split("text", " ")
-    feats = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            F.lit(1.0).alias("f_bias"),
-            (F.size(toks) / 100.0).alias("f_ntok"),
-            (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f_ttr"),
-            ((F.length("text") - F.size(toks) + 1) / F.size(toks) / 10.0)
-            .alias("f_wlen"),
-            (F.size(toks) >= _LOGREG_LABEL_TOKENS).cast("int").alias("y"),
-        )
-        .cache()
+    raw = load_table(spark, sf_dir, "documents").select(
+        F.lit(1.0).alias("f_bias"),
+        (F.size(toks) / 100.0).alias("f_ntok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f_ttr"),
+        ((F.length("text") - F.size(toks) + 1) / F.size(toks) / 10.0)
+        .alias("f_wlen"),
+        (F.size(toks) >= _LOGREG_LABEL_TOKENS).cast("int").alias("y"),
     )
+    # Conditioning: z-score the non-bias features with deterministic
+    # fixed-point corpus stats (operators/logreg.standardize) — without
+    # it, a corpus whose label boundary sits in a dense feature region
+    # (the 1M sweep corpus) needs far more than 8 steps.
+    feats = standardize(raw, ["f_ntok", "f_ttr", "f_wlen"]).cache()
     try:
         fit = logreg_fit_gd(
             feats, ["f_bias", "f_ntok", "f_ttr", "f_wlen"], "y",

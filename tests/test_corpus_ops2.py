@@ -354,3 +354,18 @@ def test_logreg_fit_is_partition_independent(spark, sf_dir):
     b = logreg_fit_gd(_logreg_features(spark, sf_dir).repartition(13),
                       cols, "y", n_iters=3)
     assert a.weights == b.weights and a.losses == b.losses
+
+
+def test_standardize_is_partition_independent_and_correct(spark, sf_dir):
+    from etl_pipe_spark.operators.logreg import standardize
+
+    cols = ["f_ntok", "f_ttr", "f_wlen"]
+    a = standardize(_logreg_features(spark, sf_dir).repartition(1), cols)
+    b = standardize(_logreg_features(spark, sf_dir).repartition(13), cols)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb                       # bit-identical under repartition
+    arr = np.array([[r["f_ntok"], r["f_ttr"], r["f_wlen"]] for r in a.collect()])
+    # z-scored up to the 2^-24 stats quantization
+    assert np.all(np.abs(arr.mean(axis=0)) < 1e-5)
+    assert np.all(np.abs(arr.std(axis=0) - 1.0) < 1e-5)
