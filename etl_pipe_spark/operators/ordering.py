@@ -66,11 +66,15 @@ def ranked_running_sum(
         )
     # one row per partition; prefix-scan this p-row table (p = shuffle
     # width, never data-scale) and broadcast the offsets back.  The
-    # constant partitionBy makes the single-partition window EXPLICIT
-    # (it is correct here precisely because the input is p rows) and
-    # keeps Spark's "No Partition Defined" warning out of plan audits.
+    # single-partition window is INTENTIONAL here — correct precisely
+    # because the input is p rows.  The partition key must be a
+    # non-foldable constant: Catalyst folds `lit(0)` into an EMPTY
+    # partition spec (Spark 4 fires its "No Partition Defined" warning
+    # on every run), while `__pid - __pid` survives optimization as a
+    # real single-valued key, keeping the plan self-documenting and
+    # the runtime log clean.
     w_parts = (
-        W.partitionBy(F.lit(0))
+        W.partitionBy(F.col("__pid") - F.col("__pid"))
         .orderBy("__pid")
         .rowsBetween(W.unboundedPreceding, -1)
     )

@@ -48,6 +48,7 @@ _PLAN_MODULES = (
     "text_plans", "text_plans2", "text_plans3", "text_plans4",
     "pandas_ops", "curation_pipeline", "corpus_plans", "corpus_plans2",
     "layout_plans", "profiling_plans", "ingest_plans", "maintenance_plans",
+    "selection_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -59,7 +60,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 81 names: 131 registered − 81 demoted = 50 in-window.
+# Exactly 84 names: 134 registered − 84 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -88,6 +89,15 @@ _PLAN_MODULES = (
 # row-level coverage in docs/CORRECTNESS_local_r{N}.json, and an
 # in-window family representative (noted per line).
 _DEMOTED = (
+    # --- rotated out late-r6 (slots yielded to the THREE new
+    # selection-family ops in selection_plans — dsir_importance_select /
+    # cms_heavy_hitters / cluster_balanced_sample, first driver rows;
+    # same convention as every prior swap: a first-ever driver row
+    # beats a repeat green, and each demotion carries 2-4 prior
+    # driver-green rounds plus an in-window family rep) ---
+    "multimodal_features",       # green r2-r5 (4 rounds — the multimodal family's most-proven row); Arrow-batched python plumbing stays hard-checked in-window by the ann/pq/sq8 mapInArrow kernels; binary-column metadata surface keeps local-artifact + pass(T) coverage (tests/test_multimodal.py)
+    "approx_aggregates",         # green r4+r5; sketch family reps in-window: cms_heavy_hitters (NEW — point-frequency member) + bloom_incremental_filter (membership member)
+    "sequence_packing",          # green r4+r5; packing/batching family rep in-window: length_bucket_batching (same token-budget bin shape) + token_budget_selection + boilerplate_span_removal
     # --- rotated out mid-r6 (slots yielded to the FOUR new corpus ops
     # in corpus_plans2 — substring_dedup_windows / domain_cap_sampling /
     # bpe_pair_stats / sq8_embedding_quantization, first driver rows) ---

@@ -1,0 +1,351 @@
+"""Data-selection operators: DSIR importance resampling, count-min
+heavy hitters, and cluster-balanced embedding subsampling.
+
+Three selection-family operations from the published LLM-data-curation
+canon that the registry still lacked:
+
+* **DSIR importance resampling** — Xie et al. 2023 ("Data Selection
+  for Language Models via Importance Resampling"): fit hashed-n-gram
+  bag models on a *target* distribution (here: the ``lang = 'en'``
+  slice) and on the raw corpus, score every raw document by its
+  summed log importance ratio, and keep the top fraction.  The paper
+  samples with Gumbel noise; the pipeline form selects the top-k by
+  weight with a deterministic tiebreak so the output is reproducible
+  and oracle-checkable.
+
+* **Count-min heavy hitters** — Cormode & Muthukrishnan 2005: a
+  d x w integer sketch over the token stream, with the classic
+  estimate contract (min over rows >= exact count, overestimate
+  bounded by collisions).  Completes the sketch family next to HLL
+  (approx_aggregates), KLL quantiles, and the Bloom incremental
+  filter — CMS is the point-frequency member.
+
+* **Cluster-balanced sampling** — the diversity-preserving subsample
+  used by coreset/SemDeDup-style pipelines: assign embeddings to IVF
+  cells and cap each cell's contribution, so dense regions cannot
+  dominate the training mix the way giant domains would without
+  domain-cap sampling (corpus_plans2).  Selection within a cell is
+  by Knuth multiplicative hash — deterministic, engine-portable.
+
+Float-parity stance: DSIR's per-bucket log ratio is fixed-pointed at
+1e-6 grain BEFORE the per-document sum (round(ln(exact-rational) *
+1e6) as bigint — the logreg_quality_fit recipe), so document scores
+are exact integer sums immune to accumulation order; the only
+cross-engine risk is a 1-ulp libm ln() difference landing exactly on
+a rounding boundary (~1e-10 per bucket).  CMS and the cluster sample
+are pure integer outputs.
+
+Scale (100 TB): the DSIR model is B=1024 buckets — two bucket-count
+aggs (map-side combined into <= B rows per partition), one broadcast
+model join back over the n-gram stream, one per-doc agg; the global
+top-fraction rank goes through ranked_running_sum (two-phase
+rank/offset merge), never a single-task window.  The CMS sketch is
+d*w = 64 cells regardless of corpus size (the groupBy's partial aggs
+are cell-bounded per partition); the candidate set here is the exact
+vocabulary (testdata vocab is tiny) — at web scale the candidate
+stream comes from a sampled/thresholded subset and the sketch serves
+the point lookups, which is exactly the join shape this query pins.
+The cluster cap is a per-cell window over ~sqrt(N)-sized cells; a
+skewed mega-cell pre-caps per partition (any per-partition top-CAP
+superset contains the global top-CAP) like domain_cap_sampling.
+
+Reference parity: the reference engine (extract.py/transform.py) has
+no selection operators — this family extends it toward the
+training-data workload, like corpus_plans/corpus_plans2 before it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import text as TX
+from ..operators.ordering import ranked_running_sum
+from ..sources.catalog import load_table
+from .catalog import register
+from .dedup_plans import _IVF_ASSIGN_CTE, _emb_with_norms, _ivf_ranked
+
+DSIR_BUCKETS = 1024       # hashed n-gram feature dimension
+DSIR_TARGET_LANG = "en"   # target distribution: the English slice
+DSIR_KEEP_FRAC = 0.25     # keep the top quarter by importance weight
+_FP = 1_000_000           # fixed-point grain for the log ratio
+
+CMS_DEPTH = 4             # sketch rows (independent hash functions)
+CMS_WIDTH = 16            # sketch columns — small so collisions are real
+CELL_CAP = 8              # max vectors any one IVF cell contributes
+_KNUTH = 2654435761       # multiplicative hash constant (2^32 / phi)
+_MOD32 = 4294967296       # 2^32
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(w) AS t FROM words
+  UNION ALL
+  SELECT doc_id, lang,
+         w[CAST(i.i AS INT) + 1] || ' ' || w[CAST(i.i AS INT) + 2] AS t
+  FROM words, unnest(range(len(w) - 1)) AS i(i)
+  WHERE len(w) >= 2
+), hashed AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM grams
+), tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS tb
+  FROM hashed WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), raw AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS rb FROM hashed GROUP BY b
+), totals AS (
+  SELECT CAST((SELECT sum(tb) FROM tgt) AS DOUBLE) AS tn,
+         CAST((SELECT sum(rb) FROM raw) AS DOUBLE) AS rn
+), model AS (
+  SELECT r.b,
+         CAST(round(ln(
+             ((COALESCE(t.tb, 0) + 1) * (totals.rn + {DSIR_BUCKETS}.0))
+           / ((r.rb + 1) * (totals.tn + {DSIR_BUCKETS}.0))
+         ) * {_FP}) AS BIGINT) AS lr
+  FROM raw r LEFT JOIN tgt t ON t.b = r.b, totals
+), scored AS (
+  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(m.lr) AS BIGINT) AS weight_fp
+  FROM hashed h JOIN model m ON m.b = h.b
+  GROUP BY h.doc_id
+), ranked AS (
+  SELECT doc_id, n_grams, weight_fp,
+         row_number() OVER (ORDER BY weight_fp DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, n_grams, weight_fp,
+       CAST(CASE WHEN rnk <= (SELECT ceil(count(*) * {DSIR_KEEP_FRAC})
+                              FROM scored)
+            THEN 1 ELSE 0 END AS INT) AS selected
+FROM ranked ORDER BY doc_id
+"""
+
+
+@register("dsir_importance_select", oracle=_DSIR_ORACLE)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight against the English target
+    slice, with the top DSIR_KEEP_FRAC selected — hashed unigram +
+    bigram features, add-one-smoothed bucket models, fixed-point log
+    ratios summed exactly per document.
+
+    Plan: the n-gram stream (one explode over unigrams ++ bigrams) is
+    aggregated twice into <= B-row bucket tables (map-side combine
+    bounds per-partition agg state at B cells), the B-row model joins
+    back BROADCAST over the stream (no shuffle of the corpus), and the
+    per-doc agg is the only doc-wide exchange.  The top-fraction rank
+    runs through ranked_running_sum's two-phase rank — a web-scale
+    corpus never funnels into one window task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = docs.select(
+        "doc_id", "lang",
+        F.explode(F.concat(toks, bigrams)).alias("t"),
+    ).select(
+        "doc_id", "lang",
+        (TX.hash32(F.col("t")) % DSIR_BUCKETS).alias("b"),
+    )
+
+    tgt = (
+        hashed.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("tb"))
+    )
+    raw = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rb")
+    )
+    # totals from the bucket tables (<= B rows) — no third corpus scan
+    totals = (
+        raw.agg(F.sum("rb").cast("double").alias("rn"))
+        .crossJoin(tgt.agg(F.sum("tb").cast("double").alias("tn")))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tb"), F.lit(0)) + 1)
+                     * (F.col("rn") + float(DSIR_BUCKETS)))
+                    / ((F.col("rb") + 1)
+                       * (F.col("tn") + float(DSIR_BUCKETS)))
+                ) * _FP
+            ).cast("bigint").alias("lr"),
+        )
+    )
+    scored = (
+        hashed.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("lr").cast("bigint").alias("weight_fp"),
+        )
+    )
+    k = scored.agg(
+        F.ceil(F.count(F.lit(1)) * DSIR_KEEP_FRAC).alias("k")
+    )
+    ranked = ranked_running_sum(
+        scored, [F.col("weight_fp").desc(), F.col("doc_id")], None,
+        rank_name="rnk",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .select(
+            "doc_id", "n_grams", "weight_fp",
+            (F.col("rnk") <= F.col("k")).cast("int").alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), keyed AS (
+  SELECT r.r AS row_id,
+         CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR) || ':' || t),
+                                  1, 8)) AS BIGINT) % {CMS_WIDTH} AS col_id
+  FROM tok, unnest(range({CMS_DEPTH})) AS r(r)
+), cells AS (
+  SELECT row_id, col_id, CAST(count(*) AS BIGINT) AS cell
+  FROM keyed GROUP BY row_id, col_id
+), exact AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY t
+), cand AS (
+  SELECT e.t, e.exact_cnt, r.r AS row_id,
+         CAST(concat('0x', substr(md5(CAST(r.r AS VARCHAR) || ':' || e.t),
+                                  1, 8)) AS BIGINT) % {CMS_WIDTH} AS col_id
+  FROM exact e, unnest(range({CMS_DEPTH})) AS r(r)
+)
+SELECT c.t AS token, c.exact_cnt, min(cl.cell) AS cms_est,
+       CAST(min(cl.cell) >= c.exact_cnt AS INT) AS contract_ok
+FROM cand c JOIN cells cl
+  ON cl.row_id = c.row_id AND cl.col_id = c.col_id
+GROUP BY c.t, c.exact_cnt
+ORDER BY c.exact_cnt DESC, c.t
+"""
+
+
+@register("cms_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates next to exact counts
+    for every vocabulary type, with the CMS contract (estimate >=
+    exact) certified per row.
+
+    The sketch is CMS_DEPTH x CMS_WIDTH = 64 integer cells whatever
+    the corpus size: the token stream explodes x depth, and the cell
+    groupBy's map-side partial agg is bounded at 64 cells per
+    partition, so the exchange moves partitions x 64 rows, not the
+    stream.  Width is deliberately small (16) so hash collisions are
+    REAL on the testdata vocabulary and the estimates genuinely
+    overcount — the contract row would pass trivially with a wide
+    sketch.  Candidate lookups re-derive the d hash keys from the
+    vocabulary table and join the 64-cell sketch broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    rows = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+
+    def col_id(row_col, tok_col):
+        key = F.concat(row_col.cast("string"), F.lit(":"), tok_col)
+        return (TX.hash32(key) % CMS_WIDTH).alias("col_id")
+
+    keyed = tok.select(
+        F.explode(rows).alias("row_id"), "t"
+    ).select("row_id", col_id(F.col("row_id"), F.col("t")))
+    cells = keyed.groupBy("row_id", "col_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell")
+    )
+    exact = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    cand = exact.select(
+        "t", "exact_cnt", F.explode(rows).alias("row_id")
+    ).select(
+        "t", "exact_cnt", "row_id", col_id(F.col("row_id"), F.col("t"))
+    )
+    return (
+        cand.join(F.broadcast(cells), ["row_id", "col_id"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            F.col("t").alias("token"), "exact_cnt", "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).cast("int")
+            .alias("contract_ok"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (coreset/SemDeDup-style diversity subsample)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SAMPLE_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTE},
+hashed AS (
+  SELECT a.vec_id, a.cent_id,
+         (a.vec_id * {_KNUTH}) % {_MOD32} AS hkey
+  FROM assign a
+), capped AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (
+           PARTITION BY cent_id ORDER BY hkey, vec_id) AS rnk
+  FROM hashed
+)
+SELECT vec_id, cent_id, CAST(rnk AS BIGINT) AS rnk
+FROM capped WHERE rnk <= {CELL_CAP}
+ORDER BY cent_id, vec_id
+"""
+
+
+@register("cluster_balanced_sample", oracle=_CLUSTER_SAMPLE_ORACLE)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving embedding subsample: every IVF cell
+    contributes at most CELL_CAP vectors, chosen by Knuth-hash rank —
+    dense embedding regions cannot dominate the mix, the embedding-
+    space analogue of domain_cap_sampling's host rule.
+
+    Plan: one broadcast-centroid assignment pass (the _ivf_ranked
+    kernel shared with the ANN family), then a per-cell window over
+    ~sqrt(N)-sized cells.  A skewed mega-cell pre-caps per partition
+    before the final rank — any per-partition top-CELL_CAP superset
+    contains the global top-CELL_CAP, the same reduction
+    domain_cap_sampling documents.  Output is pure integers, so the
+    oracle hash-checks the selection itself, not a float echo.
+    """
+    emb = _emb_with_norms(spark, sf_dir)
+    assign = _ivf_ranked(emb).filter(F.col("rn") == 1).select(
+        "vec_id", "cent_id"
+    )
+    hashed = assign.withColumn(
+        "hkey", (F.col("vec_id") * _KNUTH) % _MOD32
+    )
+    w = W.partitionBy("cent_id").orderBy("hkey", "vec_id")
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= CELL_CAP)
+        .select("vec_id", "cent_id", "rnk")
+        .orderBy("cent_id", "vec_id")
+    )

@@ -28,7 +28,10 @@ FLAGSHIPS = [
     # doc_chunking rotated out r6 after four green rounds — it yielded
     # its slot to bm25_retrieval; sequence_packing + boilerplate spans
     # keep the chunk/packing family in-window.
-    "multimodal_features",
+    # multimodal_features rotated out late-r6 after FOUR green rounds
+    # (slot yielded to the selection trio below); the Arrow-batched
+    # python surface stays hard-checked via the ann/pq/sq8 mapInArrow
+    # kernels, and the binary-column plumbing via tests/test_multimodal.py.
     # tfidf_top_terms / dedup_ngram_jaccard / corpus_curation_pipeline /
     # multimodal_frame_sample rotated out mid-r6 after 2-4 green driver
     # rounds each, yielding slots to the four new corpus_plans2 ops
@@ -38,9 +41,11 @@ FLAGSHIPS = [
     # pandas_group_zscore / contamination_check rotated out mid-r6
     # after 3-4 green rounds, yielding to the maintenance pair below;
     # the Arrow-batched python surface stays hard-checked via
-    # multimodal_features + the ann/pq mapInArrow kernels, and the
-    # n-gram collision machinery via substring_dedup_windows.
-    "approx_aggregates",
+    # the ann/pq mapInArrow kernels, and the n-gram collision
+    # machinery via substring_dedup_windows.
+    # approx_aggregates rotated out late-r6 after TWO green rounds
+    # (slot yielded to the selection trio); the sketch family keeps
+    # cms_heavy_hitters + bloom_incremental_filter in-window.
     # dedup_clusters / semantic_dedup rotated out late r5 under the
     # superset convention: dedup_clusters_star (same pair graph,
     # two-phase star contraction) and semantic_dedup_scaled (the
@@ -49,7 +54,9 @@ FLAGSHIPS = [
     # quality_repetition_filter rotated out mid-r6 after 3 green rounds
     # (slot yielded to sq8_ann_rerank); unigram_logprob_quality +
     # token_budget_selection keep the quality family in-window.
-    "sequence_packing",
+    # sequence_packing rotated out late-r6 after TWO green rounds
+    # (slot yielded to the selection trio); length_bucket_batching +
+    # token_budget_selection keep the packing family in-window.
     # Round-4: the full Lloyd loop registered as a rows-only query.
     "kmeans_fit_clusters",
     # Round-5: the production BLAS kernels under driver check (the r4
@@ -166,6 +173,13 @@ FLAGSHIPS = [
     # Round-6 NEW: distributed logistic-regression quality-classifier
     # fit (full-batch GD, fixed-point-deterministic gradient trace).
     "logreg_quality_fit",
+    # Late-r6 NEW: the selection trio — DSIR hashed-n-gram importance
+    # resampling (Xie et al. 2023), count-min heavy hitters (the
+    # point-frequency sketch next to HLL/KLL/Bloom), and IVF-cell-
+    # balanced diversity sampling (first driver rows).
+    "dsir_importance_select",
+    "cms_heavy_hitters",
+    "cluster_balanced_sample",
 ]
 
 

@@ -103,6 +103,14 @@ EXTRA_PLANS = [
     # and the eval stream zipped from each doc's own array — no
     # self-join, no window)
     "bigram_backoff_quality",
+    # late-r6 selection trio (the DSIR plan shows the broadcast
+    # 1024-bucket model join over the n-gram stream + the two-phase
+    # rank; the CMS plan shows the 64-cell sketch broadcast back over
+    # the vocabulary; the cluster-sample plan shows WindowGroupLimit
+    # pre-capping each partition BEFORE the cell exchange)
+    "dsir_importance_select",
+    "cms_heavy_hitters",
+    "cluster_balanced_sample",
 ]
 # logreg_quality_fit is omitted like kmeans_fit_clusters: the returned
 # frame is a driver-computed invariant row; its per-step plan is one
