@@ -98,3 +98,54 @@ def bloom_probe(batch: DataFrame, key_col: str, words: DataFrame,
         .agg(F.bool_and("__bit").alias(hit_name))
     )
     return batch.join(hit, key_col)
+
+
+def bloom_words_dense(words: DataFrame, m_bits: int) -> list[int]:
+    """Driver-side dense int64 word array from the sparse build output.
+
+    BOUNDED by construction: m_bits/64 longs whatever the key count
+    (2^18 bits -> 4096 longs, 32 KB) — the same bounded-state class as
+    the centroid and codebook collects in operators/ann.py.  Use with
+    :func:`bloom_hit_expr` when the probe side is a fact table that
+    must NOT be shuffled: the expression form filters rows inside the
+    scan stage, where :func:`bloom_probe`'s explode+groupBy would cost
+    a fact-table-wide exchange.
+    """
+    dense = [0] * (m_bits // 64)
+    for r in words.collect():
+        dense[int(r["word_idx"])] = int(r["word"])
+    return dense
+
+
+def bloom_words_column(spark, dense_words: list[int],
+                       col_name: str = "__bloom_words") -> DataFrame:
+    """One-row frame carrying the dense word array as a single array
+    column — crossJoin(broadcast(...)) it onto the probe side (the
+    repo's scalar-broadcast pattern) so :func:`bloom_hit_expr` can
+    reference the array by name.  A literal array inlined per probe
+    would repeat m/64 longs k times in the plan (codegen bloat at
+    realistic m); the broadcast column ships the words ONCE."""
+    return spark.createDataFrame(
+        [(dense_words,)], f"{col_name} array<bigint>"
+    )
+
+
+def bloom_hit_expr(key_sql: str, m_bits: int,
+                   words_col: str = "__bloom_words") -> Column:
+    """Pure-expression membership test: AND over the k bit probes,
+    each an element_at into the broadcast word-array column — no
+    per-key join, no shuffle, evaluates map-side inside whole-stage
+    codegen (the shiftleft count is a column, so the SQL form is
+    required: the DataFrame ``shiftleft`` only takes literal counts,
+    same note as bloom_build).  This is the hand-rolled form of
+    Spark's own runtime bloom pruning
+    (spark.sql.optimizer.runtime.bloomFilter.*), with the filter
+    reusable across queries instead of rebuilt per plan.  ``key_sql``
+    is the key's SQL expression (e.g. a column name)."""
+    probes = []
+    for seed in range(BLOOM_K):
+        pos = f"pmod(xxhash64({key_sql}, {seed}), {m_bits})"
+        word = f"element_at({words_col}, CAST({pos} DIV 64 AS INT) + 1)"
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({pos}, 64) AS INT))"
+        probes.append(f"(({word} & {mask}) != 0)")
+    return F.expr(" AND ".join(probes))

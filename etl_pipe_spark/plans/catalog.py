@@ -48,7 +48,7 @@ _PLAN_MODULES = (
     "text_plans", "text_plans2", "text_plans3", "text_plans4",
     "pandas_ops", "curation_pipeline", "corpus_plans", "corpus_plans2",
     "layout_plans", "profiling_plans", "ingest_plans", "maintenance_plans",
-    "selection_plans",
+    "selection_plans", "graph_plans", "joinopt_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -60,7 +60,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 84 names: 134 registered − 84 demoted = 50 in-window.
+# Exactly 87 names: 137 registered − 87 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -96,6 +96,16 @@ _DEMOTED = (
     # beats a repeat green, and each demotion carries 2-4 prior
     # driver-green rounds plus an in-window family rep) ---
     "multimodal_features",       # green r2-r5 (4 rounds — the multimodal family's most-proven row); Arrow-batched python plumbing stays hard-checked in-window by the ann/pq/sq8 mapInArrow kernels; binary-column metadata surface keeps local-artifact + pass(T) coverage (tests/test_multimodal.py)
+    # --- rotated out late-r6 (slot yielded to pagerank_neardup_graph —
+    # exact fixed-point PageRank over the SimHash near-dup graph, a
+    # first-ever driver row for the graph-centrality family) ---
+    "tpch_q8_market_share",      # green r5; the TPC-H family keeps SEVEN in-window reps (q2/q6/q9/q11/q12/q16/q20), incl. the two-nation-role join (q8's distinctive shape) via q9's multi-dim join and the ratio-agg shape via q16/q20
+    # --- rotated out late-r6 (slots yielded to temperature_mixture_select
+    # — data-derived temperature mixing with integer-exact quotas — and
+    # bloom_join_pruning — map-side Bloom semi-join reduction whose
+    # oracle is the UNOPTIMIZED join, first driver rows both) ---
+    "tpch_q9_product_profit",    # green r5; five TPC-H reps stay in-window (q2/q6/q11/q12/q16 — q2 carries the multi-dim denormalize, q16 the agg-over-join shape); bloom_join_pruning itself is an orders⋈lineitem profit-style rollup under driver check
+    "tpch_q20_dominant_supplier",  # green r5; rank+semi-join machinery in-window via token_budget_selection (distributed rank) + fuzzy_join_blocked (blocked equi-join) + the new per-source quota window in temperature_mixture_select
     "approx_aggregates",         # green r4+r5; sketch family reps in-window: cms_heavy_hitters (NEW — point-frequency member) + bloom_incremental_filter (membership member)
     "sequence_packing",          # green r4+r5; packing/batching family rep in-window: length_bucket_batching (same token-budget bin shape) + token_budget_selection + boilerplate_span_removal
     # --- rotated out mid-r6 (slots yielded to the FOUR new corpus ops

@@ -1,0 +1,194 @@
+"""Graph centrality over the near-dup similarity graph: distributed
+PageRank with an exactly-checkable fixed-point iteration.
+
+PageRank (Page et al. 1999) over the SimHash near-dup pair graph —
+the "which documents sit at the center of a duplication neighborhood"
+signal a curation pipeline uses to pick cluster canonicals and to
+spot template farms (a hub with hundreds of near-dup neighbors is a
+boilerplate generator, not content).
+
+**Exactness design** — the reason this loop can be hash-checked
+instead of invariant-checked: every arithmetic step is integer.
+Ranks live in fixed-point units of 1e12; the damping multiply and
+the per-out-edge split are floor divisions ((85 * r // 100) // deg),
+and the teleport term is the same floor expression in both engines.
+There is no float anywhere, so 8 iterations produce bit-identical
+bigints in Spark and DuckDB, and the oracle simply UNROLLS the
+iteration as 8 generated CTE pairs.  (Floor losses mean total mass
+slightly undershoots 1e12 — deterministically, identically in both
+engines; dangling/isolated vertices keep the bare teleport rank, the
+standard simplification, applied identically.)
+
+Scale (100 TB): the edge list is the banded SimHash candidate graph
+— bounded by real near-duplication, never all-pairs (dedup_plans'
+cap machinery).  Each iteration is one edges-joins-ranks shuffle
+plus a dst-keyed aggregate — the Pregel shape — so cost is
+O(iterations x |E|) with |E| sparse by construction.  Edges and
+degrees are computed once and persisted; each iteration's rank table
+is localCheckpoint'ed so the 8-deep lineage never re-derives the
+pair graph (at cluster scale: checkpoint to storage instead).  The
+final join back to degrees is vertex-sized.
+
+Reference parity: the reference engine has no graph operators; this
+extends the dedup family (dedup_clusters_star picks components, this
+ranks WITHIN and ACROSS them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import duck_simhash_pieces
+from ..sources.catalog import load_table
+from .catalog import register
+from .text_plans2 import dedup_simhash_pairs
+
+PR_ITERS = 8            # power iterations (unrolled in the oracle)
+PR_UNIT = 10**12        # fixed-point rank unit
+PR_DAMP_NUM = 85        # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+_HAMMING_MAX = 6        # same near-dup threshold as dedup_simhash_pairs
+
+
+def _pagerank_oracle() -> str:
+    """Generate the unrolled-iteration DuckDB twin: the SimHash pair
+    CTEs (shared with dedup_simhash_pairs), symmetric edges + degrees,
+    then PR_ITERS mechanical (contribution, rank) CTE pairs in the
+    same all-integer arithmetic as the Spark loop."""
+    sums, fp = duck_simhash_pieces()
+    parts = [f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM toks GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
+  FROM fp, (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION ALL
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+verts AS (SELECT doc_id FROM documents),
+params AS (
+  SELECT ({PR_DAMP_DEN - PR_DAMP_NUM} * {PR_UNIT} // {PR_DAMP_DEN})
+           // CAST(count(*) AS BIGINT) AS tp,
+         {PR_UNIT} // CAST(count(*) AS BIGINT) AS seed
+  FROM documents
+),
+r0 AS (
+  SELECT doc_id, (SELECT seed FROM params) AS rank_fp FROM verts
+)"""]
+    for i in range(PR_ITERS):
+        parts.append(f""", c{i} AS (
+  SELECT e.dst,
+         CAST(sum(({PR_DAMP_NUM} * r.rank_fp // {PR_DAMP_DEN}) // d.deg)
+              AS BIGINT) AS inflow
+  FROM edges e
+  JOIN r{i} r ON r.doc_id = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i + 1} AS (
+  SELECT v.doc_id,
+         CAST((SELECT tp FROM params) + COALESCE(c.inflow, 0) AS BIGINT)
+           AS rank_fp
+  FROM verts v LEFT JOIN c{i} c ON c.dst = v.doc_id
+)""")
+    parts.append(f"""
+SELECT r.doc_id, COALESCE(d.deg, 0) AS deg, r.rank_fp
+FROM r{PR_ITERS} r LEFT JOIN deg d ON d.src = r.doc_id
+ORDER BY r.doc_id""")
+    return "".join(parts)
+
+
+@register("pagerank_neardup_graph", oracle=_pagerank_oracle())
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
+                           checkpoint: bool = True) -> DataFrame:
+    """Fixed-point PageRank over the SimHash near-dup graph: per-doc
+    (degree, rank) after PR_ITERS exact integer power iterations.
+
+    Each iteration joins the persisted (src, dst, deg) edge table to
+    the current rank vector on src, floor-splits the damped rank
+    across out-edges, aggregates inflow by dst, and adds the teleport
+    floor — the Pregel message-pass as two narrow DataFrame ops.  The
+    per-iteration localCheckpoint truncates lineage so iteration k
+    never re-derives the pair graph (checkpoint=False is the
+    plan-inspection seam, the ivfpq_rerank convention).
+    """
+    verts = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("left_id", "right_id")
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    ).unionByName(pairs.select(
+        F.col("right_id").alias("src"), F.col("left_id").alias("dst")
+    ))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    edges_deg = edges.join(deg, "src").persist()
+    try:
+        tp_num = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
+        params = verts.agg(
+            F.expr(f"{tp_num} div count(*)").alias("tp"),
+            F.expr(f"{PR_UNIT} div count(*)").alias("seed"),
+        )
+        ranks = (
+            verts.crossJoin(F.broadcast(params))
+            .select("doc_id", F.col("seed").cast("bigint").alias("rank_fp"))
+        )
+        for _ in range(PR_ITERS):
+            inflow = (
+                ranks.join(edges_deg, ranks.doc_id == edges_deg.src)
+                .select(
+                    F.col("dst").alias("doc_id"),
+                    F.expr(
+                        f"(({PR_DAMP_NUM} * rank_fp) div {PR_DAMP_DEN})"
+                        " div deg"
+                    ).alias("c"),
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("c").cast("bigint").alias("inflow"))
+            )
+            ranks = (
+                verts.join(inflow, "doc_id", "left")
+                .crossJoin(F.broadcast(params))
+                .select(
+                    "doc_id",
+                    (F.col("tp") + F.coalesce(F.col("inflow"), F.lit(0)))
+                    .cast("bigint").alias("rank_fp"),
+                )
+            )
+            if checkpoint:
+                ranks = ranks.localCheckpoint(eager=True)
+        out = (
+            ranks.join(deg.withColumnRenamed("src", "doc_id"), "doc_id",
+                       "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("deg"), F.lit(0)).cast("bigint")
+                .alias("deg"),
+                "rank_fp",
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True) if checkpoint else out
+    finally:
+        edges_deg.unpersist()

@@ -46,8 +46,14 @@ vocabulary (testdata vocab is tiny) — at web scale the candidate
 stream comes from a sampled/thresholded subset and the sketch serves
 the point lookups, which is exactly the join shape this query pins.
 The cluster cap is a per-cell window over ~sqrt(N)-sized cells; a
-skewed mega-cell pre-caps per partition (any per-partition top-CAP
-superset contains the global top-CAP) like domain_cap_sampling.
+skewed mega-cell pre-caps per partition (Spark's WindowGroupLimit
+does this automatically — pinned in the plan) like
+domain_cap_sampling.  All three inputs pass the spread_for_compute
+gate: these are small-input/heavy-expansion plans (token and
+centroid explodes multiply bytes 10-100x after the scan), so a
+narrow single-row-group input is round-robined to compute width
+first — measured 8+ min -> seconds at 250k docs on a single-file
+corpus.
 
 Reference parity: the reference engine (extract.py/transform.py) has
 no selection operators — this family extends it toward the
@@ -60,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import text as TX
+from ..operators.layout import spread_for_compute
 from ..operators.ordering import ranked_running_sum
 from ..sources.catalog import load_table
 from .catalog import register
@@ -96,21 +103,21 @@ WITH words AS (
          CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
            % {DSIR_BUCKETS} AS b
   FROM grams
-), tgt AS (
-  SELECT b, CAST(count(*) AS BIGINT) AS tb
-  FROM hashed WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
-), raw AS (
-  SELECT b, CAST(count(*) AS BIGINT) AS rb FROM hashed GROUP BY b
+), counts AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS rb,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS tb
+  FROM hashed GROUP BY b
 ), totals AS (
-  SELECT CAST((SELECT sum(tb) FROM tgt) AS DOUBLE) AS tn,
-         CAST((SELECT sum(rb) FROM raw) AS DOUBLE) AS rn
+  SELECT CAST(sum(tb) AS DOUBLE) AS tn, CAST(sum(rb) AS DOUBLE) AS rn
+  FROM counts
 ), model AS (
-  SELECT r.b,
+  SELECT c.b,
          CAST(round(ln(
-             ((COALESCE(t.tb, 0) + 1) * (totals.rn + {DSIR_BUCKETS}.0))
-           / ((r.rb + 1) * (totals.tn + {DSIR_BUCKETS}.0))
+             ((c.tb + 1) * (totals.rn + {DSIR_BUCKETS}.0))
+           / ((c.rb + 1) * (totals.tn + {DSIR_BUCKETS}.0))
          ) * {_FP}) AS BIGINT) AS lr
-  FROM raw r LEFT JOIN tgt t ON t.b = r.b, totals
+  FROM counts c, totals
 ), scored AS (
   SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          CAST(sum(m.lr) AS BIGINT) AS weight_fp
@@ -130,21 +137,34 @@ FROM ranked ORDER BY doc_id
 
 
 @register("dsir_importance_select", oracle=_DSIR_ORACLE)
-def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_importance_select(spark: SparkSession, sf_dir: str,
+                           checkpoint: bool = True) -> DataFrame:
     """Per-document DSIR importance weight against the English target
     slice, with the top DSIR_KEEP_FRAC selected — hashed unigram +
     bigram features, add-one-smoothed bucket models, fixed-point log
     ratios summed exactly per document.
 
-    Plan: the n-gram stream (one explode over unigrams ++ bigrams) is
-    aggregated twice into <= B-row bucket tables (map-side combine
-    bounds per-partition agg state at B cells), the B-row model joins
-    back BROADCAST over the stream (no shuffle of the corpus), and the
-    per-doc agg is the only doc-wide exchange.  The top-fraction rank
-    runs through ranked_running_sum's two-phase rank — a web-scale
-    corpus never funnels into one window task.
+    Plan — exactly TWO passes over the n-gram stream, which is the
+    expensive object (an early revision aggregated target and raw
+    counts separately and re-derived the stream for scoring: 3-4
+    recomputations, measured 142 s at 250k docs; this form measures
+    in the single seconds):
+
+    1. ONE fused conditional aggregate produces (raw, target) counts
+       per bucket — map-side combine bounds per-partition agg state at
+       B=1024 cells, and the model derives from that B-row table with
+       a broadcast of the 1-row totals.
+    2. The scoring pass joins the BROADCAST model back over the stream
+       (no corpus shuffle) into the per-doc agg.
+
+    The doc-sized scored table is persisted (it feeds the rank's
+    range-sampling pass AND the final output — the bm25_retrieval
+    precedent), the top-fraction rank runs through
+    ranked_running_sum's two-phase rank (never one window task), and
+    the result is localCheckpoint'ed so the cache can be released
+    before returning (checkpoint=False is the plan-inspection seam).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -163,32 +183,24 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (TX.hash32(F.col("t")) % DSIR_BUCKETS).alias("b"),
     )
 
-    tgt = (
-        hashed.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("tb"))
+    counts = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rb"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("bigint").alias("tb"),
     )
-    raw = hashed.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("rb")
+    totals = counts.agg(
+        F.sum("tb").cast("double").alias("tn"),
+        F.sum("rb").cast("double").alias("rn"),
     )
-    # totals from the bucket tables (<= B rows) — no third corpus scan
-    totals = (
-        raw.agg(F.sum("rb").cast("double").alias("rn"))
-        .crossJoin(tgt.agg(F.sum("tb").cast("double").alias("tn")))
-    )
-    model = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.coalesce(F.col("tb"), F.lit(0)) + 1)
-                     * (F.col("rn") + float(DSIR_BUCKETS)))
-                    / ((F.col("rb") + 1)
-                       * (F.col("tn") + float(DSIR_BUCKETS)))
-                ) * _FP
-            ).cast("bigint").alias("lr"),
-        )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("tb") + 1) * (F.col("rn") + float(DSIR_BUCKETS)))
+                / ((F.col("rb") + 1) * (F.col("tn") + float(DSIR_BUCKETS)))
+            ) * _FP
+        ).cast("bigint").alias("lr"),
     )
     scored = (
         hashed.join(F.broadcast(model), "b")
@@ -197,22 +209,27 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
             F.sum("lr").cast("bigint").alias("weight_fp"),
         )
+        .persist()
     )
-    k = scored.agg(
-        F.ceil(F.count(F.lit(1)) * DSIR_KEEP_FRAC).alias("k")
-    )
-    ranked = ranked_running_sum(
-        scored, [F.col("weight_fp").desc(), F.col("doc_id")], None,
-        rank_name="rnk",
-    )
-    return (
-        ranked.crossJoin(F.broadcast(k))
-        .select(
-            "doc_id", "n_grams", "weight_fp",
-            (F.col("rnk") <= F.col("k")).cast("int").alias("selected"),
+    try:
+        k = scored.agg(
+            F.ceil(F.count(F.lit(1)) * DSIR_KEEP_FRAC).alias("k")
         )
-        .orderBy("doc_id")
-    )
+        ranked = ranked_running_sum(
+            scored, [F.col("weight_fp").desc(), F.col("doc_id")], None,
+            rank_name="rnk",
+        )
+        out = (
+            ranked.crossJoin(F.broadcast(k))
+            .select(
+                "doc_id", "n_grams", "weight_fp",
+                (F.col("rnk") <= F.col("k")).cast("int").alias("selected"),
+            )
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint(eager=True) if checkpoint else out
+    finally:
+        scored.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +280,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch.  Candidate lookups re-derive the d hash keys from the
     vocabulary table and join the 64-cell sketch broadcast.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
     rows = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
 
@@ -335,7 +352,14 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain_cap_sampling documents.  Output is pure integers, so the
     oracle hash-checks the selection itself, not a float echo.
     """
-    emb = _emb_with_norms(spark, sf_dir)
+    # min_ratio=1.0: the k-centroid crossJoin multiplies work x32
+    # after the scan, so anything short of full compute width leaves
+    # cores idle (a one-row-group parquet file plans "17 partitions"
+    # by bytes but delivers ONE task — measured: the 250k assignment
+    # fold ran serially for minutes; spread, it rides all 32 cores).
+    # On a real wide table planned >= width and the exchange is skipped.
+    emb = spread_for_compute(spark, _emb_with_norms(spark, sf_dir),
+                             min_ratio=1.0)
     assign = _ivf_ranked(emb).filter(F.col("rn") == 1).select(
         "vec_id", "cent_id"
     )
@@ -348,4 +372,94 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= CELL_CAP)
         .select("vec_id", "cent_id", "rnk")
         .orderBy("cent_id", "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture selection (multinomial mixing a la T5 /
+# DoReMi-lite, with integer-exact quota arithmetic)
+# ---------------------------------------------------------------------------
+
+MIX_OUT_DEN = 2      # output budget: N // 2 documents
+
+
+_TEMPER_ORACLE = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents
+  GROUP BY source
+), weights AS (
+  SELECT source, n_s, CAST(floor(sqrt(n_s)) AS BIGINT) AS w_s FROM counts
+), params AS (
+  SELECT CAST(sum(n_s) AS BIGINT) // {MIX_OUT_DEN} AS n_out,
+         CAST(sum(w_s) AS BIGINT) AS s
+  FROM weights
+), quotas AS (
+  SELECT w.source, w.n_s, w.w_s, (p.n_out * w.w_s) // p.s AS k_s
+  FROM weights w, params p
+), ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY (d.doc_id * {_KNUTH}) % {_MOD32}, d.doc_id) AS rnk
+  FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(q.k_s AS BIGINT) AS k_s
+FROM ranked r JOIN quotas q ON q.source = r.source
+WHERE r.rnk <= q.k_s
+ORDER BY r.source, r.rnk
+"""
+
+
+@register("temperature_mixture_select", oracle=_TEMPER_ORACLE)
+def temperature_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: each source's share of the
+    output budget is proportional to n_s^(1/2) — the tau=0.5
+    multinomial temperature that upweights small sources relative to
+    proportional mixing (the T5/mT5 mixing rule; DoReMi's learned
+    weights drop into the same quota slot).
+
+    Exactness design: tau=0.5 is computed as floor(sqrt(n_s)) — an
+    INTEGER weight, so the denominator is an exact bigint sum (a
+    float p_s = n_s^tau / sum would be summation-order dependent and
+    could flip a floor() at a quota boundary between engines).  The
+    integer quantization error is < 1 part in sqrt(n_s) — irrelevant
+    at corpus scale, decisive for cross-engine determinism.  Quota
+    k_s = (n_out * w_s) // s and the within-source pick (Knuth-hash
+    rank) are all integer, so the oracle hash-checks the exact
+    selected set.
+
+    Plan: one groupBy builds the source table (tiny), quotas derive
+    from it with a broadcast 1-row params join, and selection is a
+    per-source ranked window — same WindowGroupLimit-over-skew story
+    as domain_cap_sampling, except the cap is data-derived.  Differs
+    from mixture_sampling (fixed literal rates, stateless hash
+    threshold) in computing the mix FROM the observed distribution.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    weights = counts.withColumn(
+        "w_s", F.floor(F.sqrt(F.col("n_s"))).cast("bigint")
+    )
+    params = weights.agg(
+        F.expr(f"CAST(sum(n_s) AS BIGINT) div {MIX_OUT_DEN}").alias("n_out"),
+        F.sum("w_s").cast("bigint").alias("s"),
+    )
+    quotas = weights.crossJoin(F.broadcast(params)).select(
+        "source",
+        F.expr("(n_out * w_s) div s").cast("bigint").alias("k_s"),
+    )
+    w = W.partitionBy("source").orderBy(
+        (F.col("doc_id") * _KNUTH) % _MOD32, "doc_id"
+    )
+    ranked = docs.select("doc_id", "source").withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rnk") <= F.col("k_s"))
+        .select("doc_id", "source", "rnk", "k_s")
+        .orderBy("source", "rnk")
     )

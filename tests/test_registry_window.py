@@ -77,9 +77,10 @@ FLAGSHIPS = [
     # queries whose production-scale superset is already in-window
     # (similarity_ann_ivf / similarity_topk_cosine -> ann_ivf_scaled,
     # kmeans_update_step -> kmeans_fit_clusters).
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q20_dominant_supplier",
+    # tpch_q8_market_share / q9 / q20 rotated out late-r6 after one
+    # green round each — slots yielded to pagerank_neardup_graph,
+    # temperature_mixture_select, and bloom_join_pruning; five TPC-H
+    # reps remain in-window (q2/q6/q11/q12/q16).
     # Mid-r5: corpus-construction additions — RefinedWeb-style span
     # boilerplate removal and token-budget curriculum selection
     # (first driver rows; tpch_q10 / json_flatten_props yielded after
@@ -180,6 +181,16 @@ FLAGSHIPS = [
     "dsir_importance_select",
     "cms_heavy_hitters",
     "cluster_balanced_sample",
+    # Late-r6 NEW: exact fixed-point PageRank over the SimHash
+    # near-dup graph — the graph-centrality family's first member,
+    # hash-checked against an unrolled 8-iteration CTE oracle.
+    "pagerank_neardup_graph",
+    # Late-r6 NEW: data-derived temperature mixing (integer-sqrt
+    # quotas) and map-side Bloom semi-join reduction (the oracle runs
+    # the UNOPTIMIZED join — the hash match proves the pruning is
+    # semantics-preserving).
+    "temperature_mixture_select",
+    "bloom_join_pruning",
 ]
 
 

@@ -111,6 +111,10 @@ EXTRA_PLANS = [
     "dsir_importance_select",
     "cms_heavy_hitters",
     "cluster_balanced_sample",
+    # late-r6 PageRank (dumped in its lazy form: the per-iteration
+    # edges-joins-ranks + dst aggregate Pregel shape, with the
+    # persisted edge table reused across iterations)
+    "pagerank_neardup_graph",
 ]
 # logreg_quality_fit is omitted like kmeans_fit_clusters: the returned
 # frame is a driver-computed invariant row; its per-step plan is one
@@ -144,6 +148,9 @@ def main() -> None:
             s, d, checkpoint=False)
         lazy_forms["bm25_retrieval"] = lambda s, d: bm25_retrieval(
             s, d, checkpoint=False)
+        from etl_pipe_spark.plans.graph_plans import pagerank_neardup_graph
+        lazy_forms["pagerank_neardup_graph"] = (
+            lambda s, d: pagerank_neardup_graph(s, d, checkpoint=False))
         for name in HEADLINE + [n for n in EXTRA_PLANS if n not in HEADLINE]:
             df = lazy_forms.get(name, qs[name])(spark, SF_DIR)
             buf = io.StringIO()
