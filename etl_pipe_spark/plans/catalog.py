@@ -48,7 +48,7 @@ _PLAN_MODULES = (
     "text_plans", "text_plans2", "text_plans3", "text_plans4",
     "pandas_ops", "curation_pipeline", "corpus_plans", "corpus_plans2",
     "layout_plans", "profiling_plans", "ingest_plans", "maintenance_plans",
-    "selection_plans", "graph_plans", "joinopt_plans",
+    "selection_plans", "graph_plans", "joinopt_plans", "corpus_plans3",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -60,7 +60,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 87 names: 137 registered − 87 demoted = 50 in-window.
+# Exactly 89 names: 139 registered − 89 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -106,6 +106,13 @@ _DEMOTED = (
     # oracle is the UNOPTIMIZED join, first driver rows both) ---
     "tpch_q9_product_profit",    # green r5; five TPC-H reps stay in-window (q2/q6/q11/q12/q16 — q2 carries the multi-dim denormalize, q16 the agg-over-join shape); bloom_join_pruning itself is an orders⋈lineitem profit-style rollup under driver check
     "tpch_q20_dominant_supplier",  # green r5; rank+semi-join machinery in-window via token_budget_selection (distributed rank) + fuzzy_join_blocked (blocked equi-join) + the new per-source quota window in temperature_mixture_select
+    # --- rotated out late-r6 (slots yielded to bpe_train_merges — the
+    # FULL iterative BPE trainer, hash-checked against an unrolled
+    # 8-round CTE oracle — and exact_global_quantiles — exact
+    # nearest-rank percentiles via the two-phase distributed rank;
+    # first driver rows both) ---
+    "ann_kmeans_recall_lift",    # green r5; the recall-lift experiment runs TWO full IVF passes by construction (most expensive registry row) — its machinery stays hard-checked in-window via ann_ivf_scaled (same probe kernel) + kmeans_fit_clusters (same fitted centroids)
+    "pq_fit_quality",            # green r5; the PQ family keeps FOUR in-window reps (pq_ann_adc encode+ADC path, ivfpq_ann_adc, ivfpq_rerank, ivfpq_index_persisted) — all consume pq_fit's codebooks
     "approx_aggregates",         # green r4+r5; sketch family reps in-window: cms_heavy_hitters (NEW — point-frequency member) + bloom_incremental_filter (membership member)
     "sequence_packing",          # green r4+r5; packing/batching family rep in-window: length_bucket_batching (same token-budget bin shape) + token_budget_selection + boilerplate_span_removal
     # --- rotated out mid-r6 (slots yielded to the FOUR new corpus ops

@@ -1,0 +1,245 @@
+"""Corpus-construction operators round 6b: the full BPE training
+loop and exact global quantiles.
+
+* **BPE merge training** — the complete iterative byte-pair-encoding
+  trainer (Sennrich et al. 2016), not just one round's pair counts
+  (`bpe_pair_stats` is the single-pass unit; this runs the LOOP).
+  Each round counts adjacent-symbol pairs over the word-frequency
+  table, picks the deterministic argmax (count desc, pair lex asc),
+  and applies the merge to every word before the next round — the
+  exact greedy left-to-right merge semantics of the reference BPE
+  algorithm.  The learned merge list IS the tokenizer artifact a
+  training pipeline ships.
+
+  Exactness design (the reason an inherently sequential trainer can
+  be hash-checked): words are held as `\\x01`-delimited symbol
+  strings — every symbol wrapped as `\\x01 sym \\x01`, so a symbol
+  boundary is the two-byte `\\x01\\x01` and the pair (a, b) appears
+  as the unambiguous substring `\\x01 a \\x01\\x01 b \\x01` (symbols
+  never contain the separator; a pattern anchored by separators on
+  both sides cannot match inside a longer symbol).  Applying a merge
+  is then plain non-regex `replace(...)`, which both Spark and DuckDB
+  evaluate as a left-to-right non-overlapping scan that resumes AFTER
+  each replacement — exactly BPE's greedy pairing (`aaaa` under merge
+  (a,a) becomes `aa aa`, `aaa` becomes `aa a`).  All counts are
+  bigints; the oracle unrolls the loop as generated CTE rounds.
+
+* **Exact global quantiles** — nearest-lower-rank percentiles of the
+  per-document token count, computed with the two-phase distributed
+  rank (`operators/ordering.py`) instead of the single-task global
+  window, then one broadcast join against the 5-row target-rank
+  table.  Complements `approx_aggregates` (the sketch tier): the
+  sketch serves monitoring cadence, this serves the places where the
+  threshold must be exact and reproducible (contract cut-offs,
+  regression gates).  rank_p = (n-1)*p//100 + 1 — pure integer, no
+  interpolation, so the value is a real corpus member and the hash
+  check is exact.
+
+Scale notes (100 TB): BPE's corpus cost is ONE collapse to the
+word-frequency table (vocabulary-sized — millions of rows against
+billions of documents); every merge round after that is a
+vocab-sized explode + partial-aggregated pair count + a 1-row
+TakeOrdered, with the merge applied map-side.  Driver state per
+round is exactly one (pair, count) row, and the per-round
+localCheckpoint keeps round k's lineage from re-deriving rounds
+0..k-1 (at cluster scale: checkpoint the word table to storage; a
+production trainer also min-count-prunes the vocab first, which
+this plan would express as one extra filter).  The quantile query
+moves the corpus once into range partitions and never funnels it
+into one task.
+
+Reference parity: the reference engine (extract.py/transform.py) has
+no tokenizer or statistics operators — this family extends it toward
+the training-data workload, like corpus_plans2 before it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.ordering import ranked_running_sum
+from ..sources.catalog import load_table
+from .catalog import register
+
+BPE_MERGES = 8          # trained merge rounds (unrolled in the oracle)
+_SEP = "\x01"           # symbol delimiter; words containing it are dropped
+_QUANT_PS = (25, 50, 75, 90, 99)
+
+
+def _bpe_oracle() -> str:
+    """Generate the unrolled-loop DuckDB twin: word frequencies →
+    wrapped symbol strings, then BPE_MERGES mechanical
+    (pairs, counts, argmax, apply) CTE rounds using the same
+    separator-anchored plain `replace` as the Spark loop."""
+    sep = "chr(1)"
+    parts = [f"""WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, chr(1))
+  GROUP BY word
+),
+w0 AS (
+  SELECT regexp_replace(word, '(.)', {sep} || '\\1' || {sep}, 'g') AS w, wc
+  FROM words
+)"""]
+    for i in range(BPE_MERGES):
+        parts.append(f""", s{i} AS MATERIALIZED (
+  SELECT string_split(trim(w, chr(1)), {sep} || {sep}) AS syms, wc FROM w{i}
+), c{i} AS MATERIALIZED (
+  SELECT syms[CAST(t.i AS INT)] AS l, syms[CAST(t.i AS INT) + 1] AS r,
+         CAST(sum(wc) AS BIGINT) AS cnt
+  FROM s{i}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+), m{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1
+), w{i + 1} AS MATERIALIZED (
+  SELECT replace(w,
+           {sep} || (SELECT l FROM m{i}) || {sep} || {sep}
+                 || (SELECT r FROM m{i}) || {sep},
+           {sep} || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || {sep})
+           AS w, wc
+  FROM w{i}
+)""")
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rnk, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, cnt FROM m{i}"
+        for i in range(BPE_MERGES)
+    )
+    parts.append(f"\nSELECT * FROM ({rows}) ORDER BY rnk")
+    return "".join(parts)
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table: BPE_MERGES rounds of
+    (count pairs → argmax → apply merge) over the corpus
+    word-frequency table, returning (rank, left, right, merged,
+    count) per learned merge.
+
+    The corpus is touched ONCE (the vocab collapse); each round runs
+    on the vocabulary.  The argmax collect is one row per round — the
+    same bounded-driver-state class as the centroid collects in
+    operators/ann.py — and the applied table is localCheckpoint'ed so
+    round k never re-derives rounds 0..k-1.
+    """
+    sep2 = _SEP + _SEP
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & ~F.col("word").contains(_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .select(
+            F.regexp_replace("word", "(.)", _SEP + "$1" + _SEP).alias("w"),
+            "wc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for i in range(BPE_MERGES):
+        pairs = (
+            words.select(
+                F.split(F.expr("btrim(w, char(1))"), r"\x01\x01").alias("syms"),
+                "wc",
+            )
+            .filter(F.size("syms") >= 2)  # sequence(1, 0) is DESCENDING
+            .select(
+                "syms", "wc",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("syms") - 1)
+                ).alias("i"),
+            )
+            .select(
+                F.element_at("syms", F.col("i")).alias("l"),
+                F.element_at("syms", F.col("i") + 1).alias("r"),
+                "wc",
+            )
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:  # fully merged corpus — cannot happen at these sfs
+            raise ValueError(f"no pairs left at merge round {i}")
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((i + 1, l, r, l + r, cnt))
+        words = words.withColumn(
+            "w",
+            F.replace(
+                F.col("w"),
+                F.lit(_SEP + l + sep2 + r + _SEP),
+                F.lit(_SEP + l + r + _SEP),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rnk bigint, left_sym string, right_sym string, "
+        "merged string, cnt bigint",
+    ).orderBy("rnk")
+
+
+_QUANT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rnk
+  FROM d
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM d
+), q AS (
+  SELECT CAST(unnest([{", ".join(str(p) for p in _QUANT_PS)}]) AS BIGINT) AS p
+)
+SELECT q.p, ((n.n - 1) * q.p) // 100 + 1 AS target_rnk,
+       r.n_tokens AS value
+FROM q CROSS JOIN n
+JOIN r ON r.rnk = ((n.n - 1) * q.p) // 100 + 1
+ORDER BY q.p
+"""
+
+
+@register("exact_global_quantiles", oracle=_QUANT_ORACLE)
+def exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-lower-rank percentiles of per-document token
+    count — the threshold-grade twin of the approx_aggregates sketch.
+
+    Plan: two-phase distributed rank (range partitions + partitioned
+    window + p-row offset scan — operators/ordering.py) attaches the
+    global rank without a single-task window; the 5-row target-rank
+    table (percentiles x a broadcast 1-row count) joins back
+    BROADCAST, so the corpus is scanned once and shuffled once.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    ranked = ranked_running_sum(
+        docs, [F.col("n_tokens").asc(), F.col("doc_id").asc()], None
+    )
+    n_row = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    targets = (
+        spark.range(len(_QUANT_PS))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(p) for p in _QUANT_PS]),
+                (F.col("id") + 1).cast("int"),
+            ).cast("bigint").alias("p")
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "p",
+            (F.expr("((n - 1) * p) div 100") + 1).cast("bigint")
+            .alias("target_rnk"),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), ranked["rnk"] == targets["target_rnk"]
+        )
+        .select("p", "target_rnk", F.col("n_tokens").alias("value"))
+        .orderBy("p")
+    )

@@ -64,7 +64,9 @@ FLAGSHIPS = [
     # per-cell matmul scoring, exact dynamic-k oracles.
     "ann_ivf_scaled",
     "semantic_dedup_scaled",
-    "ann_kmeans_recall_lift",
+    # ann_kmeans_recall_lift rotated out late-r6 after its green r5 row
+    # (most expensive registry query — two full IVF passes by design);
+    # covered in-window by ann_ivf_scaled + kmeans_fit_clusters.
     # Round-5: the high-diameter star-contraction components algorithm
     # under driver check on the SimHash pair graph (first driver row).
     "dedup_clusters_star",
@@ -72,7 +74,8 @@ FLAGSHIPS = [
     # with exact codebook/code/ranking oracle + reconstruction bound,
     # and the fused-Lloyd codebook fit under invariant-boolean check.
     "pq_ann_adc",
-    "pq_fit_quality",
+    # pq_fit_quality rotated out late-r6 after its green r5 row; four
+    # PQ-family reps stay in-window (pq_ann_adc + the ivfpq trio).
     # Mid-r5: the TPC-H completion trio takes the slots of the three
     # queries whose production-scale superset is already in-window
     # (similarity_ann_ivf / similarity_topk_cosine -> ann_ivf_scaled,
@@ -191,6 +194,12 @@ FLAGSHIPS = [
     # semantics-preserving).
     "temperature_mixture_select",
     "bloom_join_pruning",
+    # Late-r6 NEW: the FULL iterative BPE trainer (8 unrolled merge
+    # rounds, separator-anchored greedy replace — hash-exact across
+    # engines) and exact nearest-rank global percentiles via the
+    # two-phase distributed rank.
+    "bpe_train_merges",
+    "exact_global_quantiles",
 ]
 
 

@@ -115,7 +115,13 @@ EXTRA_PLANS = [
     # edges-joins-ranks + dst aggregate Pregel shape, with the
     # persisted edge table reused across iterations)
     "pagerank_neardup_graph",
+    "temperature_mixture_select",
+    "bloom_join_pruning",
+    "exact_global_quantiles",
 ]
+# bpe_train_merges is omitted like kmeans_fit_clusters: the returned
+# frame is driver-assembled from 8 one-row argmax collects; the
+# per-round plan is one vocab-sized explode+agg (TakeOrdered top-1).
 # logreg_quality_fit is omitted like kmeans_fit_clusters: the returned
 # frame is a driver-computed invariant row; its per-step plan is one
 # codegen'd aggregate over the cached feature frame.
