@@ -60,7 +60,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 89 names: 139 registered − 89 demoted = 50 in-window.
+# Exactly 90 names: 140 registered − 90 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -113,6 +113,10 @@ _DEMOTED = (
     # first driver rows both) ---
     "ann_kmeans_recall_lift",    # green r5; the recall-lift experiment runs TWO full IVF passes by construction (most expensive registry row) — its machinery stays hard-checked in-window via ann_ivf_scaled (same probe kernel) + kmeans_fit_clusters (same fitted centroids)
     "pq_fit_quality",            # green r5; the PQ family keeps FOUR in-window reps (pq_ann_adc encode+ADC path, ivfpq_ann_adc, ivfpq_rerank, ivfpq_index_persisted) — all consume pq_fit's codebooks
+    # --- rotated out late-r6 (slot yielded to bpe_encode_vocab — the
+    # ENCODE half of the tokenizer: trained merges applied + subword
+    # vocabulary with corpus frequencies, first driver row) ---
+    "pca_top_component",         # green r5; the linalg family keeps embedding_gram_matrix in-window (the same blocked-gram kernel PCA factorizes) and logreg_quality_fit exercises the shared standardization stats
     "approx_aggregates",         # green r4+r5; sketch family reps in-window: cms_heavy_hitters (NEW — point-frequency member) + bloom_incremental_filter (membership member)
     "sequence_packing",          # green r4+r5; packing/batching family rep in-window: length_bucket_batching (same token-budget bin shape) + token_budget_selection + boilerplate_span_removal
     # --- rotated out mid-r6 (slots yielded to the FOUR new corpus ops

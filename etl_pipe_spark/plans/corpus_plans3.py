@@ -62,6 +62,7 @@ from ..sources.catalog import load_table
 from .catalog import register
 
 BPE_MERGES = 8          # trained merge rounds (unrolled in the oracle)
+BPE_VOCAB_TOP = 40      # vocabulary rows returned by the encode query
 _SEP = "\x01"           # symbol delimiter; words containing it are dropped
 _QUANT_PS = (25, 50, 75, 90, 99)
 
@@ -109,12 +110,32 @@ w0 AS (
     return "".join(parts)
 
 
-@register("bpe_train_merges", oracle=_bpe_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trained BPE merge table: BPE_MERGES rounds of
-    (count pairs → argmax → apply merge) over the corpus
-    word-frequency table, returning (rank, left, right, merged,
-    count) per learned merge.
+def _bpe_encode_oracle() -> str:
+    """The encode twin: the same unrolled training rounds, then the
+    final word table re-split into subword tokens and aggregated into
+    the vocabulary (token frequency weighted by word count)."""
+    train = _bpe_oracle()
+    head = train[: train.rindex("\nSELECT * FROM (")]
+    return head + f"""
+, toks AS (
+  SELECT unnest(string_split(trim(w, chr(1)), chr(1) || chr(1))) AS token,
+         wc
+  FROM w{BPE_MERGES}
+), vocab AS (
+  SELECT token, CAST(sum(wc) AS BIGINT) AS cnt,
+         CAST(length(token) AS BIGINT) AS token_len
+  FROM toks GROUP BY token
+)
+SELECT token, cnt, token_len,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+FROM vocab
+ORDER BY rnk
+LIMIT {BPE_VOCAB_TOP}
+"""
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge loop; return (final wrapped-word frame, merges).
 
     The corpus is touched ONCE (the vocab collapse); each round runs
     on the vocabulary.  The argmax collect is one row per round — the
@@ -174,11 +195,61 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_SEP + l + r + _SEP),
             ),
         ).localCheckpoint(eager=True)
+    return words, merges
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table: BPE_MERGES rounds of
+    (count pairs → argmax → apply merge) over the corpus
+    word-frequency table, returning (rank, left, right, merged,
+    count) per learned merge.  Loop mechanics in :func:`_bpe_train`.
+    """
+    _, merges = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "rnk bigint, left_sym string, right_sym string, "
         "merged string, cnt bigint",
     ).orderBy("rnk")
+
+
+@register("bpe_encode_vocab", oracle=_bpe_encode_oracle())
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer: the trained merges applied to
+    every word, and the resulting subword vocabulary aggregated with
+    corpus frequencies — the (token -> id, count) table a training
+    pipeline ships next to the merge list.
+
+    Plan: training's final word table (vocabulary-sized, merges
+    already applied map-side by the loop's chained replaces) is
+    re-split into symbols and exploded WEIGHTED by word count — one
+    vocab-sized aggregate, the corpus itself never touched a second
+    time.  Production encodes the real token stream with the same
+    chained-replace expressions, which is a pure map stage.
+    """
+    words, _ = _bpe_train(spark, sf_dir)
+    toks = (
+        words.select(
+            F.explode(
+                F.split(F.expr("btrim(w, char(1))"), r"\x01\x01")
+            ).alias("token"),
+            "wc",
+        )
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .withColumn("token_len", F.length("token").cast("bigint"))
+    )
+    top = toks.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+        BPE_VOCAB_TOP
+    )
+    from pyspark.sql.window import Window as W
+
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), F.col("token").asc()))
+        .cast("bigint"),
+    ).select("token", "cnt", "token_len", "rnk").orderBy("rnk")
 
 
 _QUANT_ORACLE = f"""

@@ -114,7 +114,8 @@ FLAGSHIPS = [
     # oracle; coercion_kitchen_sink yielded after four green driver
     # rounds (safe-coercion surface kept in-window by
     # json_flatten_input_data).
-    "pca_top_component",
+    # pca_top_component rotated out late-r6 after its green r5 row
+    # (embedding_gram_matrix carries the shared gram kernel in-window).
     # Late-r5: incremental near-dup (new batch probed against the
     # historical LSH index — band-bucket join, never a history
     # self-join); timeline_union yielded after four green driver
@@ -200,6 +201,7 @@ FLAGSHIPS = [
     # two-phase distributed rank.
     "bpe_train_merges",
     "exact_global_quantiles",
+    "bpe_encode_vocab",
 ]
 
 

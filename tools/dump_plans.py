@@ -119,9 +119,10 @@ EXTRA_PLANS = [
     "bloom_join_pruning",
     "exact_global_quantiles",
 ]
-# bpe_train_merges is omitted like kmeans_fit_clusters: the returned
-# frame is driver-assembled from 8 one-row argmax collects; the
-# per-round plan is one vocab-sized explode+agg (TakeOrdered top-1).
+# bpe_train_merges / bpe_encode_vocab are omitted like
+# kmeans_fit_clusters: both run the 8-round merge loop (one 1-row
+# argmax collect per round); the per-round plan is one vocab-sized
+# explode+agg (TakeOrdered top-1).
 # logreg_quality_fit is omitted like kmeans_fit_clusters: the returned
 # frame is a driver-computed invariant row; its per-step plan is one
 # codegen'd aggregate over the cached feature frame.
