@@ -273,6 +273,64 @@ def corpus6_sweep(scales: list[int]) -> None:
         print(f'{r["n_docs"]:7d} (x{k:.0f} docs): {ratios}')
 
 
+def round6b_sweep(scales: list[int]) -> None:
+    """Scale the late-round-6 additions on the boilerplate corpus.
+
+    The adversarial bits per op: pagerank_neardup_graph runs 8 exact
+    power iterations over the SimHash pair graph — per-iteration cost
+    must track |E| (sparse by construction), and the near-dup tail
+    (1% one-word-swapped clones) guarantees a non-trivial edge set;
+    bpe_train_merges must collapse to the 2,001-word vocabulary ONCE
+    and keep every merge round vocab-sized (wall flat in N after the
+    word count); dsir_importance_select's model is B=1024 buckets
+    whatever the corpus; temperature_mixture_select sees THREE
+    mega-sources of N/3 docs; exact_global_quantiles is the two-phase
+    rank — one range shuffle, no single-task window.
+    """
+    import time as _t
+
+    from etl_pipe_spark.plans.catalog import queries
+    from etl_pipe_spark.session import get_spark
+
+    spark = get_spark("round6b-scaling")
+    qs = queries()
+    names = ("pagerank_neardup_graph", "bpe_train_merges",
+             "dsir_importance_select", "temperature_mixture_select",
+             "exact_global_quantiles")
+    results = []
+    import gc as _gc
+
+    for n in scales:
+        sf_dir = gen_corpus(n)
+        row: dict = {"n_docs": n}
+        for name in names:
+            best = None
+            for _ in range(2):  # best-of-2: drop JIT/IO warm-up noise
+                t0 = _t.time()
+                cnt = qs[name](spark, sf_dir).count()
+                el = _t.time() - t0
+                best = el if best is None else min(best, el)
+                # Release localCheckpoint blocks (pagerank/BPE hold 8+
+                # checkpointed tables each); without this the NEXT
+                # query's shuffles spill against dead storage memory
+                # and the sweep reads 3-4x worse than isolation.
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+            row[name] = round(best, 2)
+            row[f"{name}_rows"] = cnt
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    base = results[0]
+    print("\nscaling ratios vs first row:")
+    for r in results:
+        k = r["n_docs"] / base["n_docs"]
+        ratios = " ".join(
+            f"{name}={r[name] / max(base[name], 0.01):.1f}x"
+            for name in names
+        )
+        print(f'{r["n_docs"]:7d} (x{k:.0f} docs): {ratios}')
+
+
 def vector_sweep(scales: list[int], families: list[str]) -> None:
     """Time the production vector paths at each scale; one JSON row per
     scale.  kmeans_fit reports time-to-converge (k=16 matching the
@@ -411,7 +469,13 @@ def main() -> None:
     ap.add_argument("--corpus6-scales", default=None,
                     help="run ONLY the round-6 corpus-quartet sweep at these "
                          "sizes (e.g. 5000,50000,250000)")
+    ap.add_argument("--round6b-scales", default=None,
+                    help="run ONLY the late-r6 sweep (pagerank/bpe/dsir/"
+                         "temperature/quantiles) at these sizes")
     args = ap.parse_args()
+    if args.round6b_scales:
+        round6b_sweep([int(s) for s in args.round6b_scales.split(",")])
+        return
     if args.corpus6_scales:
         corpus6_sweep([int(s) for s in args.corpus6_scales.split(",")])
         return
