@@ -121,7 +121,8 @@ ORDER BY r.doc_id""")
 
 @register("pagerank_neardup_graph", oracle=_pagerank_oracle())
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
-                           checkpoint: bool = True) -> DataFrame:
+                           checkpoint: bool = True,
+                           iters: int | None = None) -> DataFrame:
     """Fixed-point PageRank over the SimHash near-dup graph: per-doc
     (degree, rank) after PR_ITERS exact integer power iterations.
 
@@ -131,7 +132,10 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
     floor — the Pregel message-pass as two narrow DataFrame ops.  The
     per-iteration localCheckpoint truncates lineage so iteration k
     never re-derives the pair graph (checkpoint=False is the
-    plan-inspection seam, the ivfpq_rerank convention).
+    plan-inspection seam, the ivfpq_rerank convention; pass iters=1
+    with it to dump ONE iteration's shape — the fully lazy 8-deep
+    plan textually unrolls the lineage that caching+checkpointing
+    truncate in real execution and is not the executed shape).
     """
     verts = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_simhash_pairs(spark, sf_dir).select("left_id", "right_id")
@@ -142,7 +146,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
     ))
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
+    ).persist()  # vertex-sized; reused every iteration + the output join
     edges_deg = edges.join(deg, "src").persist()
     try:
         tp_num = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
@@ -154,7 +158,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
             verts.crossJoin(F.broadcast(params))
             .select("doc_id", F.col("seed").cast("bigint").alias("rank_fp"))
         )
-        for _ in range(PR_ITERS):
+        for _ in range(PR_ITERS if iters is None else iters):
             inflow = (
                 ranks.join(edges_deg, ranks.doc_id == edges_deg.src)
                 .select(
@@ -189,6 +193,14 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
             )
             .orderBy("doc_id")
         )
-        return out.localCheckpoint(eager=True) if checkpoint else out
+        if checkpoint:
+            return out.localCheckpoint(eager=True)
+        # Inspection seam: leave the caches in place so the dumped
+        # plan shows the InMemory reuse the executed loop relies on
+        # (unpersisting here would make the lazy text re-derive the
+        # banding join per reference — a shape that never executes).
+        return out
     finally:
-        edges_deg.unpersist()
+        if checkpoint:
+            edges_deg.unpersist()
+            deg.unpersist()

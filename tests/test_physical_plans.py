@@ -334,3 +334,70 @@ def test_rollup_merge_pushes_split_and_partial_aggregates(spark, sf_dir):
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_bloom_probe_is_mapside_before_exchange(spark, sf_dir):
+    """The Bloom membership test must evaluate INSIDE the fact scan
+    stage (a Filter under the scan's codegen span, fed by a broadcast
+    of the one-row word array) — pruned lineitem rows never reach an
+    exchange, which is the operator's entire value at 100 TB."""
+    plan = _plan(spark, sf_dir, "bloom_join_pruning")
+    assert "CartesianProduct" not in plan
+    # Plan text prints root-first, so "deeper = executes earlier".
+    # The shape to pin, top to bottom: partial aggregate -> the
+    # word-array broadcast (BNLJ) carrying the xxhash64 probe filter
+    # -> the lineitem scan underneath it.  That IS "probe evaluates
+    # map-side, before any exchange, inside the scan stage".
+    i_partial = plan.index("partial_")
+    i_bnlj = plan.index("BroadcastNestedLoopJoin")
+    i_probe = plan.index("xxhash64")
+    i_scan = plan.index("lineitem.parquet")
+    assert i_partial < i_bnlj <= i_probe < i_scan
+
+
+def test_temperature_quota_window_group_limits(spark, sf_dir):
+    """The per-source rank must compile to WindowGroupLimit so a
+    mega-source never sorts past its quota (the k_s cap is a runtime
+    column, but Spark still group-limits the row_number itself when
+    the filter is a literal bound; here we at least require the
+    partitioned-window shape and broadcast quota join)."""
+    plan = _plan(spark, sf_dir, "temperature_mixture_select")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_lineage_is_bounded(spark, sf_dir):
+    """Two pins.  (1) The registered path's RESULT plan is a
+    checkpoint scan — the 8-iteration lineage is truncated, so
+    downstream consumers never re-derive the pair graph.  (2) A
+    single iteration's lazy shape contains exactly one SimHash
+    banding derivation feeding the edges-joins-ranks + dst aggregate
+    Pregel step — the per-iteration cost is one |E|-shuffle, not a
+    re-banding."""
+    from etl_pipe_spark.plans.graph_plans import pagerank_neardup_graph
+
+    real = _plan(spark, sf_dir, "pagerank_neardup_graph")
+    assert "documents.parquet" not in real  # lineage truncated
+    assert "xor" not in real
+
+    one = pagerank_neardup_graph(spark, sf_dir, checkpoint=False, iters=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # Both the degree table and the (edges ⋈ deg) table must be
+    # cached scans — every banding derivation in the text sits UNDER
+    # an InMemoryTableScan (the printer re-prints cached children per
+    # reference; execution derives them once).
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "HashAggregate" in plan       # the dst inflow aggregate
+
+
+def test_exact_quantiles_has_no_global_window(spark, sf_dir):
+    """The rank must come from the two-phase form: every Window in the
+    plan is partitioned (the offset scan's partition key included) —
+    no empty-partition-spec global window anywhere."""
+    import re
+
+    plan = _plan(spark, sf_dir, "exact_global_quantiles")
+    assert not re.search(r"Window \[[^\]]*\], \[\],", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -156,8 +156,12 @@ def main() -> None:
         lazy_forms["bm25_retrieval"] = lambda s, d: bm25_retrieval(
             s, d, checkpoint=False)
         from etl_pipe_spark.plans.graph_plans import pagerank_neardup_graph
+        # iters=1: the executed loop truncates lineage per iteration
+        # (persisted edges + localCheckpoint); the fully lazy 8-deep
+        # plan would textually unroll what execution never re-derives.
         lazy_forms["pagerank_neardup_graph"] = (
-            lambda s, d: pagerank_neardup_graph(s, d, checkpoint=False))
+            lambda s, d: pagerank_neardup_graph(s, d, checkpoint=False,
+                                                iters=1))
         for name in HEADLINE + [n for n in EXTRA_PLANS if n not in HEADLINE]:
             df = lazy_forms.get(name, qs[name])(spark, SF_DIR)
             buf = io.StringIO()
