@@ -60,7 +60,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 90 names: 140 registered − 90 demoted = 50 in-window.
+# Exactly 91 names: 141 registered − 91 demoted = 50 in-window.
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -117,6 +117,10 @@ _DEMOTED = (
     # ENCODE half of the tokenizer: trained merges applied + subword
     # vocabulary with corpus frequencies, first driver row) ---
     "pca_top_component",         # green r5; the linalg family keeps embedding_gram_matrix in-window (the same blocked-gram kernel PCA factorizes) and logreg_quality_fit exercises the shared standardization stats
+    # --- rotated out late-r6 (slot yielded to cooccurrence_pmi —
+    # windowed collocations with PMI via map-side nested-transform
+    # pair generation, first driver row) ---
+    "corpus_shuffle_shards",     # green r5; deterministic shuffle/shard family covered in-window by train_test_split_hash (same portable key-hash order) + length_bucket_batching (token-budget packing) + domain_cap_sampling (hash-ranked selection)
     "approx_aggregates",         # green r4+r5; sketch family reps in-window: cms_heavy_hitters (NEW — point-frequency member) + bloom_incremental_filter (membership member)
     "sequence_packing",          # green r4+r5; packing/batching family rep in-window: length_bucket_batching (same token-budget bin shape) + token_budget_selection + boilerplate_span_removal
     # --- rotated out mid-r6 (slots yielded to the FOUR new corpus ops

@@ -56,6 +56,7 @@ the training-data workload, like corpus_plans2 before it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
 from ..operators.ordering import ranked_running_sum
 from ..sources.catalog import load_table
@@ -250,6 +251,145 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("cnt").desc(), F.col("token").asc()))
         .cast("bigint"),
     ).select("token", "cnt", "token_len", "rnk").orderBy("rnk")
+
+
+COOC_WINDOW = 4      # co-occurrence window (token distance <= W)
+COOC_TOP = 50        # collocation rows returned
+
+
+_COOC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), stream AS (
+  SELECT unnest(a) AS tok FROM toks
+), marg AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM stream GROUP BY tok
+), n_tok AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tok FROM stream
+), raw_pairs AS (
+  SELECT least(a[CAST(t1.i AS INT)], a[CAST(t2.j AS INT)]) AS tok_a,
+         greatest(a[CAST(t1.i AS INT)], a[CAST(t2.j AS INT)]) AS tok_b
+  FROM toks,
+       unnest(range(1, len(a))) AS t1(i),
+       unnest(range(t1.i + 1, least(t1.i + {COOC_WINDOW}, len(a)) + 1))
+         AS t2(j)
+), pair_counts AS (
+  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM raw_pairs GROUP BY tok_a, tok_b
+), n_pairs AS (
+  SELECT CAST(sum(pair_cnt) AS BIGINT) AS n_pairs FROM pair_counts
+), top AS (
+  SELECT tok_a, tok_b, pair_cnt,
+         CAST(row_number() OVER (ORDER BY pair_cnt DESC, tok_a, tok_b)
+              AS BIGINT) AS rnk
+  FROM pair_counts
+  ORDER BY pair_cnt DESC, tok_a, tok_b LIMIT {COOC_TOP}
+)
+SELECT t.tok_a, t.tok_b, t.pair_cnt, t.rnk,
+       round(ln((CAST(t.pair_cnt AS DOUBLE) * n_tok.n_tok * n_tok.n_tok)
+                / (CAST(n_pairs.n_pairs AS DOUBLE) * ma.cnt * mb.cnt)), 4)
+         AS pmi_r4
+FROM top t
+JOIN marg ma ON ma.tok = t.tok_a
+JOIN marg mb ON mb.tok = t.tok_b
+CROSS JOIN n_tok CROSS JOIN n_pairs
+ORDER BY t.rnk
+"""
+
+
+@register("cooccurrence_pmi", oracle=_COOC_ORACLE)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str,
+                     checkpoint: bool = True) -> DataFrame:
+    """Windowed co-occurrence collocations with pointwise mutual
+    information — the distributional statistic under word2vec/GloVe
+    embedding training and classic collocation extraction (Church &
+    Hanks 1990): count unordered token pairs within a W-token window,
+    rank by count, report PMI against the unigram marginals.
+
+    Scale design: the pair stream is generated MAP-SIDE by nested
+    array transforms over each document's token array (no positional
+    self-join — a join on (doc_id, |i-j|<=W) would shuffle the
+    exploded corpus twice and tempt a range-join plan); the only
+    corpus-wide exchanges are the pair groupBy and the unigram count.
+    Marginals attach AFTER the top-K cut: the 50-row collocation
+    table broadcasts into the vocab-sized count table, so the PMI
+    join is top-K-sized, never pair-space-sized.  The single ln()
+    per row rounds at 4 decimals (the repo's log-score parity
+    convention — bm25/unigram precedent).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("a")
+    )
+    # Outer index stops at size-1 so the inner sequence is never
+    # descending (the sequence(1, 0) trap).
+    pairs = (
+        docs.filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(f"""flatten(transform(sequence(1, size(a) - 1), i ->
+                  transform(sequence(i + 1, least(i + {COOC_WINDOW}, size(a))),
+                            j -> struct(
+                              least(element_at(a, i), element_at(a, j)) AS tok_a,
+                              greatest(element_at(a, i), element_at(a, j)) AS tok_b
+                            ))))""")
+            ).alias("p")
+        )
+        .select("p.tok_a", "p.tok_b")
+    )
+    pair_counts = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_cnt")
+    ).persist()
+    try:
+        top = (
+            pair_counts.orderBy(
+                F.col("pair_cnt").desc(), F.col("tok_a"), F.col("tok_b")
+            )
+            .limit(COOC_TOP)
+            .withColumn(
+                "rnk",
+                F.row_number()
+                .over(
+                    W.orderBy(
+                        F.col("pair_cnt").desc(), F.col("tok_a"),
+                        F.col("tok_b")
+                    )
+                )
+                .cast("bigint"),
+            )
+        )
+        stream = load_table(spark, sf_dir, "documents").select(
+            F.explode(F.split("text", " ")).alias("tok")
+        )
+        marg = stream.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        n_tok = stream.agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+        n_pairs = pair_counts.agg(
+            F.sum("pair_cnt").cast("bigint").alias("n_pairs")
+        )
+        ma = marg.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+        mb = marg.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+        out = (
+            ma.join(F.broadcast(top), "tok_a")
+            .join(mb, "tok_b")
+            .crossJoin(F.broadcast(n_tok))
+            .crossJoin(F.broadcast(n_pairs))
+            .select(
+                "tok_a", "tok_b", "pair_cnt", "rnk",
+                F.expr(
+                    "round(ln((CAST(pair_cnt AS DOUBLE) * n_tok * n_tok)"
+                    " / (CAST(n_pairs AS DOUBLE) * cnt_a * cnt_b)), 4)"
+                ).alias("pmi_r4"),
+            )
+            .orderBy("rnk")
+        )
+        # checkpoint=False is the plan-inspection seam (ivfpq_rerank
+        # convention): the lazy form keeps pair_counts cached so the
+        # dumped plan shows the reuse the executed path relies on.
+        return out.localCheckpoint(eager=True) if checkpoint else out
+    finally:
+        if checkpoint:
+            pair_counts.unpersist()
 
 
 _QUANT_ORACLE = f"""

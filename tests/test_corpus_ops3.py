@@ -81,3 +81,19 @@ def test_exact_quantiles_monotone_and_members(spark, sf_dir):
     for r in rows:
         assert 1 <= r["target_rnk"] <= n
         assert r["value"] in observed  # nearest-rank => a real member
+
+
+def test_cooccurrence_pmi_shape_and_bounds(spark, sf_dir):
+    from etl_pipe_spark.plans.corpus_plans3 import (
+        COOC_TOP,
+        cooccurrence_pmi,
+    )
+
+    rows = cooccurrence_pmi(spark, sf_dir).orderBy("rnk").collect()
+    assert 0 < len(rows) <= COOC_TOP
+    cnts = [r["pair_cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert r["tok_a"] <= r["tok_b"]  # canonical unordered pair
+        assert r["pmi_r4"] is not None
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))

@@ -401,3 +401,17 @@ def test_exact_quantiles_has_no_global_window(spark, sf_dir):
     assert not re.search(r"Window \[[^\]]*\], \[\],", plan)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cooccurrence_pairs_are_mapside_no_self_join(spark, sf_dir):
+    """Pair generation must be the nested-transform explode — no
+    positional self-join (no extra corpus join before the pair
+    groupBy), and the marginal joins attach to the top-K side via
+    broadcast, never pair-space-sized."""
+    from etl_pipe_spark.plans.corpus_plans3 import cooccurrence_pmi
+
+    df = cooccurrence_pmi(spark, sf_dir, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "transform(sequence(1" in plan  # the map-side generator

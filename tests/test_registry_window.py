@@ -100,7 +100,9 @@ FLAGSHIPS = [
     # driver rows; exact_percentiles / tpch_q21 / pricing_summary /
     # tpch_q7 yielded after 2-4 green driver rounds each, every one
     # with an in-window family rep (see catalog._DEMOTED notes).
-    "corpus_shuffle_shards",
+    # corpus_shuffle_shards rotated out late-r6 after its green r5 row
+    # (train_test_split_hash carries the portable key-hash order
+    # in-window; length_bucket_batching the packing shape).
     "vocab_top_coverage",
     "unigram_logprob_quality",
     "embedding_gram_matrix",
@@ -202,6 +204,10 @@ FLAGSHIPS = [
     "bpe_train_merges",
     "exact_global_quantiles",
     "bpe_encode_vocab",
+    # Late-r6 NEW: windowed co-occurrence collocations with PMI —
+    # map-side nested-transform pair generation (no positional
+    # self-join), marginals joined AFTER the top-K cut.
+    "cooccurrence_pmi",
 ]
 
 

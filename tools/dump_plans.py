@@ -118,6 +118,7 @@ EXTRA_PLANS = [
     "temperature_mixture_select",
     "bloom_join_pruning",
     "exact_global_quantiles",
+    "cooccurrence_pmi",
 ]
 # bpe_train_merges / bpe_encode_vocab are omitted like
 # kmeans_fit_clusters: both run the 8-round merge loop (one 1-row
@@ -162,6 +163,9 @@ def main() -> None:
         lazy_forms["pagerank_neardup_graph"] = (
             lambda s, d: pagerank_neardup_graph(s, d, checkpoint=False,
                                                 iters=1))
+        from etl_pipe_spark.plans.corpus_plans3 import cooccurrence_pmi
+        lazy_forms["cooccurrence_pmi"] = (
+            lambda s, d: cooccurrence_pmi(s, d, checkpoint=False))
         for name in HEADLINE + [n for n in EXTRA_PLANS if n not in HEADLINE]:
             df = lazy_forms.get(name, qs[name])(spark, SF_DIR)
             buf = io.StringIO()
