@@ -49,6 +49,7 @@ _PLAN_MODULES = (
     "pandas_ops", "curation_pipeline", "corpus_plans", "corpus_plans2",
     "layout_plans", "profiling_plans", "ingest_plans", "maintenance_plans",
     "selection_plans", "graph_plans", "joinopt_plans", "corpus_plans3",
+    "timeseries_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -89,6 +90,15 @@ _PLAN_MODULES = (
 # row-level coverage in docs/CORRECTNESS_local_r{N}.json, and an
 # in-window family representative (noted per line).
 _DEMOTED = (
+    # --- rotated out end-r6 (slots yielded to the session's THREE new
+    # ops — timeseries_gapfill / weighted_priority_sample /
+    # unicode_nfc_normalize, first driver rows; same convention as
+    # every prior swap: each demotion carries a driver-green r5 row,
+    # an unchanged implementation, local-artifact row coverage, and an
+    # in-window family representative) ---
+    "unigram_logprob_quality",   # green r5; LM-quality family keeps bigram_backoff_quality (strictly richer: held-out bigram backoff) + logreg_quality_fit in-window
+    "token_budget_selection",    # green r5; selection family keeps dsir_importance_select + temperature_mixture_select + domain_cap_sampling + the NEW weighted_priority_sample in-window; its distributed-rank machinery also in-window via exact_global_quantiles (same two-phase ranked_running_sum)
+    "vocab_top_coverage",        # green r5; vocabulary family keeps bpe_encode_vocab (subword vocab + corpus frequencies — the richer form) + bpe_pair_stats in-window
     # --- rotated out late-r6 (slots yielded to the THREE new
     # selection-family ops in selection_plans — dsir_importance_select /
     # cms_heavy_hitters / cluster_balanced_sample, first driver rows;

@@ -17,7 +17,7 @@ import sys
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.catalog import load_table
 from .catalog import register
@@ -87,3 +87,78 @@ def pandas_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return docs.groupBy("lang").applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (mapInPandas + exact cross-engine oracle)
+# ---------------------------------------------------------------------------
+
+_NFC_SCHEMA = "doc_id long, denorm string, nfc string"
+
+
+def _nfc_batches(it):
+    """Arrow-batched NFC pass: decompose 'e' -> 'e'+U+0301, renormalize.
+
+    The synthetic corpus is ASCII, so the denormalized input is
+    manufactured deterministically INSIDE the query (every 'e' becomes
+    the two-codepoint decomposed form) — the normalization then has
+    real work to do and the oracle can assert byte-exact output, not
+    just an identity pass.  unicodedata's NFC table for combining
+    acute is stable across every Unicode version, so the Python and
+    utf8proc (DuckDB) answers agree by construction.
+    """
+    import unicodedata
+
+    for pdf in it:
+        denorm = pdf["text"].str.replace("e", "e\u0301", regex=False)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "denorm": denorm,
+                "nfc": denorm.map(lambda s: unicodedata.normalize("NFC", s)),
+            }
+        )
+
+
+_NFC_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         replace(text, 'e', 'e' || chr(769)) AS denorm,
+         nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS nfc
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(denorm) AS BIGINT) AS denorm_cp,
+       CAST(len(nfc) AS BIGINT) AS nfc_cp,
+       md5(nfc) AS nfc_md5
+FROM d
+ORDER BY doc_id
+"""
+
+
+@register("unicode_nfc_normalize", oracle=_NFC_ORACLE)
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC text normalization — the first op of every LLM
+    text pipeline (tokenizers require a canonical composition form).
+
+    The heavy lifting is Arrow-batched Python (unicodedata is the
+    reference NFC implementation; Spark has no native normalizer), a
+    single mapInPandas pass with no shuffle at all — the groupBy-free
+    map shape that scales embarrassingly.  Codepoint counts and the
+    md5 of the normalized UTF-8 bytes are computed JVM-side after the
+    UDF; the DuckDB twin runs utf8proc's nfc_normalize over the same
+    manufactured input, so the md5 column is a byte-exact cross-
+    implementation check of the normalization itself.
+
+    Codepoint-count note: Spark's length() counts UTF-16 code units,
+    DuckDB's len() counts codepoints — they agree here because every
+    character in play is BMP; the md5 check is the load-bearing one.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = docs.mapInPandas(_nfc_batches, _NFC_SCHEMA)
+    return out.select(
+        "doc_id",
+        F.length("denorm").cast("bigint").alias("denorm_cp"),
+        F.length("nfc").cast("bigint").alias("nfc_cp"),
+        F.md5(F.encode(F.col("nfc"), "UTF-8")).alias("nfc_md5"),
+    ).orderBy("doc_id")

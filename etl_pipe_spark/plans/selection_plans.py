@@ -464,3 +464,62 @@ def temperature_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rnk", "k_s")
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield, Lund & Thorup 2007)
+# ---------------------------------------------------------------------------
+
+WPS_K = 200  # sample size
+
+
+_WPS_ORACLE = f"""
+WITH prio AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS weight,
+         CAST(((doc_id + 1) * {_KNUTH}) % {_MOD32} AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT doc_id, weight, priority
+FROM prio
+ORDER BY priority, doc_id
+LIMIT {WPS_K}
+"""
+
+
+@register("weighted_priority_sample", oracle=_WPS_ORACLE)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional k-sample via priority order.
+
+    Priority sampling (Duffield et al., JACM 2007): give item i the
+    priority q_i = u_i / w_i with u_i uniform, keep the k smallest —
+    inclusion probability is ~proportional to weight, and the sample
+    supports unbiased subset-sum estimation.  Here u_i is the Knuth
+    multiplicative hash of the stable doc key scaled to 32 bits, so
+    the draw is reproducible, repartition-proof, and oracle-checkable;
+    the priority is one integer-by-integer IEEE double division —
+    bit-identical in any engine, no libm in sight (contrast DSIR's
+    fixed-pointed ln above).  Weight = n_chars, the char-budget proxy
+    (a quality score composes the same way).
+
+    Scale: ORDER BY + LIMIT k compiles to TakeOrderedAndProject —
+    each task keeps a k-row heap and only k rows per partition ever
+    move, so the full corpus is one map pass + a k-row reduce; no
+    global sort, no shuffle of the corpus.  This is the one-line
+    weighted subsample every mixture builder wants BEFORE the heavier
+    quota machinery (temperature_mixture_select) kicks in.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    priority = (
+        ((F.col("doc_id") + 1) * F.lit(_KNUTH)) % F.lit(_MOD32)
+    ).cast("double") / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            priority.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WPS_K)
+    )

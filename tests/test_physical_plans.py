@@ -415,3 +415,30 @@ def test_cooccurrence_pairs_are_mapside_no_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "transform(sequence(1" in plan  # the map-side generator
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    # the weighted k-sample must be a per-partition heap + k-row
+    # reduce (TakeOrderedAndProject), never a global sort of the corpus
+    plan = _plan(spark, sf_dir, "weighted_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_gapfill_spine_is_distributed_generate(spark, sf_dir):
+    # the dense hourly grid must come from a distributed explode of
+    # per-user sequence() arrays — no cross join against a calendar,
+    # and partial aggregation must run before the bucket shuffle
+    plan = _plan(spark, sf_dir, "timeseries_gapfill")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_nfc_normalize_is_single_map_pass(spark, sf_dir):
+    # the normalizer itself is shuffle-free: one Arrow-batched
+    # MapInPandas over the scan; the only exchange is the final
+    # presentation sort
+    plan = _plan(spark, sf_dir, "unicode_nfc_normalize")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1
