@@ -97,6 +97,11 @@ _DEMOTED = (
     # an unchanged implementation, local-artifact row coverage, and an
     # in-window family representative) ---
     "unigram_logprob_quality",   # green r5; LM-quality family keeps bigram_backoff_quality (strictly richer: held-out bigram backoff) + logreg_quality_fit in-window
+    # --- and to the session's second trio — triangle_clustering_coeff /
+    # schema_evolution_merge / hive_partition_pruning (first driver rows) ---
+    "dedup_clusters_star",       # green r5; the pair-graph family keeps pagerank_neardup_graph + the NEW triangle_clustering_coeff in-window (same banded SimHash edges, richer join machinery); star-contraction semantics stay pinned by tests/test_clusters.py + the local artifact
+    "zorder_layout_skipping",    # green r5; layout family keeps the NEW hive_partition_pruning (directory-level pruning — the coarser, bigger lever) + length_bucket_batching in-window; within-file skipping stays pinned by tests/test_layout.py + the local artifact
+    "boilerplate_span_removal",  # green r5; span-window machinery in-window via substring_dedup_windows (same stride span index); corpus family also holds domain_cap_sampling + length_bucket_batching
     "token_budget_selection",    # green r5; selection family keeps dsir_importance_select + temperature_mixture_select + domain_cap_sampling + the NEW weighted_priority_sample in-window; its distributed-rank machinery also in-window via exact_global_quantiles (same two-phase ranked_running_sum)
     "vocab_top_coverage",        # green r5; vocabulary family keeps bpe_encode_vocab (subword vocab + corpus frequencies — the richer form) + bpe_pair_stats in-window
     # --- rotated out late-r6 (slots yielded to the THREE new

@@ -204,3 +204,175 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
         if checkpoint:
             edges_deg.unpersist()
             deg.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient (degree-oriented join)
+# ---------------------------------------------------------------------------
+
+def _triangle_oracle() -> str:
+    """DuckDB twin: the shared SimHash pair CTEs, then the SAME
+    degree-ordered orientation and wedge-close join as the Spark plan
+    (row-value comparisons keep the total order identical)."""
+    sums, fp = duck_simhash_pieces()
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM toks GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
+  FROM fp, (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+),
+deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT left_id AS doc_id FROM pairs
+    UNION ALL
+    SELECT right_id AS doc_id FROM pairs
+  ) GROUP BY doc_id
+),
+oriented AS (
+  SELECT CASE WHEN (dl.deg, p.left_id) < (dr.deg, p.right_id)
+              THEN p.left_id ELSE p.right_id END AS src,
+         CASE WHEN (dl.deg, p.left_id) < (dr.deg, p.right_id)
+              THEN p.right_id ELSE p.left_id END AS dst
+  FROM pairs p
+  JOIN deg dl ON dl.doc_id = p.left_id
+  JOIN deg dr ON dr.doc_id = p.right_id
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e2.src = e1.dst
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tri_nodes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.deg,
+       COALESCE(t.tri_cnt, 0) AS tri_cnt,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * COALESCE(t.tri_cnt, 0) AS DOUBLE)
+               / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS clust_coeff
+FROM deg d LEFT JOIN tri_nodes t USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+@register("triangle_clustering_coeff", oracle=_triangle_oracle())
+def triangle_clustering_coeff(spark: SparkSession, sf_dir: str,
+                              checkpoint: bool = True) -> DataFrame:
+    """Exact triangle count + local clustering coefficient per node of
+    the SimHash near-dup graph — the densest-neighborhood signal
+    (clust_coeff ~1 at high degree = a template farm whose variants
+    all near-duplicate EACH OTHER, vs a hub of unrelated neighbors).
+
+    The MPC-standard oriented wedge-close algorithm (Suri &
+    Vassilvitskii, WWW 2011): orient every undirected edge from the
+    (degree, id)-smaller endpoint to the larger, join oriented edges
+    dst-to-src to enumerate wedges, and close each wedge with one more
+    join — each triangle is produced exactly once, and the wedge
+    fan-out per vertex is bounded by its OUT-degree under the
+    orientation, O(sqrt(|E|)) for any graph (arboricity bound), so no
+    high-degree hub can explode the join the way naive id-ordering
+    lets it.  All counts are integers; the coefficient is one exact
+    int/int IEEE division — bit-identical cross-engine.
+
+    Scale: two self-joins of the oriented edge list, both key-hashed
+    shuffles; the orientation needs the degree table (one groupBy of
+    the symmetric edges, vertex-sized, reused for the output join).
+    The pair graph is the banded, capped SimHash candidate set —
+    sparse by construction, the same input pagerank_neardup_graph
+    consumes.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("left_id", "right_id")
+    deg = (
+        pairs.select(F.col("left_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("right_id").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    if checkpoint:
+        deg = deg.persist()  # vertex-sized; used by orientation + output
+    try:
+        dl = deg.select(F.col("doc_id").alias("left_id"),
+                        F.col("deg").alias("dl"))
+        dr = deg.select(F.col("doc_id").alias("right_id"),
+                        F.col("deg").alias("dr"))
+        lo_first = (
+            F.struct(F.col("dl"), F.col("left_id"))
+            < F.struct(F.col("dr"), F.col("right_id"))
+        )
+        oriented = (
+            pairs.join(dl, "left_id").join(dr, "right_id")
+            .select(
+                F.when(lo_first, F.col("left_id"))
+                .otherwise(F.col("right_id")).alias("src"),
+                F.when(lo_first, F.col("right_id"))
+                .otherwise(F.col("left_id")).alias("dst"),
+            )
+        )
+        if checkpoint:
+            oriented = oriented.persist()  # edge-sized; joined 3x below
+        try:
+            e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+            e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+            tri = e1.join(e2, "b").join(e3, ["a", "c"])
+            if checkpoint:
+                tri = tri.persist()
+            try:
+                tri_nodes = (
+                    tri.select(F.col("a").alias("doc_id"))
+                    .unionByName(tri.select(F.col("b").alias("doc_id")))
+                    .unionByName(tri.select(F.col("c").alias("doc_id")))
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
+                )
+                tri_cnt = F.coalesce(F.col("tri_cnt"), F.lit(0)).cast("bigint")
+                out = (
+                    deg.join(tri_nodes, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        "deg",
+                        tri_cnt.alias("tri_cnt"),
+                        F.when(
+                            F.col("deg") >= 2,
+                            (F.lit(2) * tri_cnt).cast("double")
+                            / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                        ).otherwise(F.lit(0.0)).alias("clust_coeff"),
+                    )
+                    .orderBy("doc_id")
+                )
+                # checkpoint=False is the plan-inspection seam (the
+                # pagerank convention): leave everything lazy so the
+                # dumped plan shows the real join pipeline.
+                return out.localCheckpoint(eager=True) if checkpoint else out
+            finally:
+                if checkpoint:
+                    tri.unpersist()
+        finally:
+            if checkpoint:
+                oriented.unpersist()
+    finally:
+        if checkpoint:
+            deg.unpersist()

@@ -194,3 +194,78 @@ def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("o_orderkey") % 5 == 0))
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema read across writer generations
+# ---------------------------------------------------------------------------
+
+_EVOLVE_Q_MOD = 997  # integer quality score the v2 writer adds
+
+_EVOLVE_ORACLE = f"""
+WITH unioned AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN doc_id % 2 = 1 THEN n_chars % {_EVOLVE_Q_MOD} END
+           AS quality_fp
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(quality_fp) AS BIGINT) AS n_scored,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(coalesce(sum(quality_fp), 0) AS BIGINT) AS sum_quality
+FROM unioned
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("schema_evolution_merge", oracle=_EVOLVE_ORACLE)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two writer generations, one mergeSchema read — the lakehouse
+    evolution path: the v1 writer never heard of the ``quality_fp``
+    column, the v2 writer emits it, and the reader must surface the
+    union schema with NULLs where the old files are silent.
+
+    The split is deterministic (even doc_ids through the v1 writer,
+    odd through v2 with an integer quality score), so the DuckDB twin
+    recomputes the merged result straight from the truth table — a
+    hash match proves the evolved read is faithful: no dropped column,
+    no misaligned NULLs, no type widening surprises.
+
+    Scale: ``mergeSchema=true`` unions footers at PLANNING time (one
+    pass over file metadata, no data read) — the per-file reads then
+    project the union schema natively; cost is the footer listing, not
+    a data rewrite.  Production evolves tables exactly this way until
+    a compaction (operators/layout.py) rewrites old generations.
+    """
+    out_dir = _io_dir(sf_dir, "evolve")
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    base.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "gen=v1")
+    )
+    (
+        base.filter(F.col("doc_id") % 2 == 1)
+        .withColumn(
+            "quality_fp",
+            (F.col("n_chars") % _EVOLVE_Q_MOD).cast("bigint"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "gen=v2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, "gen=v1"), os.path.join(out_dir, "gen=v2")
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("quality_fp").cast("bigint").alias("n_scored"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.coalesce(F.sum("quality_fp"), F.lit(0)).cast("bigint")
+            .alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )

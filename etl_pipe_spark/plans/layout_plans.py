@@ -228,3 +228,73 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned write + partition-pruned read
+# ---------------------------------------------------------------------------
+
+_PRUNE_DATE = "2024-01-15"
+
+_PRUNE_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '{_PRUNE_DATE}'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("hive_partition_pruning", oracle=_PRUNE_ORACLE)
+def hive_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned write + single-partition read — THE 100 TB
+    lever: a day query against a month of events must list one
+    directory, not scan thirty.
+
+    The write lays events out hive-style (``partitionBy("event_date")``,
+    one directory per day); the read filters on the partition column,
+    which Spark resolves at PLANNING time against the directory
+    listing — the scan's PartitionFilters prune 29/30 days before a
+    single row is read (pinned by tests/test_physical_plans.py; the
+    zorder op is the complementary WITHIN-file skipping story).  The
+    DuckDB twin computes the same day straight from the truth table,
+    so a hash match proves the partition round trip loses and
+    duplicates nothing at the boundary (midnight rows land on the
+    right side — both engines derive the date from the same UTC
+    timestamp).
+
+    Scale: the write shuffles by partition value only via the dynamic
+    partition insert; the read is listing + one partition's files.
+    value goes through the money/dsum recipe for bit-stable sums.
+    """
+    from ..functions.parity import dsum, money
+    from .ingest_plans import _io_dir
+
+    out_dir = _io_dir(sf_dir, "hive_events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    (
+        ev.repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out_dir)
+    )
+    day = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_date") == F.lit(_PRUNE_DATE).cast("date"))
+    )
+    return (
+        day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            dsum(money(F.col("value"))).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -442,3 +442,27 @@ def test_nfc_normalize_is_single_map_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "unicode_nfc_normalize")
     assert "MapInPandas" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_hive_read_prunes_partitions(spark, sf_dir):
+    # the day filter must resolve against the directory listing —
+    # PartitionFilters on the scan, nothing left in PushedFilters/Filter
+    plan = _plan(spark, sf_dir, "hive_partition_pruning")
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    assert "2024-01-15" in plan
+
+
+def test_triangle_joins_are_hash_not_allpairs(spark, sf_dir):
+    # wedge-build and wedge-close must be key-hashed joins of the
+    # oriented edge list — any nested-loop shape means the orientation
+    # stopped bounding the fan-out.  checkpoint=False is the
+    # inspection seam: the registered query returns an eager
+    # localCheckpoint whose plan is just the checkpoint scan.
+    from etl_pipe_spark.plans.graph_plans import triangle_clustering_coeff
+
+    df = triangle_clustering_coeff(spark, sf_dir, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the wedge joins are real joins in the lazy plan
+    assert plan.count("Join") >= 3
