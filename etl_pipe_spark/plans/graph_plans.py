@@ -211,32 +211,26 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
 # ---------------------------------------------------------------------------
 
 def _triangle_oracle() -> str:
-    """DuckDB twin: the shared SimHash pair CTEs, then the SAME
-    degree-ordered orientation and wedge-close join as the Spark plan
-    (row-value comparisons keep the total order identical)."""
-    sums, fp = duck_simhash_pieces()
-    return f"""WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-  FROM documents
-),
-sums AS (
-  SELECT doc_id,
-    {sums}
-  FROM toks GROUP BY doc_id
-),
-fp AS (
-  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
-),
-bands AS (
-  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
-  FROM fp, (SELECT unnest(range(0, 4)) AS band) b
-),
-pairs AS (
+    """DuckDB twin: the shared MinHash-LSH + exact-Jaccard pair CTEs
+    (single-sourced from dedup_plans so a banding change reaches this
+    oracle too), then the SAME degree-ordered orientation and
+    wedge-close join as the Spark plan (row-value comparisons keep the
+    total order identical)."""
+    from .dedup_plans import _duck_sig_bands_cte, _JACCARD_TAIL, _SHINGLE_CTE
+
+    return f"""WITH {_SHINGLE_CTE},
+{_duck_sig_bands_cte()},
+cand AS (
   SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
   FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+),
+{_JACCARD_TAIL},
+pairs AS (
+  SELECT c.left_id, c.right_id
+  FROM cand c JOIN jac j ON j.left_id = c.left_id AND j.right_id = c.right_id
+  WHERE j.jaccard >= 0.5
 ),
 deg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
@@ -300,11 +294,27 @@ def triangle_clustering_coeff(spark: SparkSession, sf_dir: str,
     Scale: two self-joins of the oriented edge list, both key-hashed
     shuffles; the orientation needs the degree table (one groupBy of
     the symmetric edges, vertex-sized, reused for the output join).
-    The pair graph is the banded, capped SimHash candidate set —
-    sparse by construction, the same input pagerank_neardup_graph
-    consumes.
+
+    The edge set is the VERIFIED near-dup graph (MinHash-LSH
+    candidates that passed the exact-Jaccard >= 0.5 check), not the
+    raw candidate graph: triangle density only means something when an
+    edge means real near-duplication, and the verified graph is sparse
+    by construction (at sf0.1 the SimHash candidate set is ~913k edges
+    over 5k docs — a 32-bit-fingerprint artifact of the synthetic
+    corpus — while the verified graph is ~256 edges; wedge work is
+    quadratic in degree, so the candidate graph would cost ~3e8 wedges
+    for zero extra signal).  pagerank stays on the broader candidate
+    graph deliberately — its per-iteration cost is LINEAR in |E|.
     """
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("left_id", "right_id")
+    from .dedup_plans import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("left_id", "right_id")
+    if checkpoint:
+        # The verified pair list is edge-sized (true near-dups only)
+        # but its LINEAGE is the whole MinHash pipeline — persist it
+        # first so degree build + orientation read the cached edges
+        # instead of re-running signatures/banding/verification.
+        pairs = pairs.localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("left_id").alias("doc_id"))
         .unionByName(pairs.select(F.col("right_id").alias("doc_id")))
