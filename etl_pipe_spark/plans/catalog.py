@@ -49,7 +49,7 @@ _PLAN_MODULES = (
     "pandas_ops", "curation_pipeline", "corpus_plans", "corpus_plans2",
     "layout_plans", "profiling_plans", "ingest_plans", "maintenance_plans",
     "selection_plans", "graph_plans", "joinopt_plans", "corpus_plans3",
-    "timeseries_plans",
+    "timeseries_plans", "funnel_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -90,6 +90,12 @@ _PLAN_MODULES = (
 # row-level coverage in docs/CORRECTNESS_local_r{N}.json, and an
 # in-window family representative (noted per line).
 _DEMOTED = (
+    # --- rotated out end-r6 (slots yielded to event_funnel_conversion
+    # — ordered-sequence funnel analytics — and
+    # mmr_diversified_retrieval — greedy MMR re-ranking of the BM25
+    # shortlist; first driver rows both) ---
+    "embedding_gram_matrix",     # green r5; the blocked-gram numeric kernel stays hard-checked in-window via kmeans_fit_clusters + logreg_quality_fit (same fused integer partial-agg recipe) and the sq8/ann mapInArrow kernels; NOTE: pca_top_component's demotion cited this query as its in-window cover — the linalg family's hard-signal reps are now kmeans/logreg/sq8, and both gram + pca keep local-artifact rows
+    "bloom_incremental_filter",  # green r5; sketch family keeps cms_heavy_hitters in-window (point-frequency member); incremental exact-dedup keeps streaming_dedup_watermark + incremental_neardup_lsh in-window; the filter contract stays pinned by tests/test_bloom.py + the local artifact
     # --- rotated out end-r6 (slots yielded to the session's THREE new
     # ops — timeseries_gapfill / weighted_priority_sample /
     # unicode_nfc_normalize, first driver rows; same convention as

@@ -31,11 +31,23 @@ iteration anywhere.
 
 from __future__ import annotations
 
+import sys
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from ..sources.catalog import load_table
 from .catalog import register
+
+try:
+    from pyspark import cloudpickle as _cp
+except ImportError:  # pragma: no cover
+    import cloudpickle as _cp
+# the cogrouped-map MMR kernel must pickle by value (the pandas_ops
+# convention) so workers never need this module importable
+_cp.register_pickle_by_value(sys.modules[__name__])
 
 SPAN_WORDS = 3      # span width; stands in for "line" on newline-free corpora
 BOILER_MIN_DF = 3   # spans seen in >= this many distinct docs are boilerplate
@@ -400,3 +412,191 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str,
         return out.localCheckpoint(eager=True) if checkpoint else out
     finally:
         matched.unpersist()
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval (Carbonell & Goldstein 1998) on the BM25
+# shortlist: relevance-ranked but redundancy-penalized top-k — the
+# "relevant AND non-duplicative examples" selection a training-data
+# pipeline wants when near-dup docs crowd a query's result list.
+# --------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7   # relevance weight; (1 - lambda) penalizes redundancy
+_MMR_K = 5          # diversified picks per query
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: the BM25 oracle runs as a nested
+    CTE (single source — a scoring change reaches this oracle too),
+    pairwise token-set Jaccard over the shortlist, then _MMR_K
+    mechanical (candidates, pick, selected) CTE triples mirroring the
+    Spark loop's arithmetic exactly."""
+    lam, div = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    parts = [f"""WITH bm AS ({_BM25_ORACLE}),
+tsets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM bm)
+),
+sim AS (
+  SELECT x.query_id, x.doc_id AS cand_id, y.doc_id AS sel_id,
+         CAST(len(list_intersect(tx.t, ty.t)) AS DOUBLE)
+           / CAST(len(tx.t) + len(ty.t) - len(list_intersect(tx.t, ty.t))
+                  AS DOUBLE) AS jac
+  FROM bm x
+  JOIN bm y ON y.query_id = x.query_id AND y.doc_id != x.doc_id
+  JOIN tsets tx ON tx.doc_id = x.doc_id
+  JOIN tsets ty ON ty.doc_id = y.doc_id
+),
+sel1 AS (
+  SELECT query_id, doc_id, score, 1 AS sel_rank,
+         CAST(score AS DOUBLE) AS mmr
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM bm)
+  WHERE rn = 1
+)"""]
+    prev = "sel1"
+    for k in range(2, _MMR_K + 1):
+        parts.append(f""", cand{k} AS (
+  SELECT b.query_id, b.doc_id, b.score,
+         {lam} * b.score - {div} * max(s.jac) AS mmr
+  FROM bm b
+  LEFT JOIN {prev} dup
+    ON dup.query_id = b.query_id AND dup.doc_id = b.doc_id
+  JOIN sim s ON s.query_id = b.query_id AND s.cand_id = b.doc_id
+  JOIN {prev} p ON p.query_id = s.query_id AND p.doc_id = s.sel_id
+  WHERE dup.doc_id IS NULL
+  GROUP BY b.query_id, b.doc_id, b.score
+), pick{k} AS (
+  SELECT query_id, doc_id, score, {k} AS sel_rank, mmr
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY mmr DESC, doc_id) AS rn
+        FROM cand{k})
+  WHERE rn = 1
+), sel{k} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM pick{k}
+)""")
+        prev = f"sel{k}"
+    parts.append(f"""
+SELECT query_id, CAST(sel_rank AS BIGINT) AS sel_rank, doc_id,
+       score AS relevance, mmr AS mmr_score
+FROM {prev}
+ORDER BY query_id, sel_rank""")
+    return "".join(parts)
+
+
+@register("mmr_diversified_retrieval", oracle=_mmr_oracle())
+def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal-marginal-relevance re-ranking of the BM25 top-k:
+    pick the most relevant doc, then repeatedly the doc maximizing
+    lambda*relevance - (1-lambda)*max_jaccard_to_selected.
+
+    Exactness composition: relevance is bm25_retrieval's 4dp-rounded
+    score (its own hash-green recipe); redundancy is token-set Jaccard
+    — an int/int IEEE division computed JVM-side; the greedy loop runs
+    in float64 on those bit-identical inputs (two multiplies, a
+    subtract, a max — each correctly rounded, so identical in Python
+    and DuckDB), and every argmax tie-breaks by doc_id.  The oracle
+    unrolls the K-step loop as generated CTE triples, the pagerank
+    convention.
+
+    Scale: MMR is a POST-RETRIEVAL operator — its input is the
+    (queries x k) shortlist, never the corpus.  The corpus-sized work
+    (postings, df, BM25 scoring) happens once in bm25_retrieval, which
+    checkpoints its k-row output; the pairwise-similarity table is
+    (queries x k^2) rows.  The greedy selection itself is a
+    cogroup().applyInPandas over query_id — each group is one query's
+    k scores + k^2 sims (bounded by construction, k=10 here), so the
+    loop is embarrassingly parallel across queries with ONE shuffle
+    and no per-step driver round trips; a million-query batch costs a
+    million tiny groups, not a million Spark jobs.  (This is the
+    grouped-map sibling of pandas_group_zscore and completes the
+    Arrow surface matrix with the COGROUPED shape.)
+    """
+    short = bm25_retrieval(spark, sf_dir).select("query_id", "doc_id", "score")
+    tsets = (
+        load_table(spark, sf_dir, "documents")
+        .join(short.select("doc_id").distinct(), "doc_id")
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
+    )
+    tx = tsets.select(F.col("doc_id").alias("cand_id"), F.col("t").alias("tc"))
+    ty = tsets.select(F.col("doc_id").alias("sel_id"), F.col("t").alias("ts"))
+    x = short.select("query_id", F.col("doc_id").alias("cand_id"))
+    y = short.select("query_id", F.col("doc_id").alias("sel_id"))
+    n_common = F.size(F.array_intersect(F.col("tc"), F.col("ts")))
+    sims = (
+        x.join(y, "query_id")
+        .filter(F.col("cand_id") != F.col("sel_id"))
+        .join(tx, "cand_id").join(ty, "sel_id")
+        .select(
+            "query_id", "cand_id", "sel_id",
+            (
+                n_common.cast("double")
+                / (F.size("tc") + F.size("ts") - n_common).cast("double")
+            ).alias("jac"),
+        )
+        # (queries x k^2) rows; the checkpoint also severs the shared
+        # lineage with `short` so the cogroup isn't an ambiguous
+        # self-join of the same shortlist scan
+        .localCheckpoint(eager=True)
+    )
+    out_schema = (
+        "query_id long, sel_rank long, doc_id long, "
+        "relevance double, mmr_score double"
+    )
+    selected = (
+        short.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(_mmr_greedy, out_schema)
+    )
+    return selected.orderBy("query_id", "sel_rank")
+
+
+def _mmr_greedy(scores: pd.DataFrame, sims: pd.DataFrame) -> pd.DataFrame:
+    """One query's greedy MMR trajectory (k rows in, K rows out).
+
+    Pure float64 on inputs the JVM side already made bit-identical to
+    the oracle's; argmax scans in doc_id order with a strict > so ties
+    resolve to the smallest doc_id, matching the oracle's
+    row_number(ORDER BY mmr DESC, doc_id).
+    """
+    if scores.empty:
+        return pd.DataFrame(
+            columns=["query_id", "sel_rank", "doc_id", "relevance",
+                     "mmr_score"])
+    lam = _MMR_LAMBDA
+    div = round(1 - _MMR_LAMBDA, 10)
+    qid = int(scores["query_id"].iloc[0])
+    cand = scores.sort_values("doc_id")
+    rel = dict(zip(cand["doc_id"].astype(int), cand["score"].astype(float)))
+    jac: dict[tuple[int, int], float] = {
+        (int(c), int(s)): float(j)
+        for c, s, j in zip(sims["cand_id"], sims["sel_id"], sims["jac"])
+    }
+    picked: list[tuple[int, float, float]] = []  # (doc, rel, mmr)
+    remaining = sorted(rel)
+    # first pick: plain relevance argmax (strict > => smallest doc wins ties)
+    best, best_v = None, None
+    for d in remaining:
+        if best_v is None or rel[d] > best_v:
+            best, best_v = d, rel[d]
+    picked.append((best, rel[best], float(rel[best])))
+    remaining.remove(best)
+    while remaining and len(picked) < _MMR_K:
+        best, best_v = None, None
+        for d in remaining:
+            msim = max(jac[(d, p)] for p, _, _ in picked)
+            v = lam * rel[d] - div * msim
+            if best_v is None or v > best_v:
+                best, best_v = d, v
+        picked.append((best, rel[best], best_v))
+        remaining.remove(best)
+    return pd.DataFrame(
+        {
+            "query_id": [qid] * len(picked),
+            "sel_rank": range(1, len(picked) + 1),
+            "doc_id": [p[0] for p in picked],
+            "relevance": [p[1] for p in picked],
+            "mmr_score": [p[2] for p in picked],
+        }
+    )

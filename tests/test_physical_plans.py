@@ -466,3 +466,12 @@ def test_triangle_joins_are_hash_not_allpairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the wedge joins are real joins in the lazy plan
     assert plan.count("Join") >= 3
+
+
+def test_funnel_stages_partial_aggregate_before_shuffle(spark, sf_dir):
+    # each funnel stage must collapse to one row per user map-side
+    # (partial min) before its exchange, and only user_id/ts/type may
+    # survive the scan projection
+    plan = _plan(spark, sf_dir, "event_funnel_conversion")
+    assert "partial_min" in plan or "partial" in plan.lower()
+    assert "props" not in plan and "event_id" not in plan
