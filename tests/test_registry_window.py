@@ -68,8 +68,10 @@ FLAGSHIPS = [
     # (most expensive registry query — two full IVF passes by design);
     # covered in-window by ann_ivf_scaled + kmeans_fit_clusters.
     # Round-5: the high-diameter star-contraction components algorithm
-    # under driver check on the SimHash pair graph (first driver row).
-    "dedup_clusters_star",
+    # (green r5) rotated out end-r6 — slot yielded to
+    # triangle_clustering_coeff; pagerank + triangle keep the
+    # pair-graph family in-window, star contraction stays pinned by
+    # tests/test_clusters.py.
     # Round-5: product-quantized ANN (IVFADC's compressed-index leg)
     # with exact codebook/code/ranking oracle + reconstruction bound,
     # and the fused-Lloyd codebook fit under invariant-boolean check.
@@ -88,8 +90,11 @@ FLAGSHIPS = [
     # boilerplate removal and token-budget curriculum selection
     # (first driver rows; tpch_q10 / json_flatten_props yielded after
     # four green driver rounds each).
-    "boilerplate_span_removal",
-    "token_budget_selection",
+    # boilerplate_span_removal / token_budget_selection (green r5)
+    # rotated out end-r6 — slots yielded to schema_evolution_merge and
+    # the session trio; substring_dedup_windows (span windows),
+    # dsir/temperature/domain-cap (selection), and
+    # exact_global_quantiles (two-phase rank) hold their families.
     # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
     # rotated out after TWO green driver rounds; each category keeps an
     # in-window representative (dedup_simhash, semantic_dedup, the
@@ -103,14 +108,20 @@ FLAGSHIPS = [
     # corpus_shuffle_shards rotated out late-r6 after its green r5 row
     # (train_test_split_hash carries the portable key-hash order
     # in-window; length_bucket_batching the packing shape).
-    "vocab_top_coverage",
-    "unigram_logprob_quality",
-    "embedding_gram_matrix",
+    # vocab_top_coverage / unigram_logprob_quality /
+    # embedding_gram_matrix (green r5) rotated out end-r6 — slots
+    # yielded to the session's new ops; bpe_encode_vocab (subword
+    # vocab + frequencies), bigram_backoff_quality + logreg_quality_fit
+    # (LM-quality family), and kmeans/logreg/sq8 (numeric kernels)
+    # hold their families in-window.
     # Bloom incremental-dedup index (build = bit_or OR-reduce, probe =
     # broadcast join) under the invariant-boolean oracle; topk_per_group
     # yielded after four green driver rounds (window ranking covered by
     # tpch_q20 / scd2_version_chain / token_budget_selection in-window).
-    "bloom_incremental_filter",
+    # bloom_incremental_filter (green r5) rotated out end-r6 — slot
+    # yielded to mmr_diversified_retrieval; cms_heavy_hitters keeps
+    # the sketch family, streaming_dedup_watermark +
+    # incremental_neardup_lsh the incremental-dedup family.
     # Late-r5: end-to-end distributed PCA (gram partials -> driver
     # dim x dim eigh -> projection pass) under the invariant-boolean
     # oracle; coercion_kitchen_sink yielded after four green driver
@@ -127,7 +138,10 @@ FLAGSHIPS = [
     # the per-bin prunability audit, and length-bucketed batching with
     # exact padding-waste accounting; dedup_clusters / semantic_dedup
     # yielded under the superset convention (notes above).
-    "zorder_layout_skipping",
+    # zorder_layout_skipping (green r5) rotated out end-r6 — slot
+    # yielded to hive_partition_pruning (directory-level pruning, the
+    # coarser lever); within-file skipping stays pinned by
+    # tests/test_layout.py.
     "length_bucket_batching",
     # Round-6: every never-driver-checked registration promoted — the
     # combined IVFADC pair (the r5 flagship production paths), the
@@ -208,6 +222,23 @@ FLAGSHIPS = [
     # map-side nested-transform pair generation (no positional
     # self-join), marginals joined AFTER the top-K cut.
     "cooccurrence_pmi",
+    # End-r6 NEW (this session): the pipeline-breadth batch — hourly
+    # gap-fill resample with LOCF, Duffield-Lund-Thorup priority
+    # sampling, Arrow-batched NFC normalization vs utf8proc,
+    # degree-oriented triangle counting + clustering coefficient on
+    # the VERIFIED near-dup graph, mergeSchema evolution read,
+    # hive-partitioned write + planning-time pruning, the ordered
+    # view->click->purchase funnel, and greedy MMR re-ranking of the
+    # BM25 shortlist via the cogrouped Arrow shape (first driver rows
+    # all eight).
+    "timeseries_gapfill",
+    "weighted_priority_sample",
+    "unicode_nfc_normalize",
+    "triangle_clustering_coeff",
+    "schema_evolution_merge",
+    "hive_partition_pruning",
+    "event_funnel_conversion",
+    "mmr_diversified_retrieval",
 ]
 
 

@@ -331,6 +331,92 @@ def round6b_sweep(scales: list[int]) -> None:
         print(f'{r["n_docs"]:7d} (x{k:.0f} docs): {ratios}')
 
 
+def gen_events(n: int, seed: int = 13) -> str:
+    """Synthetic 30-day event stream at n rows (~n/67 users, the
+    testdata ratio).  Deterministic; written once per size."""
+    out_dir = os.path.join(OUT_ROOT, f"ev{n}")
+    path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    users = max(1, n // 67)
+    base = np.datetime64("2024-01-01T00:00:00.000000")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = base + rng.integers(0, span_us, size=n).astype("timedelta64[us]")
+    ts.sort()
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(rng.integers(0, users, size=n).astype(np.int64)),
+        "event_type": pa.array(types[rng.integers(0, 5, size=n)]),
+        "value": pa.array(np.round(rng.uniform(0, 100, size=n), 2)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, path)
+    return out_dir
+
+
+def session6c_sweep(scales: list[int]) -> None:
+    """Scale the end-of-round-6 additions.
+
+    Events trio on synthetic 30-day streams (gen_events):
+    timeseries_gapfill's spine is span-hours x users and its rollup is
+    map-side partial — wall must track users, not events;
+    event_funnel_conversion is three co-partitioned user aggregates —
+    linear in events; hive_partition_pruning pays the partitioned
+    WRITE (the read prunes 29/30 days regardless of size).
+
+    Docs trio on the boilerplate corpus (gen_corpus, 1% near-dup
+    tail): unicode_nfc_normalize is one shuffle-free Arrow map pass;
+    weighted_priority_sample is TakeOrdered (k-row heaps); triangle_
+    clustering_coeff's wedge work is bounded by the VERIFIED near-dup
+    graph (~n/100 edges from the clone tail), so the MinHash pipeline
+    dominates and wall must track the dedup family's.
+    """
+    import gc as _gc
+    import time as _t
+
+    from etl_pipe_spark.plans.catalog import queries
+    from etl_pipe_spark.session import get_spark
+
+    spark = get_spark("session6c-scaling")
+    qs = queries()
+    ev_names = ("timeseries_gapfill", "event_funnel_conversion",
+                "hive_partition_pruning")
+    doc_names = ("unicode_nfc_normalize", "weighted_priority_sample",
+                 "triangle_clustering_coeff")
+    results = []
+    for n in scales:
+        ev_dir = gen_events(n)
+        doc_dir = gen_corpus(max(n // 20, 5000))  # events:docs ~ testdata ratio
+        row: dict = {"n_events": n, "n_docs": max(n // 20, 5000)}
+        for name, sf_dir in [(x, ev_dir) for x in ev_names] + [
+                (x, doc_dir) for x in doc_names]:
+            best = None
+            for _ in range(2):
+                t0 = _t.time()
+                cnt = qs[name](spark, sf_dir).count()
+                el = _t.time() - t0
+                best = el if best is None else min(best, el)
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+            row[name] = round(best, 2)
+            row[f"{name}_rows"] = cnt
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    base = results[0]
+    print("\nscaling ratios vs first row:")
+    for r in results:
+        k = r["n_events"] / base["n_events"]
+        ratios = " ".join(
+            f"{name}={r[name] / max(base[name], 0.01):.1f}x"
+            for name in ev_names + doc_names
+        )
+        print(f'{r["n_events"]:9d} (x{k:.0f} events): {ratios}')
+
+
 def vector_sweep(scales: list[int], families: list[str]) -> None:
     """Time the production vector paths at each scale; one JSON row per
     scale.  kmeans_fit reports time-to-converge (k=16 matching the
@@ -472,7 +558,14 @@ def main() -> None:
     ap.add_argument("--round6b-scales", default=None,
                     help="run ONLY the late-r6 sweep (pagerank/bpe/dsir/"
                          "temperature/quantiles) at these sizes")
+    ap.add_argument("--session6c-scales", default=None,
+                    help="run ONLY the end-r6 sweep (gapfill/funnel/hive/"
+                         "nfc/priority-sample/triangle) at these EVENT "
+                         "counts (docs = events/20)")
     args = ap.parse_args()
+    if args.session6c_scales:
+        session6c_sweep([int(s) for s in args.session6c_scales.split(",")])
+        return
     if args.round6b_scales:
         round6b_sweep([int(s) for s in args.round6b_scales.split(",")])
         return
