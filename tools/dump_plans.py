@@ -119,6 +119,21 @@ EXTRA_PLANS = [
     "bloom_join_pruning",
     "exact_global_quantiles",
     "cooccurrence_pmi",
+    # end-r6 session additions: gap-fill (distributed sequence spine +
+    # per-key LOCF window), priority sample (TakeOrderedAndProject),
+    # NFC (single MapInPandas pass), schema evolution (mergeSchema
+    # union scan), hive pruning (PartitionFilters on the day read),
+    # funnel (partial-min cascade), MMR (cogrouped Arrow greedy over
+    # the checkpointed shortlist).  triangle_clustering_coeff is added
+    # via its checkpoint=False seam below.
+    "timeseries_gapfill",
+    "weighted_priority_sample",
+    "unicode_nfc_normalize",
+    "schema_evolution_merge",
+    "hive_partition_pruning",
+    "event_funnel_conversion",
+    "mmr_diversified_retrieval",
+    "triangle_clustering_coeff",
 ]
 # bpe_train_merges / bpe_encode_vocab are omitted like
 # kmeans_fit_clusters: both run the 8-round merge loop (one 1-row
@@ -166,6 +181,9 @@ def main() -> None:
         from etl_pipe_spark.plans.corpus_plans3 import cooccurrence_pmi
         lazy_forms["cooccurrence_pmi"] = (
             lambda s, d: cooccurrence_pmi(s, d, checkpoint=False))
+        from etl_pipe_spark.plans.graph_plans import triangle_clustering_coeff
+        lazy_forms["triangle_clustering_coeff"] = (
+            lambda s, d: triangle_clustering_coeff(s, d, checkpoint=False))
         for name in HEADLINE + [n for n in EXTRA_PLANS if n not in HEADLINE]:
             df = lazy_forms.get(name, qs[name])(spark, SF_DIR)
             buf = io.StringIO()
