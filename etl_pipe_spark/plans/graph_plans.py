@@ -41,9 +41,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.dedup import duck_simhash_pieces
 from ..sources.catalog import load_table
 from .catalog import register
-from .text_plans2 import dedup_simhash_pairs
 
 PR_ITERS = 8            # power iterations (unrolled in the oracle)
+PR_BUCKET_CAP = 64      # LSH hot-bucket drop: band buckets larger than
+                        # this are template-farm artifacts, not edges —
+                        # the same df-cap stance as jaccard_pairs_capped
+                        # (at the synthetic sf0.1 the uncapped band
+                        # graph is a 913k-edge near-clique; the cap
+                        # keeps candidate pairs ~90k with identical
+                        # semantics on real sparse corpora)
 PR_UNIT = 10**12        # fixed-point rank unit
 PR_DAMP_NUM = 85        # damping 0.85 as an integer ratio
 PR_DAMP_DEN = 100
@@ -52,7 +58,8 @@ _HAMMING_MAX = 6        # same near-dup threshold as dedup_simhash_pairs
 
 def _pagerank_oracle() -> str:
     """Generate the unrolled-iteration DuckDB twin: the SimHash pair
-    CTEs (shared with dedup_simhash_pairs), symmetric edges + degrees,
+    CTEs (dedup_simhash_pairs' shape + the hot-bucket HAVING),
+    symmetric edges + degrees,
     then PR_ITERS mechanical (contribution, rank) CTE pairs in the
     same all-integer arithmetic as the Spark loop."""
     sums, fp = duck_simhash_pieces()
@@ -72,10 +79,18 @@ bands AS (
   SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
   FROM fp, (SELECT unnest(range(0, 4)) AS band) b
 ),
+kept AS (
+  SELECT band, band_val FROM bands
+  GROUP BY band, band_val HAVING count(*) <= {PR_BUCKET_CAP}
+),
+cold AS (
+  SELECT bd.* FROM bands bd JOIN kept k
+    ON k.band = bd.band AND k.band_val = bd.band_val
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+  FROM cold a
+  JOIN cold b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 ),
@@ -119,6 +134,57 @@ ORDER BY r.doc_id""")
     return "".join(parts)
 
 
+def _capped_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band candidates with the hot-bucket drop, hamming-
+    verified — the production edge set for graph analytics.
+
+    Identical to dedup_simhash_pairs except band buckets holding more
+    than PR_BUCKET_CAP fingerprints are dropped BEFORE pairing (one
+    count aggregate + a bucket-key join), the standard LSH hot-bucket
+    guard: a bucket of size m costs m^2/2 candidates, so one
+    boilerplate byte-value would otherwise dominate the edge list and
+    every PageRank iteration.  The oracle applies the same HAVING."""
+    from ..operators.dedup import simhash
+    from ..operators.layout import spread_for_compute
+
+    docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
+    # The fingerprint table is vertex-sized (doc_id, simhash) but its
+    # lineage is the full tokenize+32-bit-vote expression; checkpoint
+    # it ONCE so the bucket-count branch and both self-join sides read
+    # the cached 8-byte rows instead of re-deriving the fingerprints
+    # (without this the expression runs 4x: kept + cold a/b sides).
+    fp = simhash(docs).localCheckpoint(eager=True)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
+    kept = (
+        bands.groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") <= PR_BUCKET_CAP)
+        .select("band", "band_val")
+    )
+    cold = bands.join(kept, ["band", "band_val"])
+    a, b = cold.alias("a"), cold.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            F.col("a.simhash").alias("left_hash"),
+            F.col("b.simhash").alias("right_hash"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("left_hash").bitwiseXOR(F.col("right_hash")))
+    return (
+        cand.filter(hamming <= _HAMMING_MAX)
+        .select("left_id", "right_id")
+    )
+
+
 @register("pagerank_neardup_graph", oracle=_pagerank_oracle())
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
                            checkpoint: bool = True,
@@ -138,7 +204,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
     truncate in real execution and is not the executed shape).
     """
     verts = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("left_id", "right_id")
+    pairs = _capped_simhash_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     ).unionByName(pairs.select(
