@@ -134,57 +134,6 @@ ORDER BY r.doc_id""")
     return "".join(parts)
 
 
-def _capped_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash band candidates with the hot-bucket drop, hamming-
-    verified — the production edge set for graph analytics.
-
-    Identical to dedup_simhash_pairs except band buckets holding more
-    than PR_BUCKET_CAP fingerprints are dropped BEFORE pairing (one
-    count aggregate + a bucket-key join), the standard LSH hot-bucket
-    guard: a bucket of size m costs m^2/2 candidates, so one
-    boilerplate byte-value would otherwise dominate the edge list and
-    every PageRank iteration.  The oracle applies the same HAVING."""
-    from ..operators.dedup import simhash
-    from ..operators.layout import spread_for_compute
-
-    docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
-    # The fingerprint table is vertex-sized (doc_id, simhash) but its
-    # lineage is the full tokenize+32-bit-vote expression; checkpoint
-    # it ONCE so the bucket-count branch and both self-join sides read
-    # the cached 8-byte rows instead of re-deriving the fingerprints
-    # (without this the expression runs 4x: kept + cold a/b sides).
-    fp = simhash(docs).localCheckpoint(eager=True)
-    bands = fp.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
-    ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
-    kept = (
-        bands.groupBy("band", "band_val")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") <= PR_BUCKET_CAP)
-        .select("band", "band_val")
-    )
-    cold = bands.join(kept, ["band", "band_val"])
-    a, b = cold.alias("a"), cold.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("left_id"),
-            F.col("b.doc_id").alias("right_id"),
-            F.col("a.simhash").alias("left_hash"),
-            F.col("b.simhash").alias("right_hash"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("left_hash").bitwiseXOR(F.col("right_hash")))
-    return (
-        cand.filter(hamming <= _HAMMING_MAX)
-        .select("left_id", "right_id")
-    )
-
-
 @register("pagerank_neardup_graph", oracle=_pagerank_oracle())
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
                            checkpoint: bool = True,
@@ -203,8 +152,12 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
     plan textually unrolls the lineage that caching+checkpointing
     truncate in real execution and is not the executed shape).
     """
+    from .text_plans2 import dedup_simhash_pairs
+
     verts = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = _capped_simhash_pairs(spark, sf_dir)
+    pairs = dedup_simhash_pairs(
+        spark, sf_dir, bucket_cap=PR_BUCKET_CAP, checkpoint=checkpoint
+    ).select("left_id", "right_id")
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     ).unionByName(pairs.select(

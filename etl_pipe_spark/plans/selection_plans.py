@@ -478,7 +478,7 @@ WITH prio AS (
   SELECT doc_id,
          CAST(n_chars AS BIGINT) AS weight,
          CAST(((doc_id + 1) * {_KNUTH}) % {_MOD32} AS DOUBLE)
-           / CAST(n_chars AS DOUBLE) AS priority
+           / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
   FROM documents
 )
 SELECT doc_id, weight, priority
@@ -511,9 +511,13 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota machinery (temperature_mixture_select) kicks in.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # greatest(w, 1): a zero-weight row would divide by zero, where
+    # Spark's non-ANSI division yields NULL (sorts first) but DuckDB
+    # yields +inf (sorts last) — the one input that can split the
+    # engines.  Clamping in BOTH keeps the draw total and identical.
     priority = (
         ((F.col("doc_id") + 1) * F.lit(_KNUTH)) % F.lit(_MOD32)
-    ).cast("double") / F.col("n_chars").cast("double")
+    ).cast("double") / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     return (
         docs.select(
             "doc_id",

@@ -58,20 +58,44 @@ _sums, _fp = duck_simhash_pieces()
 
 
 @register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE.format(sums=_sums, fp=_fp))
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str,
+                        bucket_cap: int | None = None,
+                        checkpoint: bool = True) -> DataFrame:
     """SimHash near-dup pairs: byte-band candidates, hamming <= 6 verify.
 
     The 32-bit fingerprint splits into 4 byte bands; docs agreeing on
     any band become candidates (pigeonhole: hamming <= 6 over 4 bands
     guarantees at least one untouched band... for <= 3; <= 6 trades a
     little recall for candidate volume), then exact popcount verifies.
+
+    ``bucket_cap``: optional LSH hot-bucket guard — band buckets
+    holding more than this many fingerprints are dropped BEFORE
+    pairing (a bucket of size m costs m^2/2 candidates, so one
+    boilerplate byte-value would otherwise dominate the edge list).
+    PageRank's production edge set passes PR_BUCKET_CAP here; its
+    DuckDB oracle applies the same HAVING.  When a cap is active the
+    vertex-sized fingerprint table is checkpointed once (checkpoint
+    permitting) so the tokenize+vote expression isn't re-derived per
+    join branch (bucket counts + both self-join sides = 4x otherwise).
+    ``checkpoint=False`` is the plan-inspection seam: fully lazy, no
+    jobs at construction time.
     """
     docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
     fp = simhash(docs)
+    if bucket_cap is not None and checkpoint:
+        fp = fp.localCheckpoint(eager=True)
     bands = fp.select(
         "doc_id", "simhash",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
     ).withColumn("band_val", F.expr("(simhash >> (band * 8)) & 255"))
+    if bucket_cap is not None:
+        kept = (
+            bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") <= bucket_cap)
+            .select("band", "band_val")
+        )
+        bands = bands.join(kept, ["band", "band_val"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

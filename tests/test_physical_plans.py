@@ -432,7 +432,7 @@ def test_gapfill_spine_is_distributed_generate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "timeseries_gapfill")
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "partial_count" in plan and "partial_min" in plan
 
 
 def test_nfc_normalize_is_single_map_pass(spark, sf_dir):
@@ -473,5 +473,5 @@ def test_funnel_stages_partial_aggregate_before_shuffle(spark, sf_dir):
     # (partial min) before its exchange, and only user_id/ts/type may
     # survive the scan projection
     plan = _plan(spark, sf_dir, "event_funnel_conversion")
-    assert "partial_min" in plan or "partial" in plan.lower()
+    assert plan.count("partial_min") >= 3  # one map-side min per stage
     assert "props" not in plan and "event_id" not in plan

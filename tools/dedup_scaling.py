@@ -407,14 +407,18 @@ def session6c_sweep(scales: list[int]) -> None:
         results.append(row)
         print(json.dumps(row), flush=True)
     base = results[0]
-    print("\nscaling ratios vs first row:")
+    print("\nscaling ratios vs first row (doc ops keyed to n_docs — "
+          "the doc corpus is clamped at 5k below 100k events, so "
+          "event-keyed ratios there would fake 1.0x linearity):")
     for r in results:
-        k = r["n_events"] / base["n_events"]
-        ratios = " ".join(
-            f"{name}={r[name] / max(base[name], 0.01):.1f}x"
-            for name in ev_names + doc_names
-        )
-        print(f'{r["n_events"]:9d} (x{k:.0f} events): {ratios}')
+        ke = r["n_events"] / base["n_events"]
+        kd = r["n_docs"] / base["n_docs"]
+        ev_r = " ".join(f"{n}={r[n] / max(base[n], 0.01):.1f}x"
+                        for n in ev_names)
+        doc_r = " ".join(f"{n}={r[n] / max(base[n], 0.01):.1f}x"
+                         for n in doc_names)
+        print(f'{r["n_events"]:9d} ev (x{ke:.0f}): {ev_r}')
+        print(f'{r["n_docs"]:9d} docs (x{kd:.0f}): {doc_r}')
 
 
 def vector_sweep(scales: list[int], families: list[str]) -> None:
