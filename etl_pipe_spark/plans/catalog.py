@@ -90,6 +90,19 @@ _PLAN_MODULES = (
 # row-level coverage in docs/CORRECTNESS_local_r{N}.json, and an
 # in-window family representative (noted per line).
 _DEMOTED = (
+    # ROUND-7 ROTATION QUEUE (written end-r6): after CORRECTNESS_r06
+    # lands, all 42 r6-new in-window queries will carry a first driver
+    # row, so the window can rotate aggressively.  First in line to
+    # return for a fresh row (longest since last driver green, oldest
+    # first): the r1-green function demos (string/datetime/ranking/
+    # null_handling/set_ops, green r1+r4), topk_per_group + pricing_
+    # summary + tpch_q21 + tpch_q7 (green through r4), then the r5
+    # greens demoted this round (dedup_clusters_star, boilerplate_
+    # span_removal, token_budget_selection, vocab_top_coverage,
+    # unigram_logprob_quality, embedding_gram_matrix,
+    # bloom_incremental_filter, zorder_layout_skipping).  Keep the
+    # production flagships (ann/semantic/kmeans/ivfpq/streaming dedup)
+    # pinned in-window every round.
     # --- rotated out end-r6 (slots yielded to event_funnel_conversion
     # — ordered-sequence funnel analytics — and
     # mmr_diversified_retrieval — greedy MMR re-ranking of the BM25
