@@ -293,7 +293,8 @@ ORDER BY d.doc_id"""
 
 @register("triangle_clustering_coeff", oracle=_triangle_oracle())
 def triangle_clustering_coeff(spark: SparkSession, sf_dir: str,
-                              checkpoint: bool = True) -> DataFrame:
+                              checkpoint: bool = True,
+                              pairs: DataFrame | None = None) -> DataFrame:
     """Exact triangle count + local clustering coefficient per node of
     the SimHash near-dup graph — the densest-neighborhood signal
     (clust_coeff ~1 at high degree = a template farm whose variants
@@ -325,9 +326,16 @@ def triangle_clustering_coeff(spark: SparkSession, sf_dir: str,
     for zero extra signal).  pagerank stays on the broader candidate
     graph deliberately — its per-iteration cost is LINEAR in |E|.
     """
-    from .dedup_plans import dedup_minhash_lsh
+    if pairs is None:
+        # Default: derive the verified edge set in-query (the honest
+        # standalone cost; at 1M docs the MinHash pipeline is ~all of
+        # the wall).  Production passes the persisted dedup byproduct
+        # here — (left_id, right_id) rows — and pays only the graph
+        # stages, the ivfpq_rerank warm-index argument.
+        from .dedup_plans import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("left_id", "right_id")
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = pairs.select("left_id", "right_id")
     if checkpoint:
         # The verified pair list is edge-sized (true near-dups only)
         # but its LINEAGE is the whole MinHash pipeline — persist it
