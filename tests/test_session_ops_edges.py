@@ -133,3 +133,17 @@ def test_mmr_greedy_empty_group():
     out = _mmr_greedy(pd.DataFrame(columns=["query_id", "doc_id", "score"]),
                       pd.DataFrame(columns=["cand_id", "sel_id", "jac"]))
     assert len(out) == 0
+
+
+def test_triangle_injected_pairs_semantics(spark, sf_dir):
+    # production seam: a persisted edge list replaces the in-query
+    # MinHash derivation; counts on a hand-built 4-node graph
+    from etl_pipe_spark.plans.graph_plans import triangle_clustering_coeff
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "left_id long, right_id long")
+    out = {r["doc_id"]: (r["deg"], r["tri_cnt"], round(r["clust_coeff"], 4))
+           for r in triangle_clustering_coeff(spark, sf_dir,
+                                              pairs=edges).collect()}
+    assert out == {1: (2, 1, 1.0), 2: (2, 1, 1.0),
+                   3: (3, 1, 0.3333), 4: (1, 0, 0.0)}
