@@ -61,7 +61,8 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 91 names: 141 registered − 91 demoted = 50 in-window.
+# Exactly 99 names: 149 registered − 99 demoted = 50 in-window
+# (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
 # in-window queries (ann_ivf_scaled / semantic_dedup_scaled — the r4
@@ -108,7 +109,7 @@ _DEMOTED = (
     # mmr_diversified_retrieval — greedy MMR re-ranking of the BM25
     # shortlist; first driver rows both) ---
     "embedding_gram_matrix",     # green r5; the blocked-gram numeric kernel stays hard-checked in-window via kmeans_fit_clusters + logreg_quality_fit (same fused integer partial-agg recipe) and the sq8/ann mapInArrow kernels; NOTE: pca_top_component's demotion cited this query as its in-window cover — the linalg family's hard-signal reps are now kmeans/logreg/sq8, and both gram + pca keep local-artifact rows
-    "bloom_incremental_filter",  # green r5; sketch family keeps cms_heavy_hitters in-window (point-frequency member); incremental exact-dedup keeps streaming_dedup_watermark + incremental_neardup_lsh in-window; the filter contract stays pinned by tests/test_bloom.py + the local artifact
+    "bloom_incremental_filter",  # green r5; sketch family keeps cms_heavy_hitters in-window (point-frequency member); incremental exact-dedup keeps streaming_dedup_watermark + incremental_neardup_lsh in-window; the filter contract stays pinned by tests/test_corpus_ops.py (zero-false-negative + fp-bound checks) + the local artifact
     # --- rotated out end-r6 (slots yielded to the session's THREE new
     # ops — timeseries_gapfill / weighted_priority_sample /
     # unicode_nfc_normalize, first driver rows; same convention as
@@ -118,8 +119,8 @@ _DEMOTED = (
     "unigram_logprob_quality",   # green r5; LM-quality family keeps bigram_backoff_quality (strictly richer: held-out bigram backoff) + logreg_quality_fit in-window
     # --- and to the session's second trio — triangle_clustering_coeff /
     # schema_evolution_merge / hive_partition_pruning (first driver rows) ---
-    "dedup_clusters_star",       # green r5; the pair-graph family keeps pagerank_neardup_graph + the NEW triangle_clustering_coeff in-window (same banded SimHash edges, richer join machinery); star-contraction semantics stay pinned by tests/test_clusters.py + the local artifact
-    "zorder_layout_skipping",    # green r5; layout family keeps the NEW hive_partition_pruning (directory-level pruning — the coarser, bigger lever) + length_bucket_batching in-window; within-file skipping stays pinned by tests/test_layout.py + the local artifact
+    "dedup_clusters_star",       # green r5; the pair-graph family keeps pagerank_neardup_graph (capped SimHash bands) + the NEW triangle_clustering_coeff (verified-Jaccard edges) in-window; star-contraction semantics stay pinned by tests/test_clusters.py + the local artifact
+    "zorder_layout_skipping",    # green r5; layout family keeps the NEW hive_partition_pruning (directory-level pruning — the coarser, bigger lever) + length_bucket_batching in-window; within-file skipping stays pinned by tests/test_layout_ops.py + the local artifact
     "boilerplate_span_removal",  # green r5; span-window machinery in-window via substring_dedup_windows (same stride span index); corpus family also holds domain_cap_sampling + length_bucket_batching
     "token_budget_selection",    # green r5; selection family keeps dsir_importance_select + temperature_mixture_select + domain_cap_sampling + the NEW weighted_priority_sample in-window; its distributed-rank machinery also in-window via exact_global_quantiles (same two-phase ranked_running_sum)
     "vocab_top_coverage",        # green r5; vocabulary family keeps bpe_encode_vocab (subword vocab + corpus frequencies — the richer form) + bpe_pair_stats in-window
