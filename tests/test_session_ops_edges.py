@@ -147,3 +147,78 @@ def test_triangle_injected_pairs_semantics(spark, sf_dir):
                                               pairs=edges).collect()}
     assert out == {1: (2, 1, 1.0), 2: (2, 1, 1.0),
                    3: (3, 1, 0.3333), 4: (1, 0, 0.0)}
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the MMR greedy kernel must satisfy its invariants on
+# ANY shortlist, not just the fixtures above.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _mmr_inputs(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    doc_ids = draw(st.lists(st.integers(0, 10**6), min_size=n, max_size=n,
+                            unique=True))
+    rels = draw(st.lists(
+        st.floats(0.0, 10.0, allow_nan=False, allow_infinity=False),
+        min_size=n, max_size=n))
+    jacs = {}
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                # symmetric similarity, any [0,1] value
+                key = (min(i, j), max(i, j))
+                if key not in jacs:
+                    jacs[key] = draw(st.floats(0.0, 1.0, allow_nan=False))
+    scores = pd.DataFrame({"query_id": [1] * n, "doc_id": doc_ids,
+                           "score": rels})
+    rows = []
+    for (i, j), v in jacs.items():
+        rows.append((doc_ids[i], doc_ids[j], v))
+        rows.append((doc_ids[j], doc_ids[i], v))
+    sims = pd.DataFrame(rows, columns=["cand_id", "sel_id", "jac"]) if rows \
+        else pd.DataFrame(columns=["cand_id", "sel_id", "jac"])
+    return scores, sims
+
+
+@settings(max_examples=60, deadline=None)
+@given(_mmr_inputs())
+def test_mmr_greedy_invariants(inputs):
+    from etl_pipe_spark.plans.text_plans4 import (
+        _MMR_K, _MMR_LAMBDA, _mmr_greedy)
+
+    scores, sims = inputs
+    lam, div = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    out = _mmr_greedy(scores, sims)
+    n = len(scores)
+    # picks min(n, K) docs, ranks contiguous from 1, no repeats
+    assert len(out) == min(n, _MMR_K)
+    assert list(out["sel_rank"]) == list(range(1, len(out) + 1))
+    assert out["doc_id"].nunique() == len(out)
+    assert set(out["doc_id"]) <= set(scores["doc_id"])
+    # first pick is a relevance argmax (smallest doc_id under ties)
+    best = scores["score"].max()
+    winners = scores.loc[scores["score"] == best, "doc_id"]
+    assert out.iloc[0]["doc_id"] == winners.min()
+    assert out.iloc[0]["mmr_score"] == out.iloc[0]["relevance"] == best
+    # every later mmr_score is lambda*rel - (1-lambda)*max_sim for SOME
+    # remaining candidate, and is the max over the remaining set
+    # (recompute independently)
+    rel = dict(zip(scores["doc_id"], scores["score"]))
+    jac = {(c, s): v for c, s, v in
+           zip(sims["cand_id"], sims["sel_id"], sims["jac"])}
+    picked = [out.iloc[0]["doc_id"]]
+    for k in range(1, len(out)):
+        remaining = sorted(set(rel) - set(picked))
+        exp_doc, exp_v = None, None
+        for d in remaining:
+            msim = max(jac.get((d, p), 0.0) for p in picked)
+            v = lam * rel[d] - div * msim
+            if exp_v is None or v > exp_v:
+                exp_doc, exp_v = d, v
+        assert out.iloc[k]["doc_id"] == exp_doc
+        assert out.iloc[k]["mmr_score"] == exp_v
+        picked.append(exp_doc)
