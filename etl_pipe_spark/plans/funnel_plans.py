@@ -85,13 +85,23 @@ ORDER BY stage_no
 
 
 @register("event_funnel_conversion", oracle=_FUNNEL_ORACLE)
-def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view -> click -> purchase funnel: users surviving each ordered
-    hop, and the exact mean hop latency in microseconds."""
+def event_funnel_conversion(spark: SparkSession, sf_dir: str,
+                            stages: tuple[str, ...] = _FUNNEL_STAGES,
+                            ) -> DataFrame:
+    """Ordered k-stage funnel: users surviving each hop, and the exact
+    mean hop latency in microseconds.
+
+    ``stages`` parameterizes the chain (any length >= 1, any event
+    types); the registered default is the view -> click -> purchase
+    trio the oracle mirrors.  Each extra stage adds one co-partitioned
+    join + partial-min aggregate — cost is linear in chain length.
+    """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
     def first_after(prev: DataFrame, prev_col: str, etype: str,
                     out_col: str) -> DataFrame:
+        # F.first(prev_col) is safe: prev_col is constant per user
+        # (joined from the previous stage's one-row-per-user table)
         return (
             ev.filter(F.col("event_type") == etype)
             .join(prev, "user_id")
@@ -100,13 +110,14 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias(out_col), F.first(prev_col).alias(prev_col))
         )
 
-    s1 = (
-        ev.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+    stage_tables = [(
+        ev.filter(F.col("event_type") == stages[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    )
-    s2 = first_after(s1, "t1", _FUNNEL_STAGES[1], "t2")
-    s3 = first_after(s2.select("user_id", "t2"), "t2", _FUNNEL_STAGES[2], "t3")
+    )]
+    for i, etype in enumerate(stages[1:], start=2):
+        prev = stage_tables[-1].select("user_id", f"t{i - 1}")
+        stage_tables.append(first_after(prev, f"t{i - 1}", etype, f"t{i}"))
 
     def hop_row(df: DataFrame, stage_no: int, stage: str,
                 lo: str | None, hi: str | None) -> DataFrame:
@@ -129,11 +140,11 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_hop_micros",
         )
 
-    hops = (
-        hop_row(s1, 1, "view", None, None)
-        .unionByName(hop_row(s2, 2, "click", "t1", "t2"))
-        .unionByName(hop_row(s3, 3, "purchase", "t2", "t3"))
-    )
+    hops = hop_row(stage_tables[0], 1, stages[0], None, None)
+    for i, etype in enumerate(stages[1:], start=2):
+        hops = hops.unionByName(
+            hop_row(stage_tables[i - 1], i, etype, f"t{i - 1}", f"t{i}")
+        )
     return (
         hops.select(
             "stage_no",

@@ -222,3 +222,22 @@ def test_mmr_greedy_invariants(inputs):
         assert out.iloc[k]["doc_id"] == exp_doc
         assert out.iloc[k]["mmr_score"] == exp_v
         picked.append(exp_doc)
+
+
+def test_funnel_k_stage_chain(spark, tmp_path):
+    # the stages seam: a 4-stage chain where only user 1 completes the
+    # full ordered path
+    sf = _write_events(spark, tmp_path, [
+        (1, "2024-01-02 00:00:00", 1, "signup", 1.0),
+        (2, "2024-01-02 01:00:00", 1, "view", 1.0),
+        (3, "2024-01-02 02:00:00", 1, "click", 1.0),
+        (4, "2024-01-02 03:00:00", 1, "purchase", 1.0),
+        (5, "2024-01-02 00:00:00", 2, "signup", 1.0),
+        (6, "2024-01-02 01:00:00", 2, "view", 1.0),
+    ])
+    from etl_pipe_spark.plans.funnel_plans import event_funnel_conversion
+
+    rows = event_funnel_conversion(
+        spark, sf, stages=("signup", "view", "click", "purchase")).collect()
+    assert [(r["stage_no"], r["stage"], r["n_users"]) for r in rows] == [
+        (1, "signup", 2), (2, "view", 2), (3, "click", 1), (4, "purchase", 1)]
