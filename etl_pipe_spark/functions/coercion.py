@@ -7,6 +7,21 @@ mode errors; non-ANSI maps "yes" -> NULL), so each helper is re-built
 as a ``when`` ladder over ``try_cast`` — whole-stage-codegen'd JVM
 expressions, ANSI-safe, zero Python on the hot path.
 
+``try_cast`` alone is NOT a faithful ``float(val)``: the JVM parser
+additionally accepts Java numeric literals that Python rejects —
+``"0D"`` -> 0.0, ``"3.7f"`` -> 3.7, ``"0x1p3"`` -> 8.0 — so
+``safe_numeric``/``safe_int`` gate the cast behind an explicit
+Python-float / Python-int grammar (sign, digit runs with PEP-515
+underscores, fraction, exponent, inf/infinity/nan spellings) and only
+then cast.  Anything outside the grammar degrades to NULL exactly like
+reference ``float(val)``/``int(val)`` raising.
+
+Documented divergence (pinned in tests/test_coercion_properties.py):
+the grammar is ASCII — exotic spellings Python would also accept
+(non-ASCII decimal digits such as U+0663, say) degrade to NULL, and
+values beyond the 64-bit long range saturate/NULL per Spark's cast
+rather than returning arbitrary-precision ints.
+
 All helpers take a STRING column (payload fields are parsed as string
 first — see schemas.INPUT_DATA_PAYLOAD) and return the typed column.
 """
@@ -19,6 +34,31 @@ from pyspark.sql import Column, functions as F
 # safe_bool to distinguish Python's `bool(number)` branch from its
 # string branch after from_json has stringified everything.
 _NUMERIC_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+# The exact whitespace set Python's float()/int() strip (str.isspace()
+# characters, Unicode 6.3+).  Shared with the property-test model so
+# engine and model trim identically.
+_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
+    "           "
+    "    　"
+)
+_TRIM_RE = f"^[{_WS_CHARS}]+|[{_WS_CHARS}]+$"
+
+# Python numeric grammars (PEP 515 underscores allowed BETWEEN digits
+# only).  Matched against the lower-cased trimmed string; both Java
+# (rlike) and Python (re) read these identically.
+_DIGITS = "[0-9](?:_?[0-9])*"
+PY_FLOAT_GRAMMAR = (
+    f"[+-]?(?:{_DIGITS}(?:\\.(?:{_DIGITS})?)?(?:e[+-]?{_DIGITS})?"
+    f"|\\.{_DIGITS}(?:e[+-]?{_DIGITS})?"
+    f"|inf(?:inity)?|nan)"
+)
+PY_INT_GRAMMAR = f"[+-]?{_DIGITS}"
+
+
+def _trimmed(col: Column) -> Column:
+    return F.regexp_replace(col, _TRIM_RE, "")
 
 
 def safe_bool(col: Column) -> Column:
@@ -45,16 +85,23 @@ def safe_bool(col: Column) -> Column:
 def safe_numeric(col: Column) -> Column:
     """Lenient float (reference transform.py:30-37): ``float(val)`` or NULL.
 
-    ``try_cast`` to double matches Python ``float`` including special
-    spellings: "inf" / "infinity" / "nan" parse case-insensitively,
-    signed and whitespace-trimmed, on both sides (verified on Spark
-    4.1 — SPARK-27768 special floating-point literals).  The one gap is
-    SIGNED NaN: Python ``float("-nan")`` == nan while Spark's cast
-    rejects the sign — normalized here so both agree.  The full matrix
-    is pinned in tests/test_coercions.py.
+    Trim Python's whitespace set, require the Python-float grammar
+    (incl. case-insensitive inf/infinity/nan, signed, underscored
+    digit runs), strip the underscores, THEN ``try_cast`` — so the
+    JVM parser's Java-literal extras ("0D", "3.7f", "1F", "0x1p3")
+    degrade to NULL exactly like Python ``float`` raising.  Signed NaN
+    ("-nan", Python-accepted, Spark-rejected) is normalized to "nan".
+    The matrix is pinned in tests/test_coercions.py and the full
+    grammar in tests/test_coercion_properties.py.
     """
-    signed_nan = F.lower(F.trim(col)).isin("-nan", "+nan")
-    return F.when(signed_nan, F.lit("nan")).otherwise(col).try_cast("double")
+    t = _trimmed(col)
+    lt = F.lower(t)
+    ok = lt.rlike(f"^{PY_FLOAT_GRAMMAR}$")
+    cleaned = (
+        F.when(lt.isin("-nan", "+nan"), F.lit("nan"))
+        .otherwise(F.regexp_replace(t, "_", ""))
+    )
+    return F.when(ok, cleaned.try_cast("double"))
 
 
 def safe_int(col: Column) -> Column:
@@ -64,12 +111,15 @@ def safe_int(col: Column) -> Column:
     (-> 3).  After stringification both look like "3.7"; like the
     reference's JSON path (json numbers land as Python int/float, so
     3.7 -> truncate) we truncate any numeric, and NULL out garbage.
-    Integral strings ("42") cast directly.
+    Integral strings ("42") cast directly through the Python-int
+    grammar gate; everything else rides ``safe_numeric``'s gated
+    double (so Java literals stay NULL here too) and truncates toward
+    zero via the double->long cast.
     """
-    direct = col.try_cast("long")
-    via_double = col.try_cast("double").try_cast("long")
-    # cast double->long truncates toward zero — matching Python int().
-    return F.coalesce(direct, via_double)
+    t = _trimmed(col)
+    ok = t.rlike(f"^{PY_INT_GRAMMAR}$")
+    direct = F.when(ok, F.regexp_replace(t, "_", "").try_cast("long"))
+    return F.coalesce(direct, safe_numeric(col).try_cast("long"))
 
 
 def safe_get(struct_col: Column, field: str) -> Column:

@@ -160,7 +160,8 @@ def csv_ingest_coerced(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_ORACLE = """
 SELECT o_orderkey, o_orderstatus,
        CAST(o_totalprice AS DECIMAL(18,4)) AS price,
-       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       epoch_us(o_orderdate) AS o_orderdate_us
 FROM orders
 WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0
 ORDER BY o_orderkey
@@ -178,14 +179,32 @@ def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the ORC scan as a pushed filter (pinned in
     tests/test_physical_plans.py); the modulo term is row sampling
     evaluated above the scan.  The hash certifies type fidelity
-    through the round trip for ints, strings, exact decimals, and
-    timestamps.
+    through the round trip for ints, strings, exact decimals, and the
+    order date.
+
+    The date rides the ORC leg TIMEZONE-FREE, twice: as ``DATE``
+    (epoch days) and as ``bigint`` ``unix_micros`` (the r6 driver
+    red: Spark's ORC timestamp writer/reader adjusts raw values by
+    the JVM **default** timezone — ``user.timezone``, which
+    ``spark.sql.session.timeZone`` does NOT control — so a driver JVM
+    in a non-UTC zone shifts every stored timestamp by its offset
+    while counts and schema stay green.  DATE and BIGINT have no such
+    adjustment in the ORC spec, making the hashed output stable in
+    any host timezone).  The raw ORC *timestamp* round trip stays
+    covered by the local pin test
+    tests/test_ingest_io.py::test_orc_timestamp_roundtrip_local,
+    where writer and reader share one JVM and the adjustment cancels.
     """
     path = _io_dir(sf_dir, "orders_orc")
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus",
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
-        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        # ntz -> timestamp uses spark.sql.session.timeZone, which
+        # pin_conf pins to UTC (session.py) — controlled, unlike the
+        # JVM-default zone the ORC timestamp codec would consult
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("o_orderdate_us"),
     )
     src.coalesce(4).write.mode("overwrite").orc(path)
     return (

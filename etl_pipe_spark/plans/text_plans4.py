@@ -585,7 +585,10 @@ def _mmr_greedy(scores: pd.DataFrame, sims: pd.DataFrame) -> pd.DataFrame:
     while remaining and len(picked) < _MMR_K:
         best, best_v = None, None
         for d in remaining:
-            msim = max(jac[(d, p)] for p, _, _ in picked)
+            # missing (candidate, selected) pair => zero similarity —
+            # keeps sparse sims tables (or upstream-dropped NULL-jac
+            # rows) from crashing the Arrow worker with a KeyError
+            msim = max(jac.get((d, p), 0.0) for p, _, _ in picked)
             v = lam * rel[d] - div * msim
             if best_v is None or v > best_v:
                 best, best_v = d, v

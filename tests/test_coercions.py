@@ -30,11 +30,23 @@ BOOL_CASES = [
 INT_CASES = [
     ("42", 42), ("-7", -7), ("3.7", 3), ("-3.7", -3),  # truncate toward zero
     ("0", 0), ("1e2", 100), ("garbage", None), (None, None), ("", None),
+    # Java literals the JVM parser accepts but Python int()/float()
+    # reject (r6 verdict item 1) — must degrade to NULL:
+    ("0D", None), ("3.7f", None), ("1F", None), ("0x1p3", None),
+    ("0x10", None), ("12L", None),
+    ("1_000", 1000),  # PEP-515 underscores: Python int() accepts
+    (" 42 ", 42),
 ]
 
 NUM_CASES = [
     ("3.7", 3.7), ("-0.5", -0.5), ("1e3", 1000.0), ("42", 42.0),
     ("garbage", None), (None, None), ("", None),
+    # Java literals -> NULL, exactly like Python float() raising:
+    ("0D", None), ("3.7f", None), ("1F", None), ("0x1p3", None),
+    ("0x10", None), ("1d", None), (".5F", None),
+    ("1_000", 1000.0), ("1_0.5_5e1_0", 10.55e10),  # PEP-515 underscores
+    ("1__0", None), ("_1", None), ("1_", None),    # invalid placements
+    ("5.", 5.0), (".5", 0.5), ("+.5e2", 50.0), (" -2.5 ", -2.5),
 ]
 
 
