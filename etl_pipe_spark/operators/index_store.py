@@ -250,3 +250,110 @@ def append_to_ivfpq_index(
         "n_vectors bigint, k int, m int, ksub int, n_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
     return {"appended": n_new, "n_vectors": total}
+
+
+# ---------------------------------------------------------------------------
+# SQ8 leg: the scalar-quantized flat index under the same store contract
+# ---------------------------------------------------------------------------
+
+def build_sq8_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> dict:
+    """Persist the SQ8 flat index (round 7, the r6 verdict's item 6):
+
+    * ``stats`` — (dim, lo, scale)      dim rows (the whole quantizer)
+    * ``codes`` — (vec_id, codes)       N rows, dim BYTES each
+    * ``meta``  — (n_vectors, dim)
+
+    One dim-sized stats aggregate, one shuffle-free Arrow encode pass,
+    one key-clustered write — the corpus streams through twice, like
+    the IVFPQ build.  No cell partitioning: SQ8 is a FLAT index whose
+    search scans every code row by design (the pruning story lives in
+    the IVFPQ leg; production composes the two).  Codes land
+    repartitioned by vec_id so point lookups and merges stay
+    footer-prunable.
+    """
+    from .sq8 import sq8_encode, sq8_stats
+
+    n = emb.count()
+    if n == 0:
+        raise ValueError("build_sq8_index: empty embedding frame")
+    lo, scale = sq8_stats(emb, vec_col=vec_col)
+    (
+        sq8_encode(emb, lo, scale, id_col=id_col, vec_col=vec_col)
+        .repartition(8, "vec_id")
+        .write.mode("overwrite").parquet(_p(path, "codes"))
+    )
+    spark.createDataFrame(
+        [(int(d), float(lo[d]), float(scale[d])) for d in range(lo.shape[0])],
+        "dim int, lo double, scale double",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "stats"))
+    spark.createDataFrame(
+        [(int(n), int(lo.shape[0]))], "n_vectors bigint, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
+    return {"n_vectors": n, "dim": int(lo.shape[0])}
+
+
+def _load_sq8_stats(spark: SparkSession, path: str) -> tuple:
+    rows = spark.read.parquet(_p(path, "stats")).orderBy("dim").collect()
+    return (np.array([r["lo"] for r in rows], dtype=np.float64),
+            np.array([r["scale"] for r in rows], dtype=np.float64))
+
+
+def search_sq8_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 15,
+    query_id_col: str = "query_id",
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Asymmetric search over the persisted codes with the exact
+    ``sq8_search_topk`` kernel — the loaded (lo, scale) pair IS the
+    decoder, so the persisted path cannot drift from the in-memory
+    oracle-checked one (the IVFPQ store's literal-equality property)."""
+    from .sq8 import sq8_search_topk
+
+    lo, scale = _load_sq8_stats(spark, path)
+    codes = spark.read.parquet(_p(path, "codes"))
+    return sq8_search_topk(codes, queries, lo, scale, k=k,
+                           id_col=query_id_col, vec_col=vec_col)
+
+
+def append_to_sq8_index(
+    spark: SparkSession,
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> dict:
+    """Frozen-quantizer increment: encode NEW vectors with the SAVED
+    (lo, scale) and append their code rows — history is never read or
+    re-encoded (codes already on disk are immutable bytes; a batch
+    whose values fall outside the frozen min/max clips to 0/255, the
+    FAISS SQ8 `add` behavior — retrain when drift makes that loss
+    material, the same stance as the frozen IVFPQ quantizer)."""
+    from .sq8 import sq8_encode
+
+    lo, scale = _load_sq8_stats(spark, path)
+    meta = spark.read.parquet(_p(path, "meta")).first()
+    vecs = emb_new.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v")).persist()
+    try:
+        n_new = vecs.count()
+        (
+            sq8_encode(vecs, lo, scale)
+            .repartition(8, "vec_id")
+            .write.mode("append").parquet(_p(path, "codes"))
+        )
+    finally:
+        vecs.unpersist()
+    total = int(meta["n_vectors"]) + n_new
+    spark.createDataFrame(
+        [(total, int(meta["dim"]))], "n_vectors bigint, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
+    return {"appended": n_new, "n_vectors": total}

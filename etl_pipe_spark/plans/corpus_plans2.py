@@ -678,6 +678,14 @@ def sq8_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     short = SQ8.sq8_search_topk(codes, q, lo, scale, k=SQ8_SHORTLIST)
+    return _sq8_rerank_tail(spark, sf_dir, emb, q, short)
+
+
+def _sq8_rerank_tail(spark: SparkSession, sf_dir: str, emb: DataFrame,
+                     q: DataFrame, short: DataFrame) -> DataFrame:
+    """Exact-cosine rerank of an SQ8 shortlist + the in-query recall
+    certificate — shared by the in-memory form (sq8_ann_rerank) and
+    the persisted-index form (sq8_index_persisted)."""
     reranked = (
         short.join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .join(F.broadcast(q), "query_id")
@@ -703,3 +711,32 @@ def sq8_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "recall_ge_floor", F.lit(bool(recall_ok))
     ).orderBy("query_id", "rnk")
+
+
+@register("sq8_index_persisted", oracle=_SQ8_ANN_ORACLE)
+def sq8_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED SQ8 index under the exact-ranking hash check
+    (round 7, the r6 verdict's item 6): build writes the stats/codes/
+    meta parquet tables (operators/index_store.py — the ivfpq store's
+    SQ8 leg), search RELOADS them and ranks via the same mapInArrow
+    kernel as sq8_ann_rerank, and the identical _SQ8_ANN_ORACLE
+    certifies that the save/load round trip through BINARY code
+    storage changes NOTHING about shortlist or reranked order.
+
+    Production builds once (4x-shrunk codes are the artifact), serves
+    many searches, and grows by frozen-quantizer appends —
+    tests/test_index_store.py pins the append contract (history bytes
+    untouched, appended vectors searchable, out-of-range values
+    clipping like FAISS `add`).
+    """
+    from ..operators.index_store import build_sq8_index, search_sq8_index
+    from .ingest_plans import _io_dir
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double(F.col("embedding")).alias("v"))
+    path = _io_dir(sf_dir, "sq8_index")
+    build_sq8_index(spark, emb, path)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    short = search_sq8_index(spark, path, q, k=SQ8_SHORTLIST)
+    return _sq8_rerank_tail(spark, sf_dir, emb, q, short)

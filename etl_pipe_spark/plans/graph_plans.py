@@ -154,10 +154,20 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str,
     """
     from .text_plans2 import dedup_simhash_pairs
 
-    verts = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_simhash_pairs(
         spark, sf_dir, bucket_cap=PR_BUCKET_CAP, checkpoint=checkpoint
     ).select("left_id", "right_id")
+    return _pagerank_over_pairs(spark, sf_dir, pairs,
+                                checkpoint=checkpoint, iters=iters)
+
+
+def _pagerank_over_pairs(spark: SparkSession, sf_dir: str,
+                         pairs: DataFrame, checkpoint: bool = True,
+                         iters: int | None = None) -> DataFrame:
+    """The PageRank power loop over an explicit undirected pair list
+    — shared by the in-query derivation (pagerank_neardup_graph) and
+    the persisted-edge-table form (pagerank_persisted_edges)."""
+    verts = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     ).unionByName(pairs.select(
@@ -413,3 +423,77 @@ def triangle_clustering_coeff(spark: SparkSession, sf_dir: str,
     finally:
         if checkpoint:
             deg.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Persisted-edge-table forms: the production amortization path
+# ---------------------------------------------------------------------------
+
+def _write_edge_table(spark: SparkSession, pairs: DataFrame,
+                      path: str) -> DataFrame:
+    """Materialize an undirected pair list as a parquet edge table and
+    reload it — the amortization seam both persisted graph queries
+    share.  The write repartitions by left_id so a cluster-scale edge
+    table lands key-clustered (min/max footer stats make later
+    per-vertex reads prunable); the reload is a plain columnar scan
+    whose lineage is the FILES, not the dedup pipeline that produced
+    them — the property the persisted forms exist to measure.
+    """
+    (pairs.select("left_id", "right_id")
+     .repartition(8, "left_id")
+     .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+@register("pagerank_persisted_edges", oracle=_pagerank_oracle())
+def pagerank_persisted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank served from a PERSISTED edge table (round 7, the r6
+    verdict's item 5): the capped SimHash candidate pairs are written
+    to parquet ONCE, then the identical integer power loop runs over
+    the reloaded files — the ivfpq_index_persisted convention, with
+    the same oracle as pagerank_neardup_graph certifying that the
+    save/load round trip changes no rank.
+
+    This is the production shape: the near-dup pair graph is a dedup
+    byproduct that pipelines already materialize (the dedup sweep
+    writes it; centrality, triangles, and cluster canonicalization
+    all consume it), so per-run cost is iterations x |E| joins over a
+    columnar scan — the fingerprint/banding derivation is paid once
+    per corpus snapshot, not once per graph query (r6 measured the
+    equivalent triangle split at 1M docs: 3.9 s amortized vs 226 s
+    rederived — docs/BENCH_COMPARE.md).
+    """
+    from .ingest_plans import _io_dir
+    from .text_plans2 import dedup_simhash_pairs
+
+    pairs = dedup_simhash_pairs(
+        spark, sf_dir, bucket_cap=PR_BUCKET_CAP, checkpoint=True
+    ).select("left_id", "right_id")
+    stored = _write_edge_table(
+        spark, pairs, _io_dir(sf_dir, "neardup_edges_simhash"))
+    return _pagerank_over_pairs(spark, sf_dir, stored, checkpoint=True)
+
+
+@register("triangle_persisted_pairs", oracle=_triangle_oracle())
+def triangle_persisted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficient over a PERSISTED
+    verified-edge table (round 7): the MinHash-LSH + exact-Jaccard
+    pair list is written to parquet once, and the degree-oriented
+    wedge-close stages run over the reloaded files via
+    triangle_clustering_coeff's ``pairs=`` seam — same oracle as the
+    in-query form, so the hash certifies the round trip changes no
+    count or coefficient.
+
+    The split this registers is the one r6 measured at 1M docs:
+    3.9 s for the graph stages against persisted pairs vs 226 s with
+    the MinHash pipeline rederived in-query (docs/BENCH_COMPARE.md:
+    470-480) — the wedge-close joins are bounded by the arboricity
+    orientation either way; only the edge-set derivation amortizes.
+    """
+    from .dedup_plans import dedup_minhash_lsh
+    from .ingest_plans import _io_dir
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("left_id", "right_id")
+    stored = _write_edge_table(
+        spark, pairs, _io_dir(sf_dir, "neardup_edges_verified"))
+    return triangle_clustering_coeff(spark, sf_dir, pairs=stored)

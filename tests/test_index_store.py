@@ -98,3 +98,74 @@ def test_append_is_incremental_and_searchable(spark, emb, tmp_path_factory):
     got = search_ivfpq_index(spark, path, q, k=5, nprobe=1).collect()
     assert len(got) == 5
     assert all(r["neighbor_id"] != 0 for r in got)  # self excluded
+
+
+# ---------------------------------------------------------------------------
+# SQ8 leg (round 7)
+# ---------------------------------------------------------------------------
+
+def test_sq8_persisted_search_equals_in_memory(spark, emb, queries,
+                                               tmp_path_factory):
+    """Search over the persisted SQ8 codes must equal the in-memory
+    stats->encode->search pipeline row for row (same kernel, loaded
+    decoder)."""
+    from etl_pipe_spark.operators.index_store import (
+        build_sq8_index, search_sq8_index)
+    from etl_pipe_spark.operators.sq8 import (
+        sq8_encode, sq8_search_topk, sq8_stats)
+
+    path = str(tmp_path_factory.mktemp("sq8") / "idx")
+    meta = build_sq8_index(spark, emb, path)
+    assert meta["n_vectors"] == emb.count()
+
+    q = queries.select("query_id", F.col("v").alias("qv"))
+    got = sorted(
+        tuple(r) for r in
+        search_sq8_index(spark, path, q, k=7).collect()
+    )
+    lo, scale = sq8_stats(emb)
+    want = sorted(
+        tuple(r) for r in
+        sq8_search_topk(sq8_encode(emb, lo, scale), q, lo, scale, k=7)
+        .collect()
+    )
+    assert got == want
+
+
+def test_sq8_append_frozen_quantizer(spark, emb, tmp_path_factory):
+    """Append must encode ONLY the batch with the SAVED (lo, scale):
+    byte-identical vectors get byte-identical codes, history bytes are
+    untouched, out-of-range values clip to the code range ends, and
+    appended rows are immediately searchable."""
+    from etl_pipe_spark.operators.index_store import (
+        append_to_sq8_index, build_sq8_index, search_sq8_index)
+
+    path = str(tmp_path_factory.mktemp("sq8") / "idx")
+    build_sq8_index(spark, emb, path)
+    before = {r["vec_id"]: bytes(r["codes"])
+              for r in spark.read.parquet(f"{path}/codes").collect()}
+
+    base = emb.filter(F.col("vec_id") == 0).first()
+    dim = len(base["v"])
+    batch = spark.createDataFrame(
+        [(10_000_000, list(base["v"])),
+         (10_000_001, [1e9] * dim),     # far above every saved max
+         (10_000_002, [-1e9] * dim)],   # far below every saved min
+        "vec_id bigint, v array<double>")
+    out = append_to_sq8_index(spark, batch, path)
+    assert out["appended"] == 3
+
+    after = {r["vec_id"]: bytes(r["codes"])
+             for r in spark.read.parquet(f"{path}/codes").collect()}
+    # history untouched, copy identical, extremes clipped
+    assert {k: v for k, v in after.items() if k in before} == before
+    assert after[10_000_000] == before[0]
+    assert after[10_000_001] == bytes([255] * dim)
+    assert after[10_000_002] == bytes([0] * dim)
+
+    q = spark.createDataFrame([(0, list(base["v"]))],
+                              "query_id bigint, qv array<double>")
+    got = search_sq8_index(spark, path, q, k=5).collect()
+    assert len(got) == 5
+    assert all(r["neighbor_id"] != 0 for r in got)      # self excluded
+    assert any(r["neighbor_id"] == 10_000_000 for r in got)  # copy found
