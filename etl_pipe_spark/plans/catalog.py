@@ -91,6 +91,44 @@ _PLAN_MODULES = (
 # row-level coverage in docs/CORRECTNESS_local_r{N}.json, and an
 # in-window family representative (noted per line).
 _DEMOTED = (
+    # ROUND-7 ROTATION (the r6 verdict's item 3, executed in full):
+    # 24 in-window slots yielded — 21 to the longest-stale demotions
+    # returning for fresh driver rows (the five r1-green function
+    # demos, topk_per_group, pricing_summary, tpch_q21, tpch_q7, the
+    # eight r5 greens demoted during r6, coercion_kitchen_sink — a
+    # fresh row over the NEW grammar-gated safe_* ladders this round
+    # changed — plus dedup_exact, grouping_sets_orders and
+    # lang_id_stopwords), and 3 to the round's new registrations
+    # (pagerank_persisted_edges / triangle_persisted_pairs /
+    # sq8_index_persisted — the amortized production paths the r6
+    # verdict asked to put under driver signal).  Every demotion in
+    # this block carries an r6 driver-green row, an unchanged
+    # implementation, row-level coverage in the per-round local
+    # artifact, and an in-window family representative (per line):
+    "tpch_q6_forecast_revenue",   # green r6; pushdown scan-agg rep in-window: promoted tpch_q21/q7 + tpch_q2; PushedFilters stays pinned by tests/test_physical_plans.py
+    "tpch_q11_important_stock",   # green r6; HAVING-over-scalar-subquery shape covered by promoted tpch_q21 (correlated EXISTS) + grouping_sets_orders
+    "tpch_q12_late_shipments",    # green r6; conditional-sum agg covered by promoted pricing_summary (same CASE-sum family) + tpch_q7
+    "tpch_q16_supplier_cnt",      # green r6; COUNT(DISTINCT)+anti-join covered by promoted tpch_q21 (NOT EXISTS) + grouping_sets_orders multi-agg
+    "mmr_diversified_retrieval",  # green r6; retrieval family keeps bm25_retrieval in-window (MMR consumes its shortlist); the greedy kernel stays property-tested vs an independent recomputation
+    "unicode_nfc_normalize",      # green r6; the Arrow-batched python surface stays hard-checked in-window by the ann/pq/sq8 mapInArrow kernels; byte-exact NFC stays pinned by tests + the local artifact
+    "substring_dedup_windows",    # green r6; span-window machinery rep in-window: promoted boilerplate_span_removal (same stride span index); exact window identity also covered by dedup_exact (promoted)
+    "domain_cap_sampling",        # green r6; selection family keeps dsir_importance_select + temperature_mixture_select + promoted token_budget_selection in-window
+    "cluster_balanced_sample",    # green r6; quota-per-group sampling covered in-window by temperature_mixture_select (integer-exact quotas) + promoted topk_per_group (partitioned rank)
+    "weighted_priority_sample",   # green r6; priority-sampling TakeOrdered shape covered by promoted topk_per_group + token_budget_selection's distributed rank
+    "bpe_pair_stats",             # green r6; BPE family keeps the full trainer + encoder in-window (bpe_train_merges / bpe_encode_vocab — strict supersets of the pair-count pass)
+    "sq8_embedding_quantization", # green r6; SQ8 family keeps sq8_ann_rerank + the NEW sq8_index_persisted in-window (codes are bit-identical by the shared encode expression)
+    "bigram_backoff_quality",     # green r6; LM-quality family reps in-window: promoted unigram_logprob_quality + logreg_quality_fit
+    "table_profile_stats",        # green r6; monitoring family keeps snapshot_diff_cdc in-window; the multi-agg-one-scan shape also rides promoted grouping_sets_orders
+    "dq_audit_violations",        # green r6; rule-audit unpivot covered by snapshot_diff_cdc (in-window) + the DQ rule tests; local artifact keeps row coverage
+    "jsonl_roundtrip_ingest",     # green r6; ingest family keeps csv_ingest_coerced (coercion ladder), orc_roundtrip_ingest and schema_evolution_merge in-window; quarantine path pinned by tests/test_ingest_io.py
+    "incremental_rollup_merge",   # green r6; the merge-vs-recompute contract stays pinned by tests/test_rollup_maintenance.py (incl. exactly-once streaming + torn-write reclaim); merge family in-window via orc/schema-evolution ingest legs
+    "cooccurrence_pmi",           # green r6; map-side nested-transform pair generation in-window via bpe_train_merges' pair stream; PMI arithmetic pinned by the local artifact
+    "exact_global_quantiles",     # green r6; two-phase distributed-rank machinery in-window via promoted token_budget_selection (same ranked_running_sum recipe)
+    "length_bucket_batching",     # green r6; layout family rep in-window: promoted zorder_layout_skipping; token-budget packing also covered by token_budget_selection
+    "train_test_split_hash",      # green r6; portable key-hash ordering in-window via promoted token_budget_selection + dedup_exact; the arithmetic-hash oracle stays in the local artifact
+    "bloom_join_pruning",         # green r6; Bloom machinery rep in-window: promoted bloom_incremental_filter (same operators/bloom.py core); the oracle-equals-unoptimized-join recipe stays in the local artifact
+    "hive_partition_pruning",     # green r6; directory-level pruning stays pinned by tests/test_physical_plans.py (PartitionFilters) + the ivfpq/sq8 index stores' bucketed reads in-window
+    "fuzzy_join_blocked",         # green r6; blocked candidate generation in-window via incremental_neardup_lsh (banded blocking); Levenshtein-in-blocks semantics pinned by tests + the local artifact
     # ROUND-7 ROTATION QUEUE (written end-r6): after CORRECTNESS_r06
     # lands, all 42 r6-new in-window queries will carry a first driver
     # row, so the window can rotate aggressively.  First in line to
@@ -108,22 +146,14 @@ _DEMOTED = (
     # — ordered-sequence funnel analytics — and
     # mmr_diversified_retrieval — greedy MMR re-ranking of the BM25
     # shortlist; first driver rows both) ---
-    "embedding_gram_matrix",     # green r5; the blocked-gram numeric kernel stays hard-checked in-window via kmeans_fit_clusters + logreg_quality_fit (same fused integer partial-agg recipe) and the sq8/ann mapInArrow kernels; NOTE: pca_top_component's demotion cited this query as its in-window cover — the linalg family's hard-signal reps are now kmeans/logreg/sq8, and both gram + pca keep local-artifact rows
-    "bloom_incremental_filter",  # green r5; sketch family keeps cms_heavy_hitters in-window (point-frequency member); incremental exact-dedup keeps streaming_dedup_watermark + incremental_neardup_lsh in-window; the filter contract stays pinned by tests/test_corpus_ops.py (zero-false-negative + fp-bound checks) + the local artifact
     # --- rotated out end-r6 (slots yielded to the session's THREE new
     # ops — timeseries_gapfill / weighted_priority_sample /
     # unicode_nfc_normalize, first driver rows; same convention as
     # every prior swap: each demotion carries a driver-green r5 row,
     # an unchanged implementation, local-artifact row coverage, and an
     # in-window family representative) ---
-    "unigram_logprob_quality",   # green r5; LM-quality family keeps bigram_backoff_quality (strictly richer: held-out bigram backoff) + logreg_quality_fit in-window
     # --- and to the session's second trio — triangle_clustering_coeff /
     # schema_evolution_merge / hive_partition_pruning (first driver rows) ---
-    "dedup_clusters_star",       # green r5; the pair-graph family keeps pagerank_neardup_graph (capped SimHash bands) + the NEW triangle_clustering_coeff (verified-Jaccard edges) in-window; star-contraction semantics stay pinned by tests/test_clusters.py + the local artifact
-    "zorder_layout_skipping",    # green r5; layout family keeps the NEW hive_partition_pruning (directory-level pruning — the coarser, bigger lever) + length_bucket_batching in-window; within-file skipping stays pinned by tests/test_layout_ops.py + the local artifact
-    "boilerplate_span_removal",  # green r5; span-window machinery in-window via substring_dedup_windows (same stride span index); corpus family also holds domain_cap_sampling + length_bucket_batching
-    "token_budget_selection",    # green r5; selection family keeps dsir_importance_select + temperature_mixture_select + domain_cap_sampling + the NEW weighted_priority_sample in-window; its distributed-rank machinery also in-window via exact_global_quantiles (same two-phase ranked_running_sum)
-    "vocab_top_coverage",        # green r5; vocabulary family keeps bpe_encode_vocab (subword vocab + corpus frequencies — the richer form) + bpe_pair_stats in-window
     # --- rotated out late-r6 (slots yielded to the THREE new
     # selection-family ops in selection_plans — dsir_importance_select /
     # cms_heavy_hitters / cluster_balanced_sample, first driver rows;
@@ -177,7 +207,6 @@ _DEMOTED = (
     "dedup_minhash_lsh",         # green r2-r5 (4 rounds); MinHash+LSH banding machinery in-window via incremental_neardup_lsh (probes the SAME band-key index batch-vs-history) + dedup_clusters_star (components over the pair graph); exact band/verify semantics stay pinned by tests/test_dedup_cap.py and the local artifact
     # --- rotated out mid-r6 (slot yielded to bigram_backoff_quality —
     # held-out stupid-backoff LM scoring, first driver row) ---
-    "dedup_exact",               # green r1-r5 (ALL 5 rounds — the repo's most-proven row); exact-dedup family in-window via bloom_incremental_filter (exact-hash membership), streaming_dedup_watermark (exact-key in-stream), substring_dedup_windows (exact window identity), merge-sink tests (replay idempotence)
     # --- rotated out r6 (slots yielded to the 15 never-checked) ---
     "run_summary_rollup",        # green r1-r5 (5 rounds); grouped multi-agg + conditional counts covered in-window by tpch_q12_late_shipments (promoted r6) + tpch_q9_product_profit
     "incremental_scan",          # green r1-r5 (5 rounds); pushdown scan-agg covered in-window by tpch_q6_forecast_revenue (promoted r6, PushedFilters-pinned)
@@ -188,9 +217,7 @@ _DEMOTED = (
     "wide_projection",           # green r1+r2+r5; P2/P3 rename surface covered by csv_ingest_coerced (promoted r6: all-string read + full coercion projection)
     "denorm_join",               # green r1+r2+r5; 3-table denormalize covered in-window by tpch_q2_best_supplier (4-table join + argmax) and q9/q8
     "supplier_nation_rollup",    # green r1+r5; COUNT(DISTINCT) rollup covered in-window by tpch_q16_supplier_cnt (promoted r6: COUNT(DISTINCT)+anti join superset)
-    "grouping_sets_orders",      # green r1+r3-r5 (4 rounds); grouping machinery family rep — table_profile_stats (promoted r6) carries the multi-agg-one-scan shape
     "json_flatten_input_data",   # green r1+r2+r5; JS1/F7-F10 coercion ladder covered in-window by csv_ingest_coerced (same safe_* ladder over ingested strings) + jsonl_roundtrip_ingest
-    "lang_id_stopwords",         # green r1-r3+r5 (4 rounds); text family keeps unigram_logprob_quality / vocab_top_coverage in-window
     "doc_fingerprint",           # green r1+r2+r4+r5 (4 rounds); rolling-hash fingerprint covered by dedup_exact + train_test_split_hash (promoted r6, arithmetic-hash oracle)
     "similarity_srp_lsh",        # green r2-r5 (4 rounds); LSH family rep in-window: incremental_neardup_lsh (band-bucket probe) + ann_ivf_scaled production path
     "text_redact",               # green r2-r5 (4 rounds); regex-surface rep — text family coverage noted at lang_id_stopwords; jsonl quarantine (promoted r6) keeps the malformed-input path hard-checked
@@ -207,10 +234,6 @@ _DEMOTED = (
     # multiple prior driver-green rounds and an in-window family rep):
     "exact_percentiles",         # r3+r4 green; quantile family rep in-window: approx_aggregates (rank brackets)
     # yielded its slot to the NEW bloom_incremental_filter:
-    "topk_per_group",            # green r1-r4 (4 rounds); partitioned window ranking covered in-window by tpch_q20 (rank+semi-join), scd2_version_chain (lag windows), token_budget_selection (distributed rank)
-    "tpch_q21_waiting_supplier", # green r1-r4 (4 rounds); correlated EXISTS/NOT-EXISTS + window covered by tpch_q20 (semi-join window) and q8/q9
-    "pricing_summary",           # green r1-r4 (4 rounds); grouped multi-agg with conditional sums covered by run_summary_rollup + supplier_nation_rollup
-    "tpch_q7_volume_shipping",   # r3+r4 green; two-nation-role join is a subplan of tpch_q8 market share (in-window)
     # yielded their slots to the two NEW corpus-construction ops
     # (boilerplate_span_removal / token_budget_selection — first-ever
     # driver rows beat a fifth green row; both demotions carry four
@@ -225,11 +248,6 @@ _DEMOTED = (
     # here mid-r5 as new registrations; ALL promoted r6 — see the
     # round-6 rotation block at the top.)
     # rotated out r5 (r1+r4 double-green function demos):
-    "string_functions",          # NULL-concat/case ladder covered by timeline_union + coercion_kitchen_sink
-    "datetime_functions",        # EXTRACT/ROUND time math covered by session_window_agg + asof_join_last_event
-    "ranking_functions",         # rank/dense_rank/lag family covered by topk_per_group + scd2_version_chain windows
-    "null_handling_functions",   # COALESCE/NULLIF/NVL ladder covered by coercion_kitchen_sink + json_flatten_props
-    "set_ops_membership",        # INTERSECT/EXCEPT covered by timeline_union dedup keys + merge_replay_dedup
     "having_large_orders",       # post-agg HAVING covered by tpch_q21 + run_summary_rollup
     "sql_api_segment_revenue",   # spark.sql() surface; same rollup shape as pricing_summary (in-window)
     "promo_revenue_share",       # single-row conditional-share agg covered by pricing_summary's conditional sums
@@ -257,7 +275,6 @@ _DEMOTED = (
     "semantic_dedup",            # green r3+r4; in-window superset: semantic_dedup_scaled (production BLAS kernel, corpus-sized k, same earliest-id-wins semantics)
     # yielded its slot to the NEW pca_top_component (distributed PCA
     # under the invariant-boolean oracle — a first-ever driver row):
-    "coercion_kitchen_sink",     # green r1-r4 (4 rounds); safe_get/safe_bool/safe_numeric surface also exercised in-window by json_flatten_input_data (promoted r5, 12-key allowlist + safe casts)
     # yielded its slot to the NEW incremental_neardup_lsh (batch-vs-
     # history LSH probe — a first-ever driver row for the incremental
     # dedup shape):

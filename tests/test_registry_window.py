@@ -12,233 +12,68 @@ from etl_pipe_spark.plans.catalog import _DEMOTED, REGISTRY, _load_all, queries
 DRIVER_WINDOW = 50
 
 FLAGSHIPS = [
-    # LLM-data-pipeline north stars (VERDICT r01 "no hard-signal row").
-    # dedup_exact rotated out mid-r6 after FIVE green rounds (slot
-    # yielded to bigram_backoff_quality); the exact-dedup family stays
-    # hard-checked via bloom_incremental_filter, streaming_dedup_watermark
-    # and substring_dedup_windows.  dedup_minhash_lsh followed after
-    # FOUR green rounds (slot yielded to logreg_quality_fit); the
-    # banding machinery stays hard-checked via incremental_neardup_lsh.
-    # dedup_simhash rotated out r6 after four green rounds — yielded to
-    # ivfpq_index_persisted; dedup_clusters_star star-contracts the
-    # simhash pair graph, keeping the machinery hard-checked.
-    # similarity_srp_lsh / text_redact rotated out r6 after four green
-    # driver rounds each; incremental_neardup_lsh + ann_ivf_scaled hold
-    # the LSH/ANN families, the jsonl quarantine path holds regex-surface.
-    # doc_chunking rotated out r6 after four green rounds — it yielded
-    # its slot to bm25_retrieval; sequence_packing + boilerplate spans
-    # keep the chunk/packing family in-window.
-    # multimodal_features rotated out late-r6 after FOUR green rounds
-    # (slot yielded to the selection trio below); the Arrow-batched
-    # python surface stays hard-checked via the ann/pq/sq8 mapInArrow
-    # kernels, and the binary-column plumbing via tests/test_multimodal.py.
-    # tfidf_top_terms / dedup_ngram_jaccard / corpus_curation_pipeline /
-    # multimodal_frame_sample rotated out mid-r6 after 2-4 green driver
-    # rounds each, yielding slots to the four new corpus_plans2 ops
-    # below; bm25_retrieval (tf-idf superset), dedup_minhash_lsh
-    # (jaccard verify stage), the per-stage pipeline reps, and
-    # multimodal_features hold their families in-window.
-    # pandas_group_zscore / contamination_check rotated out mid-r6
-    # after 3-4 green rounds, yielding to the maintenance pair below;
-    # the Arrow-batched python surface stays hard-checked via
-    # the ann/pq mapInArrow kernels, and the n-gram collision
-    # machinery via substring_dedup_windows.
-    # approx_aggregates rotated out late-r6 after TWO green rounds
-    # (slot yielded to the selection trio); the sketch family keeps
-    # cms_heavy_hitters + bloom_incremental_filter in-window.
-    # dedup_clusters / semantic_dedup rotated out late r5 under the
-    # superset convention: dedup_clusters_star (same pair graph,
-    # two-phase star contraction) and semantic_dedup_scaled (the
-    # production BLAS kernel) hold their families' hard signal.
-    # Round-3 corpus-construction flagships — first driver rows pending.
-    # quality_repetition_filter rotated out mid-r6 after 3 green rounds
-    # (slot yielded to sq8_ann_rerank); unigram_logprob_quality +
-    # token_budget_selection keep the quality family in-window.
-    # sequence_packing rotated out late-r6 after TWO green rounds
-    # (slot yielded to the selection trio); length_bucket_batching +
-    # token_budget_selection keep the packing family in-window.
-    # Round-4: the full Lloyd loop registered as a rows-only query.
+    # ROUND-7 WINDOW (the r6 verdict's item 3 rotation executed; the
+    # full history of every swap lives in catalog._DEMOTED's notes).
+    # This list pins the COMPLETE intended 50-slot window so any
+    # future registration or demotion that would silently evict a
+    # member fails here first.
+    #
+    # Production flagships — pinned in-window EVERY round:
     "kmeans_fit_clusters",
-    # Round-5: the production BLAS kernels under driver check (the r4
-    # verdict's top item) — corpus-sized k, vectorized assignment,
-    # per-cell matmul scoring, exact dynamic-k oracles.
     "ann_ivf_scaled",
     "semantic_dedup_scaled",
-    # ann_kmeans_recall_lift rotated out late-r6 after its green r5 row
-    # (most expensive registry query — two full IVF passes by design);
-    # covered in-window by ann_ivf_scaled + kmeans_fit_clusters.
-    # Round-5: the high-diameter star-contraction components algorithm
-    # (green r5) rotated out end-r6 — slot yielded to
-    # triangle_clustering_coeff; pagerank + triangle keep the
-    # pair-graph family in-window, star contraction stays pinned by
-    # tests/test_clusters.py.
-    # Round-5: product-quantized ANN (IVFADC's compressed-index leg)
-    # with exact codebook/code/ranking oracle + reconstruction bound,
-    # and the fused-Lloyd codebook fit under invariant-boolean check.
     "pq_ann_adc",
-    # pq_fit_quality rotated out late-r6 after its green r5 row; four
-    # PQ-family reps stay in-window (pq_ann_adc + the ivfpq trio).
-    # Mid-r5: the TPC-H completion trio takes the slots of the three
-    # queries whose production-scale superset is already in-window
-    # (similarity_ann_ivf / similarity_topk_cosine -> ann_ivf_scaled,
-    # kmeans_update_step -> kmeans_fit_clusters).
-    # tpch_q8_market_share / q9 / q20 rotated out late-r6 after one
-    # green round each — slots yielded to pagerank_neardup_graph,
-    # temperature_mixture_select, and bloom_join_pruning; five TPC-H
-    # reps remain in-window (q2/q6/q11/q12/q16).
-    # Mid-r5: corpus-construction additions — RefinedWeb-style span
-    # boilerplate removal and token-budget curriculum selection
-    # (first driver rows; tpch_q10 / json_flatten_props yielded after
-    # four green driver rounds each).
-    # boilerplate_span_removal / token_budget_selection (green r5)
-    # rotated out end-r6 — slots yielded to schema_evolution_merge and
-    # the session trio; substring_dedup_windows (span windows),
-    # dsir/temperature/domain-cap (selection), and
-    # exact_global_quantiles (two-phase rank) hold their families.
-    # dedup_simhash_pairs / embedding_neardup_pairs / mixture_sampling
-    # rotated out after TWO green driver rounds; each category keeps an
-    # in-window representative (dedup_simhash, semantic_dedup, the
-    # curation pipeline's sampling stage).
-    # Late-r5: corpus-serving + model-prep quartet — deterministic
-    # global shuffle/shard packing, vocabulary coverage audit, unigram
-    # LM quality score, and the distributed Gram (PCA) kernel.  First
-    # driver rows; exact_percentiles / tpch_q21 / pricing_summary /
-    # tpch_q7 yielded after 2-4 green driver rounds each, every one
-    # with an in-window family rep (see catalog._DEMOTED notes).
-    # corpus_shuffle_shards rotated out late-r6 after its green r5 row
-    # (train_test_split_hash carries the portable key-hash order
-    # in-window; length_bucket_batching the packing shape).
-    # vocab_top_coverage / unigram_logprob_quality /
-    # embedding_gram_matrix (green r5) rotated out end-r6 — slots
-    # yielded to the session's new ops; bpe_encode_vocab (subword
-    # vocab + frequencies), bigram_backoff_quality + logreg_quality_fit
-    # (LM-quality family), and kmeans/logreg/sq8 (numeric kernels)
-    # hold their families in-window.
-    # Bloom incremental-dedup index (build = bit_or OR-reduce, probe =
-    # broadcast join) under the invariant-boolean oracle; topk_per_group
-    # yielded after four green driver rounds (window ranking covered by
-    # tpch_q20 / scd2_version_chain / token_budget_selection in-window).
-    # bloom_incremental_filter (green r5) rotated out end-r6 — slot
-    # yielded to mmr_diversified_retrieval; cms_heavy_hitters keeps
-    # the sketch family, streaming_dedup_watermark +
-    # incremental_neardup_lsh the incremental-dedup family.
-    # Late-r5: end-to-end distributed PCA (gram partials -> driver
-    # dim x dim eigh -> projection pass) under the invariant-boolean
-    # oracle; coercion_kitchen_sink yielded after four green driver
-    # rounds (safe-coercion surface kept in-window by
-    # json_flatten_input_data).
-    # pca_top_component rotated out late-r6 after its green r5 row
-    # (embedding_gram_matrix carries the shared gram kernel in-window).
-    # Late-r5: incremental near-dup (new batch probed against the
-    # historical LSH index — band-bucket join, never a history
-    # self-join); timeline_union yielded after four green driver
-    # rounds (union machinery kept in-window by merge_replay_dedup).
-    "incremental_neardup_lsh",
-    # Late-r5: storage-layout pair — Z-order (Morton) clustering with
-    # the per-bin prunability audit, and length-bucketed batching with
-    # exact padding-waste accounting; dedup_clusters / semantic_dedup
-    # yielded under the superset convention (notes above).
-    # zorder_layout_skipping (green r5) rotated out end-r6 — slot
-    # yielded to hive_partition_pruning (directory-level pruning, the
-    # coarser lever); within-file skipping stays pinned by
-    # tests/test_layout.py.
-    "length_bucket_batching",
-    # Round-6: every never-driver-checked registration promoted — the
-    # combined IVFADC pair (the r5 flagship production paths), the
-    # in-stream bounded-state dedup, the three ingest round-trips, the
-    # three monitoring ops, the deterministic hash split, and the five
-    # remaining TPC-H shapes.  After this round the never-checked set
-    # is empty.
     "ivfpq_ann_adc",
     "ivfpq_rerank",
-    "streaming_dedup_watermark",
-    "jsonl_roundtrip_ingest",
-    "csv_ingest_coerced",
-    "orc_roundtrip_ingest",
-    "table_profile_stats",
-    "dq_audit_violations",
-    "snapshot_diff_cdc",
-    "train_test_split_hash",
-    "tpch_q2_best_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q16_supplier_cnt",
-    # Round-6 NEW: Okapi BM25 top-k retrieval — the query-scored
-    # counterpart to tfidf_top_terms; doc_chunking yielded after four
-    # green rounds (sequence_packing + boilerplate_span_removal keep
-    # the chunk/packing family in-window).
-    "bm25_retrieval",
-    # Round-6 NEW: persisted IVFPQ index build+search round trip under
-    # the exact IVFADC ranking oracle (operators/index_store.py).
     "ivfpq_index_persisted",
-    # Round-6 NEW: the corpus_plans2 quartet — ExactSubstr rolling-
-    # window dedup (Lee et al. 2022), RefinedWeb per-domain cap
-    # sampling, BPE merge-pair statistics, and int8 scalar quantization
-    # of the embedding table (first driver rows).
-    "substring_dedup_windows",
-    "domain_cap_sampling",
-    "bpe_pair_stats",
-    "sq8_embedding_quantization",
-    # Round-6 NEW: the maintenance pair — incremental aggregate
-    # maintenance (algebraic partial-merge, proven equal to recompute)
-    # and blocked edit-distance record linkage (first driver rows).
-    "incremental_rollup_merge",
-    "fuzzy_join_blocked",
-    # Round-6 NEW: the SQ8 search leg — asymmetric int8 ANN with exact
-    # expression-fold rerank and an in-query recall certificate.
+    "incremental_neardup_lsh",
+    "streaming_dedup_watermark",
+    # r7 carryovers holding their family's hard signal (green r6):
+    "tpch_q2_best_supplier",
+    "bm25_retrieval",
     "sq8_ann_rerank",
-    # Round-6 NEW: held-out bigram stupid-backoff LM quality scoring
-    # (the KenLM-shaped CCNet filter with a real OOV/backoff path).
-    "bigram_backoff_quality",
-    # Round-6 NEW: distributed logistic-regression quality-classifier
-    # fit (full-batch GD, fixed-point-deterministic gradient trace).
     "logreg_quality_fit",
-    # Late-r6 NEW: the selection trio — DSIR hashed-n-gram importance
-    # resampling (Xie et al. 2023), count-min heavy hitters (the
-    # point-frequency sketch next to HLL/KLL/Bloom), and IVF-cell-
-    # balanced diversity sampling (first driver rows).
+    "csv_ingest_coerced",
+    "orc_roundtrip_ingest",     # the one never-green row; r7 carries the tz-free fix
+    "schema_evolution_merge",
+    "snapshot_diff_cdc",
     "dsir_importance_select",
     "cms_heavy_hitters",
-    "cluster_balanced_sample",
-    # Late-r6 NEW: exact fixed-point PageRank over the SimHash
-    # near-dup graph — the graph-centrality family's first member,
-    # hash-checked against an unrolled 8-iteration CTE oracle.
-    "pagerank_neardup_graph",
-    # Late-r6 NEW: data-derived temperature mixing (integer-sqrt
-    # quotas) and map-side Bloom semi-join reduction (the oracle runs
-    # the UNOPTIMIZED join — the hash match proves the pruning is
-    # semantics-preserving).
     "temperature_mixture_select",
-    "bloom_join_pruning",
-    # Late-r6 NEW: the FULL iterative BPE trainer (8 unrolled merge
-    # rounds, separator-anchored greedy replace — hash-exact across
-    # engines) and exact nearest-rank global percentiles via the
-    # two-phase distributed rank.
-    "bpe_train_merges",
-    "exact_global_quantiles",
-    "bpe_encode_vocab",
-    # Late-r6 NEW: windowed co-occurrence collocations with PMI —
-    # map-side nested-transform pair generation (no positional
-    # self-join), marginals joined AFTER the top-K cut.
-    "cooccurrence_pmi",
-    # End-r6 NEW (this session): the pipeline-breadth batch — hourly
-    # gap-fill resample with LOCF, Duffield-Lund-Thorup priority
-    # sampling, Arrow-batched NFC normalization vs utf8proc,
-    # degree-oriented triangle counting + clustering coefficient on
-    # the VERIFIED near-dup graph, mergeSchema evolution read,
-    # hive-partitioned write + planning-time pruning, the ordered
-    # view->click->purchase funnel, and greedy MMR re-ranking of the
-    # BM25 shortlist via the cogrouped Arrow shape (first driver rows
-    # all eight).
-    "timeseries_gapfill",
-    "weighted_priority_sample",
-    "unicode_nfc_normalize",
+    "pagerank_neardup_graph",   # fresh post-cap bench row wanted (r6 verdict nit 3)
     "triangle_clustering_coeff",
-    "schema_evolution_merge",
-    "hive_partition_pruning",
+    "bpe_train_merges",
+    "bpe_encode_vocab",
+    "timeseries_gapfill",       # r7: day-chunked spine lands this round
     "event_funnel_conversion",
-    "mmr_diversified_retrieval",
+    # r7 NEW registrations (first driver rows pending):
+    "pagerank_persisted_edges",
+    "triangle_persisted_pairs",
+    "sq8_index_persisted",
+    # r7 promotions — longest-stale demotions back for fresh rows
+    # (staleness ceiling: every registered query has a driver row
+    # within the last 2 rounds after this window runs):
+    "string_functions",
+    "datetime_functions",
+    "ranking_functions",
+    "null_handling_functions",
+    "set_ops_membership",
+    "topk_per_group",
+    "pricing_summary",
+    "tpch_q21_waiting_supplier",
+    "tpch_q7_volume_shipping",
+    "dedup_clusters_star",
+    "boilerplate_span_removal",
+    "token_budget_selection",
+    "vocab_top_coverage",
+    "unigram_logprob_quality",
+    "embedding_gram_matrix",
+    "bloom_incremental_filter",
+    "zorder_layout_skipping",
+    "coercion_kitchen_sink",    # fresh row over the r7 grammar-gated safe_* ladders
+    "dedup_exact",
+    "grouping_sets_orders",
+    "lang_id_stopwords",
 ]
 
 
