@@ -212,3 +212,97 @@ def load_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def jdbc_execute(spark: SparkSession, url: str, statements: list[str],
+                 driver: str | None = None) -> list[int]:
+    """Server-side statement execution over one short-lived connection
+    (reference db.py:33-51 S2: cursor.execute against the target).
+    Returns the update count per statement."""
+    jvm = spark.sparkContext._jvm
+    if driver:
+        jvm.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            return [st.executeUpdate(s) for s in statements]
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def _q(name: str) -> str:
+    """Quote an identifier the way Spark's JDBC dialect did at CREATE
+    TABLE time (double quotes), so hand-written statements hit the
+    same case-sensitive column names."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def jdbc_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    update_cols: list[str],
+    *,
+    staging: str | None = None,
+    batchsize: int = 500,
+    use_merge: bool = True,
+    driver: str | None = None,
+) -> None:
+    """Batched set-based UPSERT into a JDBC target — the reference's
+    ``INSERT ... ON CONFLICT (key) DO UPDATE SET <mutable cols>``
+    (db.py:68-76 execute_values + load.py:30-79), re-expressed for
+    engines without Postgres' ON CONFLICT:
+
+    1. stage the batch through the batched JDBC writer (one temp
+       table, ``batchsize``-paged inserts — the execute_values leg);
+    2. one server-side ``MERGE INTO target USING staging`` updating
+       ONLY ``update_cols`` on match (the reference updates just the
+       mutable fields, never the whole row) and inserting full rows
+       when absent;
+    3. where the dialect lacks MERGE (``use_merge=False`` — the
+       max-portability path), the same semantics as two set-based
+       statements: a correlated UPDATE of the matched rows' mutable
+       columns, then an INSERT of the staging anti-join
+       (``NOT EXISTS``) — insert-if-absent, operators/merge.py's L4
+       contract on the server side.
+
+    The batch must be key-unique (dedupe with
+    operators.merge._latest_per_key first): both MERGE and Postgres'
+    ON CONFLICT reject a statement that touches the same target row
+    twice, so replay dedup happens BEFORE the sink, identically to
+    the reference pipeline's per-key latest-wins collapse.
+    """
+    staging = staging or f"{table}_stage"
+    write_jdbc(df, url, staging, mode="overwrite", batchsize=batchsize,
+               **({"driver": driver} if driver else {}))
+    cols = df.columns
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+    if use_merge:
+        sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in update_cols)
+        ins_cols = ", ".join(_q(c) for c in cols)
+        ins_vals = ", ".join(f"s.{_q(c)}" for c in cols)
+        jdbc_execute(spark, url, [
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        ], driver=driver)
+    else:
+        exists = (f"SELECT 1 FROM {staging} s WHERE {on}")
+        set_subqs = ", ".join(
+            f"{_q(c)} = (SELECT s.{_q(c)} FROM {staging} s WHERE {on})"
+            for c in update_cols
+        )
+        ins_cols = ", ".join(_q(c) for c in cols)
+        sel_cols = ", ".join(f"s.{_q(c)}" for c in cols)
+        anti = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+        jdbc_execute(spark, url, [
+            f"UPDATE {table} t SET {set_subqs} WHERE EXISTS ({exists})",
+            f"INSERT INTO {table} ({ins_cols}) SELECT {sel_cols} "
+            f"FROM {staging} s WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {table} t WHERE {anti})",
+        ], driver=driver)
