@@ -19,11 +19,14 @@ Plan shape (three narrow shuffles, all on bounded keys):
    per-user ordered window (``last(value, ignorenulls=True)``)
    forward-fills.
 
-Scale (100 TB): the spine's per-user array is span-hours long; for
-multi-year spans at minute grain the single ``sequence`` array would
-get large — the refinement is to split spans into (user, day) chunks
-first (same two expressions, one more explode) so each generated array
-is bounded, which keeps the operator linear with no skew.  The
+Scale (100 TB): a single per-user ``sequence(lo, hi)`` array is
+span-hours long — multi-year spans at minute grain would buffer a
+hundred-thousand-element array in one row — so the spine generator
+DAY-CHUNKS the span first (``chunked_hour_spine``: explode into
+(user, day) chunks, then hours clamped to the span within each
+chunk); every generated array is bounded (<= 24 inner entries) and
+both explodes stay map-side, keeping the operator linear with no
+skew and no oversized row buffers.  The
 forward-fill window partitions by user — the same per-key windows
 every SCD-2/session query here uses; no global ordering anywhere.
 
@@ -80,6 +83,42 @@ ORDER BY s.user_id, s.bucket
 """
 
 
+def chunked_hour_spine(span: DataFrame) -> DataFrame:
+    """(user_id, lo, hi) -> dense hourly (user_id, bucket) spine via
+    DAY-CHUNKED generation (round 7 — the refinement the module
+    docstring names): explode the span into (user, day) chunks first,
+    then generate hours within each chunk clamped to [lo, hi].
+
+    Identical rows to the single ``sequence(lo, hi, 1 HOUR)`` spine
+    (pinned by tests/test_timeseries_ops.py), but every generated
+    array is bounded — <= 24 entries per inner row, span-days per
+    outer row — so a user spanning years at minute grain materializes
+    thousands-of-rows, never a hundred-thousand-element array in one
+    row buffer.  Both explodes are map-side (no shuffle added).
+    """
+    days = span.select(
+        "user_id", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("lo")),
+                F.date_trunc("day", F.col("hi")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    return days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("day"), F.col("lo")),
+                F.least(F.col("day") + F.expr("INTERVAL 23 HOURS"),
+                        F.col("hi")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+
+
 @register("timeseries_gapfill", oracle=_GAPFILL_ORACLE)
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly resample of the event stream with gap rows + LOCF."""
@@ -102,12 +141,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = agg.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
-    spine = span.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("bucket"),
-    )
+    spine = chunked_hour_spine(span)
     w = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
