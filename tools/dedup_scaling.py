@@ -159,7 +159,7 @@ def gen_embeddings_zipf(n: int, seed: int = 11, hot_frac: float = 0.10,
     return out_dir
 
 
-def zipf_sweep(scales: list[int]) -> None:
+def zipf_sweep(scales: list[int], corpora_tags: list[str] | None = None) -> None:
     """Hot-cell stress: run the production vector kernels on the
     Zipf-clustered corpus, reporting the realized max cell size along
     with wall time — the quantity that would go quadratic/OOM if the
@@ -175,9 +175,12 @@ def zipf_sweep(scales: list[int]) -> None:
     from etl_pipe_spark.session import get_spark
 
     spark = get_spark("zipf-scaling")
-    corpora = (
-        ("zipf-hot10pct", dict(hot_jitter=0.01, tag="z")),
-        ("dup-spike10pct", dict(hot_jitter=0.0, tag="s")),
+    corpora = tuple(
+        c for c in (
+            ("zipf-hot10pct", dict(hot_jitter=0.01, tag="z")),
+            ("dup-spike10pct", dict(hot_jitter=0.0, tag="s")),
+        )
+        if corpora_tags is None or c[1]["tag"] in corpora_tags
     )
     for n in scales:
         for corpus, gen_kw in corpora:
@@ -556,6 +559,9 @@ def main() -> None:
     ap.add_argument("--zipf-scales", default=None,
                     help="run ONLY the Zipf hot-cell stress sweep at these "
                          "sizes (e.g. 250000,1000000)")
+    ap.add_argument("--zipf-corpora", default="z,s",
+                    help="which zipf corpora to run: z (hot cluster), "
+                         "s (exact-dup spike), or z,s")
     ap.add_argument("--corpus6-scales", default=None,
                     help="run ONLY the round-6 corpus-quartet sweep at these "
                          "sizes (e.g. 5000,50000,250000)")
@@ -577,7 +583,8 @@ def main() -> None:
         corpus6_sweep([int(s) for s in args.corpus6_scales.split(",")])
         return
     if args.zipf_scales:
-        zipf_sweep([int(s) for s in args.zipf_scales.split(",")])
+        zipf_sweep([int(s) for s in args.zipf_scales.split(",")],
+                   corpora_tags=args.zipf_corpora.split(","))
         return
     if args.vector_scales:
         vector_sweep([int(s) for s in args.vector_scales.split(",")],

@@ -134,6 +134,13 @@ EXTRA_PLANS = [
     "event_funnel_conversion",
     "mmr_diversified_retrieval",
     "triangle_clustering_coeff",
+    # r7 persisted forms: the plans must show the graph/search stages
+    # reading a FileScan parquet of the edge/code tables — lineage is
+    # the FILES, not the dedup pipeline that produced them (the
+    # amortization these registrations exist to certify)
+    "pagerank_persisted_edges",
+    "triangle_persisted_pairs",
+    "sq8_index_persisted",
 ]
 # bpe_train_merges / bpe_encode_vocab are omitted like
 # kmeans_fit_clusters: both run the 8-round merge loop (one 1-row
@@ -184,6 +191,32 @@ def main() -> None:
         from etl_pipe_spark.plans.graph_plans import triangle_clustering_coeff
         lazy_forms["triangle_clustering_coeff"] = (
             lambda s, d: triangle_clustering_coeff(s, d, checkpoint=False))
+        # r7 persisted forms: write the edge table eagerly, dump the
+        # LAZY graph stages over the reloaded files (iters=1 for the
+        # pagerank convention noted above)
+        from etl_pipe_spark.plans.graph_plans import (
+            PR_BUCKET_CAP, _pagerank_over_pairs, _write_edge_table)
+        from etl_pipe_spark.plans.ingest_plans import _io_dir
+
+        def _pagerank_persisted_lazy(s, d):
+            from etl_pipe_spark.plans.text_plans2 import dedup_simhash_pairs
+            pairs = dedup_simhash_pairs(
+                s, d, bucket_cap=PR_BUCKET_CAP).select("left_id", "right_id")
+            stored = _write_edge_table(
+                s, pairs, _io_dir(d, "neardup_edges_simhash"))
+            return _pagerank_over_pairs(s, d, stored, checkpoint=False,
+                                        iters=1)
+
+        def _triangle_persisted_lazy(s, d):
+            from etl_pipe_spark.plans.dedup_plans import dedup_minhash_lsh
+            pairs = dedup_minhash_lsh(s, d).select("left_id", "right_id")
+            stored = _write_edge_table(
+                s, pairs, _io_dir(d, "neardup_edges_verified"))
+            return triangle_clustering_coeff(s, d, pairs=stored,
+                                             checkpoint=False)
+
+        lazy_forms["pagerank_persisted_edges"] = _pagerank_persisted_lazy
+        lazy_forms["triangle_persisted_pairs"] = _triangle_persisted_lazy
         for name in HEADLINE + [n for n in EXTRA_PLANS if n not in HEADLINE]:
             df = lazy_forms.get(name, qs[name])(spark, SF_DIR)
             buf = io.StringIO()
