@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 99 names: 149 registered − 99 demoted = 50 in-window
+# Exactly 102 names: 152 registered − 102 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -91,6 +91,22 @@ _PLAN_MODULES = (
 # row-level coverage in docs/CORRECTNESS_local_r{N}.json, and an
 # in-window family representative (noted per line).
 _DEMOTED = (
+    # ROUND-8 ROTATION QUEUE (written mid-r7): after CORRECTNESS_r07
+    # lands, the 21 promotions + 3 new registrations below will all
+    # carry fresh rows.  First in line to return next round (longest
+    # since last driver green): the r4-green demotions that missed
+    # this window (stats_moments, tpch_q4/q15/q17/q18/q22,
+    # cube_lineitem, window_frames, sliding_window_agg,
+    # range_join_bucketed, skew_salted_join, tpch_q13, tpch_q19 —
+    # last green r4, three rounds stale by then), then the r5 greens
+    # still out (exact_percentiles, tpch_q10, json_flatten_props,
+    # similarity_ann_ivf, kmeans_update_step, similarity_topk_cosine,
+    # corpus_shuffle_shards, approx_aggregates, sequence_packing,
+    # pca_top_component, pq_fit_quality, ann_kmeans_recall_lift,
+    # tfidf_top_terms...), then this round's single-green demotions.
+    # Keep the production flagships (ann/semantic/kmeans/ivfpq/
+    # streaming-dedup + the persisted index forms) pinned in-window.
+    #
     # ROUND-7 ROTATION (the r6 verdict's item 3, executed in full):
     # 24 in-window slots yielded — 21 to the longest-stale demotions
     # returning for fresh driver rows (the five r1-green function
