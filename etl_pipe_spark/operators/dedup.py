@@ -238,7 +238,8 @@ def jaccard_pairs_capped(sharr: DataFrame, threshold: float, max_df: int) -> Dat
 
 
 def jaccard_verify(sharr: DataFrame, candidates: DataFrame,
-                   threshold: float) -> DataFrame:
+                   threshold: float,
+                   sharr_right: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for candidate pairs via array intersection.
 
     Two equi-joins pull each side's shingle ARRAY onto the candidate
@@ -247,9 +248,16 @@ def jaccard_verify(sharr: DataFrame, candidates: DataFrame,
     cost is |candidates| x shingles-per-doc with zero wide stages
     beyond the two hash joins.  Exactly equivalent to the exploded
     intersection count (arrays are per-doc distinct).
+
+    ``sharr_right`` serves the cross-set (history-vs-batch) probe:
+    left_ids resolve against ``sharr`` (e.g. a PERSISTED shingle
+    store) and right_ids against the batch's own arrays — a re-ingested
+    doc id present on both sides then resolves each side exactly once
+    instead of fanning out through a unioned frame.
     """
     a = sharr.select(F.col("doc_id").alias("left_id"), F.col("shingles").alias("__sh_a"))
-    b = sharr.select(F.col("doc_id").alias("right_id"), F.col("shingles").alias("__sh_b"))
+    b = (sharr if sharr_right is None else sharr_right).select(
+        F.col("doc_id").alias("right_id"), F.col("shingles").alias("__sh_b"))
     inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     jac = inter.cast("double") / (
         F.size("__sh_a") + F.size("__sh_b") - inter

@@ -357,3 +357,122 @@ def append_to_sq8_index(
         [(total, int(meta["dim"]))], "n_vectors bigint, dim int",
     ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
     return {"appended": n_new, "n_vectors": total}
+
+
+# ---------------------------------------------------------------------------
+# LSH leg: the persisted MinHash band index for incremental near-dup
+# ---------------------------------------------------------------------------
+
+def build_lsh_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    shingle_n: int = 3,
+) -> dict:
+    """Persist the near-dup probe index (round 7, completing the
+    store's trilogy: IVFPQ / SQ8 / LSH):
+
+    * ``bands``    — (doc_id, band, band_key)   docs x N_BANDS rows,
+                     key-clustered by band_key so a probe join reads
+                     bucket-local files
+    * ``shingles`` — (doc_id, shingles)         the verify-stage sets,
+                     key-clustered by doc_id for the candidate lookup
+    * ``meta``     — (n_docs, shingle_n, n_bands, rows_per_band)
+
+    This is exactly what an incremental dedup pipeline keeps warm: a
+    day's batch meets history ONLY through these two tables — history
+    text is never re-shingled, re-hashed, or self-joined again.
+    """
+    from .dedup import (N_BANDS, ROWS_PER_BAND, lsh_band_keys,
+                        minhash_signatures_arrays, shingle_arrays)
+
+    sharr = shingle_arrays(docs, n=shingle_n)
+    n = docs.count()
+    if n == 0:
+        raise ValueError("build_lsh_index: empty document frame")
+    (
+        lsh_band_keys(minhash_signatures_arrays(sharr))
+        .repartition(8, "band_key")
+        .write.mode("overwrite").parquet(_p(path, "bands"))
+    )
+    (
+        sharr.select("doc_id", "shingles")
+        .repartition(8, "doc_id")
+        .write.mode("overwrite").parquet(_p(path, "shingles"))
+    )
+    spark.createDataFrame(
+        [(int(n), int(shingle_n), int(N_BANDS), int(ROWS_PER_BAND))],
+        "n_docs bigint, shingle_n int, n_bands int, rows_per_band int",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
+    return {"n_docs": n, "shingle_n": shingle_n, "n_bands": N_BANDS}
+
+
+def probe_lsh_index(
+    spark: SparkSession,
+    path: str,
+    batch_docs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a new batch against the persisted index: (left_id=history,
+    right_id=batch, jaccard) verified pairs.
+
+    The batch side is shingled/signatured fresh (it is new data); the
+    HISTORY side is two parquet scans — band keys for the bucket join,
+    shingle sets only for the colliding candidates.  Band keys are the
+    same md5 strings whichever side computes them, so an index built
+    by one run and probed by another agrees bucket for bucket (the
+    lsh_probe_pairs contract); a re-ingested doc id is excluded from
+    matching itself.
+    """
+    from .dedup import (jaccard_verify, lsh_band_keys,
+                        minhash_signatures_arrays, shingle_arrays)
+
+    meta = spark.read.parquet(_p(path, "meta")).first()
+    batch_sharr = shingle_arrays(batch_docs, n=int(meta["shingle_n"]))
+    b = lsh_band_keys(minhash_signatures_arrays(batch_sharr)).alias("b")
+    h = spark.read.parquet(_p(path, "bands")).alias("h")
+    cand = (
+        h.join(b, (F.col("h.band") == F.col("b.band"))
+               & (F.col("h.band_key") == F.col("b.band_key"))
+               & (F.col("h.doc_id") != F.col("b.doc_id")))
+        .select(F.col("h.doc_id").alias("left_id"),
+                F.col("b.doc_id").alias("right_id"))
+        .distinct()
+    )
+    hist_sharr = spark.read.parquet(_p(path, "shingles"))
+    return jaccard_verify(hist_sharr, cand, threshold,
+                          sharr_right=batch_sharr.select("doc_id", "shingles"))
+
+
+def append_to_lsh_index(
+    spark: SparkSession,
+    docs_new: DataFrame,
+    path: str,
+) -> dict:
+    """Index increment: shingle/hash ONLY the new docs with the saved
+    parameters and append their band + shingle rows — history files
+    are immutable, daily cost tracks the batch (the same contract as
+    the IVFPQ/SQ8 appends and the Bloom/LSH probe paths)."""
+    from .dedup import (lsh_band_keys, minhash_signatures_arrays,
+                        shingle_arrays)
+
+    meta = spark.read.parquet(_p(path, "meta")).first()
+    sharr = shingle_arrays(docs_new, n=int(meta["shingle_n"]))
+    n_new = docs_new.count()
+    (
+        lsh_band_keys(minhash_signatures_arrays(sharr))
+        .repartition(8, "band_key")
+        .write.mode("append").parquet(_p(path, "bands"))
+    )
+    (
+        sharr.select("doc_id", "shingles")
+        .repartition(8, "doc_id")
+        .write.mode("append").parquet(_p(path, "shingles"))
+    )
+    total = int(meta["n_docs"]) + n_new
+    spark.createDataFrame(
+        [(total, int(meta["shingle_n"]), int(meta["n_bands"]),
+          int(meta["rows_per_band"]))],
+        "n_docs bigint, shingle_n int, n_bands int, rows_per_band int",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
+    return {"appended": n_new, "n_docs": total}

@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 102 names: 152 registered − 102 demoted = 50 in-window
+# Exactly 104 names: 154 registered − 104 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -121,6 +121,16 @@ _DEMOTED = (
     # this block carries an r6 driver-green row, an unchanged
     # implementation, row-level coverage in the per-round local
     # artifact, and an in-window family representative (per line):
+    #
+    # MID-R7 ADDENDUM: two more registrations landed after the
+    # rotation above (lsh_index_persisted — the index store's LSH leg,
+    # completing the IVFPQ/SQ8/LSH persisted trilogy — and
+    # winnowing_fingerprints).  They take their first driver rows
+    # in-window (keeping the never-driver-checked set empty, the r5/r6
+    # convention); the two slots come from r6-green carryovers whose
+    # families stay hard-checked:
+    "cms_heavy_hitters",          # green r6; selection/sketch family keeps dsir_importance_select + temperature_mixture_select + bloom_incremental_filter in-window; CMS error bound stays pinned by tests/test_selection.py
+    "bpe_encode_vocab",           # green r6; BPE family keeps the full trainer in-window (bpe_train_merges — the encoder replays its merge table; kernel stays covered by tests + the local artifact)
     "tpch_q6_forecast_revenue",   # green r6; pushdown scan-agg rep in-window: promoted tpch_q21/q7 + tpch_q2; PushedFilters stays pinned by tests/test_physical_plans.py
     "tpch_q11_important_stock",   # green r6; HAVING-over-scalar-subquery shape covered by promoted tpch_q21 (correlated EXISTS) + grouping_sets_orders
     "tpch_q12_late_shipments",    # green r6; conditional-sum agg covered by promoted pricing_summary (same CASE-sum family) + tpch_q7

@@ -235,6 +235,16 @@ def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sharr.filter(F.col("doc_id") % 5 == 0))
     cand = DD.lsh_probe_pairs(hist_sig, batch_sig)
     verified = DD.jaccard_verify(sharr, cand, threshold=0.5)
+    batch_ids = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("batch_id"))
+    return _neardup_decision(batch_ids, verified)
+
+
+def _neardup_decision(batch_ids: DataFrame, verified: DataFrame) -> DataFrame:
+    """Verified (hist, batch, jaccard) pairs -> the per-batch-doc
+    decision table (best historical match; ties higher jaccard then
+    earliest id; NULLs for clean docs) — shared by the in-query probe
+    and the persisted-index probe."""
     w = W.partitionBy("right_id").orderBy(
         F.col("jaccard").desc(), F.col("left_id"))
     best = (
@@ -242,8 +252,6 @@ def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("right_id", "left_id", "jaccard")
     )
-    batch_ids = docs.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("batch_id"))
     return (
         batch_ids.join(best, batch_ids.batch_id == best.right_id, "left")
         .select(
@@ -254,6 +262,38 @@ def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+@register("lsh_index_persisted", oracle=_duck_incremental_neardup_sql())
+def lsh_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED near-dup probe index (round 7 — the index store's
+    LSH leg, completing the IVFPQ/SQ8/LSH trilogy): build writes the
+    history's band-key and shingle-set tables
+    (operators/index_store.py), then the batch (every 5th doc) is
+    shingled FRESH and probed against the RELOADED files — the same
+    bucket join, exact-Jaccard verify, and decision table as
+    incremental_neardup_lsh, under the identical oracle, certifying
+    that the save/load round trip changes no verdict.
+
+    This is the artifact a daily-ingest dedup stage actually holds:
+    history meets a batch only through the two parquet tables (band
+    keys for the bucket join, shingle sets only for colliding
+    candidates), so a day's cost is |batch| signatures + collisions —
+    history text is never re-shingled, and the index grows by
+    append_to_lsh_index (frozen parameters, immutable history files —
+    tests/test_index_store.py pins the contract).
+    """
+    from ..operators.index_store import build_lsh_index, probe_lsh_index
+    from .ingest_plans import _io_dir
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    path = _io_dir(sf_dir, "lsh_index")
+    build_lsh_index(spark, hist, path)
+    verified = probe_lsh_index(spark, path, batch, threshold=0.5)
+    batch_ids = batch.select(F.col("doc_id").alias("batch_id"))
+    return _neardup_decision(batch_ids, verified)
 
 
 # --------------------------------------------------------------------------

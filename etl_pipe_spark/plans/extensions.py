@@ -357,3 +357,114 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_frames
 
     return sample_frames(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 4   # tokens per k-gram
+WINNOW_W = 4   # k-gram hashes per winnowing window
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         {TX.DUCK_HASH32.format(
+             col=f"array_to_string(w[(t.i):(t.i + {WINNOW_K} - 1)], ' ')")} AS h
+  FROM toks, unnest(range(1, len(w) - {WINNOW_K} + 2)) AS t(i)
+  WHERE len(w) >= {WINNOW_K}
+), counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id
+), spans AS (
+  SELECT doc_id, CAST(t.j AS BIGINT) AS j
+  FROM counts, unnest(range(1, greatest(n_grams - {WINNOW_W} + 1, 1) + 1)) AS t(j)
+), win_min AS (
+  SELECT s.doc_id, s.j, g.pos, g.h,
+         row_number() OVER (PARTITION BY s.doc_id, s.j
+                            ORDER BY g.h ASC, g.pos DESC) AS rn
+  FROM spans s
+  JOIN grams g ON g.doc_id = s.doc_id
+             AND g.pos BETWEEN s.j AND s.j + {WINNOW_W} - 1
+), sel AS (
+  SELECT DISTINCT doc_id, pos, h FROM win_min WHERE rn = 1
+)
+SELECT c.doc_id,
+       c.n_grams,
+       CAST(count(s.pos) AS BIGINT) AS n_fp,
+       CAST(coalesce(sum(s.h), 0) AS BIGINT) AS fp_sum,
+       CAST(min(s.h) AS BIGINT) AS fp_min,
+       CAST(max(s.h) AS BIGINT) AS fp_max
+FROM counts c LEFT JOIN sel s USING (doc_id)
+GROUP BY c.doc_id, c.n_grams
+ORDER BY c.doc_id
+"""
+
+
+@register("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (Schleimer-Wilkerson-Aiken 2003, the MOSS
+    algorithm): per document, hash every {K}-token k-gram, slide a
+    window of {W} consecutive hashes, and select the RIGHTMOST MINIMAL
+    hash of each window — the guaranteed-coverage fingerprint set
+    (every duplicated span of >= W+K-1 tokens shares at least one
+    selected fingerprint between its copies, with expected density
+    2/(W+1)).  The positional selection is what separates this from
+    MinHash: fingerprints localize WHERE the shared span sits, the
+    property plagiarism/overlap detectors need.
+
+    Spark-first shape: everything happens INSIDE the row — the k-gram
+    hashes are one transform over the token array, each window's
+    argmin is a bounded W-element fold (nested higher-order functions,
+    no explode), and the distinct selected set reduces to exact
+    integer aggregates.  Zero shuffles beyond the final orderBy; at
+    100 TB this is a pure map pass, and the selected (doc, pos, hash)
+    rows are what a cross-doc overlap join would consume (the
+    substring_dedup_windows collision-join shape, at ~2/(W+1) the
+    rows).  The DuckDB twin computes the identical selection through
+    the exploded window/argmin formulation — same integers, different
+    decomposition.
+
+    Short documents: with fewer than W k-gram hashes the whole gram
+    list forms ONE window (the standard boundary convention); under K
+    tokens there are no grams and the fingerprint set is empty.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = TX.shingles(F.col("text"), n=WINNOW_K)
+    hs = F.transform(grams, TX.hash32)
+    n = F.size(hs)
+    m = F.greatest(n - F.lit(WINNOW_W) + 1, F.lit(1))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.aggregate(
+                # offsets 1..min(W-1, n-j): fold right neighbours onto
+                # the window's first element (rightmost-minimal wins)
+                F.sequence(F.lit(1), F.least(F.lit(WINNOW_W - 1), n - j)),
+                F.struct(F.element_at(hs, j).alias("h"), j.alias("p")),
+                lambda acc, o: F.when(
+                    F.element_at(hs, j + o) <= acc["h"],
+                    F.struct(F.element_at(hs, j + o).alias("h"),
+                             (j + o).alias("p")),
+                ).otherwise(acc),
+            ),
+        )
+    )
+    sel_h = F.transform(sel, lambda s: s["h"])
+    return (
+        docs.select("doc_id", n.alias("__n"), sel.alias("__sel"),
+                    sel_h.alias("__h"))
+        .filter(F.col("__n") >= 1)
+        .select(
+            "doc_id",
+            F.col("__n").cast("bigint").alias("n_grams"),
+            F.size("__sel").cast("bigint").alias("n_fp"),
+            F.aggregate(F.col("__h"), F.lit(0).cast("bigint"),
+                        lambda a, x: a + x).alias("fp_sum"),
+            F.array_min("__h").cast("bigint").alias("fp_min"),
+            F.array_max("__h").cast("bigint").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )

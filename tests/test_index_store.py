@@ -169,3 +169,74 @@ def test_sq8_append_frozen_quantizer(spark, emb, tmp_path_factory):
     assert len(got) == 5
     assert all(r["neighbor_id"] != 0 for r in got)      # self excluded
     assert any(r["neighbor_id"] == 10_000_000 for r in got)  # copy found
+
+
+# ---------------------------------------------------------------------------
+# LSH leg (round 7)
+# ---------------------------------------------------------------------------
+
+def test_lsh_persisted_probe_equals_in_memory(spark, sf_dir, tmp_path_factory):
+    """Probing the persisted band/shingle tables must produce the same
+    verified pairs as the all-in-memory probe pipeline."""
+    from etl_pipe_spark.operators.dedup import (
+        jaccard_verify, lsh_probe_pairs, minhash_signatures_arrays,
+        shingle_arrays)
+    from etl_pipe_spark.operators.index_store import (
+        build_lsh_index, probe_lsh_index)
+    from etl_pipe_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    path = str(tmp_path_factory.mktemp("lsh") / "idx")
+    meta = build_lsh_index(spark, hist, path)
+    assert meta["n_docs"] == hist.count()
+
+    got = sorted(
+        (r["left_id"], r["right_id"], round(r["jaccard"], 12))
+        for r in probe_lsh_index(spark, path, batch, threshold=0.5).collect()
+    )
+    sharr = shingle_arrays(docs, n=3)
+    cand = lsh_probe_pairs(
+        minhash_signatures_arrays(sharr.filter(F.col("doc_id") % 5 != 0)),
+        minhash_signatures_arrays(sharr.filter(F.col("doc_id") % 5 == 0)))
+    want = sorted(
+        (r["left_id"], r["right_id"], round(r["jaccard"], 12))
+        for r in jaccard_verify(sharr, cand, 0.5).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_lsh_append_only_touches_batch(spark, sf_dir, tmp_path_factory):
+    """Append must add ONLY the batch's band/shingle rows (frozen
+    shingle_n, immutable history files) and make the appended docs
+    immediately matchable: a verbatim copy of a history doc appended
+    under a new id must probe back to jaccard 1.0 against it."""
+    from etl_pipe_spark.operators.index_store import (
+        append_to_lsh_index, build_lsh_index, probe_lsh_index)
+    from etl_pipe_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path_factory.mktemp("lsh") / "idx")
+    build_lsh_index(spark, hist, path)
+    bands_before = spark.read.parquet(f"{path}/bands").count()
+
+    src = hist.orderBy("doc_id").first()
+    copy = spark.createDataFrame(
+        [(9_000_001, src["text"]), (9_000_002, "utterly novel words only")],
+        "doc_id long, text string")
+    out = append_to_lsh_index(spark, copy, path)
+    assert out["appended"] == 2
+
+    bands_after = spark.read.parquet(f"{path}/bands")
+    assert bands_after.count() == bands_before + 2 * 4  # N_BANDS rows each
+    assert bands_after.filter(F.col("doc_id") == 9_000_001).count() == 4
+
+    probe = spark.createDataFrame(
+        [(9_100_000, src["text"])], "doc_id long, text string")
+    hits = {r["left_id"]: r["jaccard"]
+            for r in probe_lsh_index(spark, path, probe).collect()}
+    assert hits.get(src["doc_id"]) == 1.0     # original still matches
+    assert hits.get(9_000_001) == 1.0          # appended copy matches too

@@ -38,18 +38,20 @@ FLAGSHIPS = [
     "schema_evolution_merge",
     "snapshot_diff_cdc",
     "dsir_importance_select",
-    "cms_heavy_hitters",
     "temperature_mixture_select",
     "pagerank_neardup_graph",   # fresh post-cap bench row wanted (r6 verdict nit 3)
     "triangle_clustering_coeff",
     "bpe_train_merges",
-    "bpe_encode_vocab",
     "timeseries_gapfill",       # r7: day-chunked spine lands this round
     "event_funnel_conversion",
     # r7 NEW registrations (first driver rows pending):
     "pagerank_persisted_edges",
     "triangle_persisted_pairs",
     "sq8_index_persisted",
+    # mid-r7 additions (slots yielded by cms_heavy_hitters and
+    # bpe_encode_vocab, both r6-green with in-window family cover):
+    "lsh_index_persisted",
+    "winnowing_fingerprints",
     # r7 promotions — longest-stale demotions back for fresh rows
     # (staleness ceiling: every registered query has a driver row
     # within the last 2 rounds after this window runs):
