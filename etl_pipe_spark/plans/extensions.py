@@ -403,6 +403,69 @@ ORDER BY c.doc_id
 """
 
 
+_WINNOW_SCHEMA = ("doc_id bigint, n_grams bigint, n_fp bigint, "
+                  "fp_sum bigint, fp_min bigint, fp_max bigint")
+
+
+def _winnow_batches(batches):
+    """Arrow kernel for winnowing: per doc, k-gram md5 hashes then the
+    rightmost minimal hash of every W-window via sliding_window_view +
+    reversed argmin (numpy's first-min-on-the-reversed-axis IS the
+    rightmost min of the original).
+
+    The TOKEN arrays arrive (ragged list<string>, offsets/flatten keep
+    the transfer buffer-level); grams and hashes are built here because
+    the JVM expression route is the slow path for once: a measured
+    stage profile at 250k docs / 12.35M grams put the interpreted
+    `transform(sequence, slice+concat_ws)` shingle construction at
+    88 s and the md5 transform at +11 s, versus ~4 s for tokenizing
+    alone — hashlib.md5 over the same gram strings costs ~1 µs/gram
+    here.  Hash parity with TX.hash32 / TX.DUCK_HASH32 is exact: the
+    first 8 hex chars of md5 == the first 4 digest bytes big-endian.
+    """
+    import hashlib
+    import numpy as np
+    import pyarrow as pa
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w, k = WINNOW_W, WINNOW_K
+    md5 = hashlib.md5
+    for b in batches:
+        if not len(b):
+            continue
+        ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        col = b.column(1)
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = col.flatten().to_pylist()  # one C-path conversion
+        off = off - off[0]  # flatten() is slice-adjusted; offsets are not
+        out = np.empty((len(b), 5), dtype=np.int64)
+        keep = np.zeros(len(b), dtype=bool)
+        for i in range(len(b)):
+            t = toks[off[i]:off[i + 1]]
+            n = len(t) - k + 1
+            if n < 1:
+                continue  # no grams: excluded, like the oracle's counts CTE
+            keep[i] = True
+            h = np.fromiter(
+                (int.from_bytes(
+                    md5(" ".join(t[j:j + k]).encode()).digest()[:4], "big")
+                 for j in range(n)),
+                dtype=np.int64, count=n)
+            if n >= w:
+                wins = sliding_window_view(h, w)
+                ridx = (w - 1) - np.argmin(wins[:, ::-1], axis=1)
+            else:  # the whole (short) gram list forms one window
+                ridx = np.array([(n - 1) - int(np.argmin(h[::-1]))])
+            sel = np.unique(np.arange(len(ridx)) + ridx)
+            v = h[sel]
+            out[i] = (n, len(sel), int(v.sum()), int(v.min()), int(v.max()))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids[keep], pa.int64())]
+            + [pa.array(out[keep, j], pa.int64()) for j in range(5)],
+            ["doc_id", "n_grams", "n_fp", "fp_sum", "fp_min", "fp_max"],
+        )
+
+
 @register("winnowing_fingerprints", oracle=_WINNOW_ORACLE)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust winnowing (Schleimer-Wilkerson-Aiken 2003, the MOSS
@@ -415,40 +478,67 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash: fingerprints localize WHERE the shared span sits, the
     property plagiarism/overlap detectors need.
 
-    Spark-first shape: everything happens INSIDE the row — the k-gram
-    hashes are one transform over the token array, each window's
-    argmin is a bounded W-element fold (nested higher-order functions,
-    no explode), and the distinct selected set reduces to exact
-    integer aggregates.  Zero shuffles beyond the final orderBy; at
-    100 TB this is a pure map pass, and the selected (doc, pos, hash)
-    rows are what a cross-doc overlap join would consume (the
+    Spark-first shape: still a pure map pass — the JVM side only
+    tokenizes (codegen'd split/trim, the cheap stage), and gram
+    construction + md5 + the sliding-window argmin run as ONE
+    Arrow-vectorized kernel (_winnow_batches; the kernel docstring
+    carries the measured stage profile that justifies leaving the
+    expression route — interpreted HOF shingle construction was 88 of
+    the 114 s at 250k docs).  Zero shuffles beyond the final orderBy;
+    at 100 TB the kernel is embarrassingly parallel and the selected
+    fingerprints are what a cross-doc overlap join would consume (the
     substring_dedup_windows collision-join shape, at ~2/(W+1) the
-    rows).  The DuckDB twin computes the identical selection through
-    the exploded window/argmin formulation — same integers, different
-    decomposition.
+    rows).  The all-Catalyst twin below must produce identical
+    integers (tests/test_extensions.py), and the DuckDB oracle checks
+    the same through the exploded window/argmin formulation.
 
     Short documents: with fewer than W k-gram hashes the whole gram
     list forms ONE window (the standard boundary convention); under K
-    tokens there are no grams and the fingerprint set is empty.
+    tokens there are no grams and the doc is excluded (matching the
+    oracle's grams-derived counts CTE).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id",
+                    TX.ws_tokens(F.lower(F.col("text"))).alias("__t"))
+    )
+    return toks.mapInArrow(_winnow_batches, schema=_WINNOW_SCHEMA) \
+               .orderBy("doc_id")
+
+
+def winnowing_fingerprints_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-Catalyst formulation (nested higher-order folds) kept as
+    the kernel's differential twin: each window's argmin is a bounded
+    W-element fold with `<=` so later equal hashes win (rightmost
+    minimal), then the distinct selection reduces to the same integer
+    aggregates.  Correct but interpreted per element — see the
+    registered query's docstring for the measured gap.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = TX.shingles(F.col("text"), n=WINNOW_K)
     hs = F.transform(grams, TX.hash32)
     n = F.size(hs)
     m = F.greatest(n - F.lit(WINNOW_W) + 1, F.lit(1))
+    first = lambda j: F.struct(F.element_at(hs, j).alias("h"), j.alias("p"))  # noqa: E731
     sel = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), m),
-            lambda j: F.aggregate(
-                # offsets 1..min(W-1, n-j): fold right neighbours onto
-                # the window's first element (rightmost-minimal wins)
-                F.sequence(F.lit(1), F.least(F.lit(WINNOW_W - 1), n - j)),
-                F.struct(F.element_at(hs, j).alias("h"), j.alias("p")),
-                lambda acc, o: F.when(
-                    F.element_at(hs, j + o) <= acc["h"],
-                    F.struct(F.element_at(hs, j + o).alias("h"),
-                             (j + o).alias("p")),
-                ).otherwise(acc),
+            # offsets 1..min(W-1, n-j): fold right neighbours onto the
+            # window's first element (rightmost-minimal wins).  A
+            # single-gram doc has NO right neighbours and must skip the
+            # fold entirely — sequence(1, 0) is DESCENDING [1, 0] and
+            # its o=1 step would index past the array (ANSI element_at
+            # throws; the edge-docs test pins this).
+            lambda j: F.when(n - j < 1, first(j)).otherwise(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.least(F.lit(WINNOW_W - 1), n - j)),
+                    first(j),
+                    lambda acc, o: F.when(
+                        F.element_at(hs, j + o) <= acc["h"],
+                        F.struct(F.element_at(hs, j + o).alias("h"),
+                                 (j + o).alias("p")),
+                    ).otherwise(acc),
+                )
             ),
         )
     )
