@@ -141,6 +141,13 @@ EXTRA_PLANS = [
     "pagerank_persisted_edges",
     "triangle_persisted_pairs",
     "sq8_index_persisted",
+    # r7 late additions: the LSH persisted probe (bands/shingles read
+    # as FileScan parquet — the band join's history side is the files,
+    # not a re-signature pipeline) and winnowing (one codegen'd
+    # tokenize projection feeding a single MapInArrow — a pure map
+    # pass, no exchange before the final sort)
+    "lsh_index_persisted",
+    "winnowing_fingerprints",
 ]
 # bpe_train_merges / bpe_encode_vocab are omitted like
 # kmeans_fit_clusters: both run the 8-round merge loop (one 1-row
