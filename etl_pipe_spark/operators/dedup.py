@@ -431,3 +431,99 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return sums.select(id_col, fingerprint.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Arrow build kernel: shingles + MinHash + band keys in ONE pass (round 7)
+# ---------------------------------------------------------------------------
+
+_LSH_BUILD_SCHEMA = ("doc_id bigint, shingles array<string>, "
+                     "band_keys array<string>")
+
+
+def _lsh_build_batches_factory(n: int):
+    """Per-batch kernel behind :func:`lsh_build_kernel` — grams, md5
+    hashes, the 16 modular permutations, and the 4 band-key md5s all
+    happen here, exactly one traversal of each doc's token list."""
+    def op(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.array(PERM_A, dtype=np.int64)[None, :]
+        B = np.array(PERM_B, dtype=np.int64)[None, :]
+        P = np.int64(MINHASH_P)
+        md5 = hashlib.md5
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            col = b.column(1)
+            off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            toks = col.flatten().to_pylist()
+            off = off - off[0]
+            out_ids, out_sh, out_bk = [], [], []
+            for i in range(len(b)):
+                t = toks[off[i]:off[i + 1]]
+                if len(t) < n:
+                    continue  # same drop rule as shingle_arrays' filter
+                grams = list(dict.fromkeys(  # first-occurrence distinct,
+                    " ".join(t[j:j + n])     # the array_distinct order
+                    for j in range(len(t) - n + 1)))
+                h = np.fromiter(
+                    (int.from_bytes(md5(g.encode()).digest()[:4], "big")
+                     for g in grams),
+                    dtype=np.int64, count=len(grams))
+                # (g, 16) modular permutations: a*h < 2^30 * 2^32 stays
+                # exact in int64, matching the JVM bigint fold
+                sig = ((h[:, None] * A + B) % P).min(axis=0)
+                out_bk.append([
+                    md5(",".join(
+                        str(int(sig[band * ROWS_PER_BAND + r]))
+                        for r in range(ROWS_PER_BAND)).encode()).hexdigest()
+                    for band in range(N_BANDS)
+                ])
+                out_ids.append(ids[i])
+                out_sh.append(grams)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64()),
+                 pa.array(out_sh, pa.list_(pa.string())),
+                 pa.array(out_bk, pa.list_(pa.string()))],
+                ["doc_id", "shingles", "band_keys"],
+            )
+
+    return op
+
+
+def lsh_build_kernel(docs: DataFrame, n: int = 3,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles, band_keys) in ONE Arrow pass over the corpus
+    — the index-build production path.
+
+    Byte-for-byte the same values as the expression route
+    (``lsh_band_keys(minhash_signatures_arrays(shingle_arrays(docs)))``
+    plus the shingle arrays themselves; tests/test_dedup_kernel.py
+    pins equality), but the gram construction moves out of the
+    interpreted higher-order ``transform(sequence, slice+concat_ws)``
+    lambda: the winnowing stage profile measured that expression at
+    ~7 µs/gram (88 s of a 114 s pass at 250k docs / 12.35M grams)
+    versus ~1 µs/gram for the identical strings+md5 here.  Hash parity
+    is exact — hash32's first-8-md5-hex-chars == the digest's first 4
+    bytes big-endian, and the permutation arithmetic stays inside
+    int64 like the JVM bigint fold.
+
+    The registered in-memory queries keep the expression route (it is
+    the DuckDB-oracle surface); this kernel is what
+    ``operators/index_store.build_lsh_index`` and the probe batch side
+    run, where the corpus-sized pass is the cost that matters.
+    """
+    from ..functions.text import ws_tokens
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("__t"),
+    )
+    return toked.mapInArrow(_lsh_build_batches_factory(n),
+                            schema=_LSH_BUILD_SCHEMA)

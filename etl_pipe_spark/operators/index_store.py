@@ -382,29 +382,44 @@ def build_lsh_index(
     This is exactly what an incremental dedup pipeline keeps warm: a
     day's batch meets history ONLY through these two tables — history
     text is never re-shingled, re-hashed, or self-joined again.
-    """
-    from .dedup import (N_BANDS, ROWS_PER_BAND, lsh_band_keys,
-                        minhash_signatures_arrays, shingle_arrays)
 
-    sharr = shingle_arrays(docs, n=shingle_n)
+    The corpus pass runs through :func:`~..operators.dedup.
+    lsh_build_kernel` — grams, hashes, permutations, and band keys in
+    one Arrow stage (byte-identical to the expression route, which
+    remains the oracle surface of the in-memory queries); the kernel
+    frame persists across the two table writes so the pass happens
+    once.
+    """
+    from .dedup import N_BANDS, ROWS_PER_BAND, lsh_build_kernel
+
     n = docs.count()
     if n == 0:
         raise ValueError("build_lsh_index: empty document frame")
-    (
-        lsh_band_keys(minhash_signatures_arrays(sharr))
-        .repartition(8, "band_key")
-        .write.mode("overwrite").parquet(_p(path, "bands"))
-    )
-    (
-        sharr.select("doc_id", "shingles")
-        .repartition(8, "doc_id")
-        .write.mode("overwrite").parquet(_p(path, "shingles"))
-    )
+    rows = lsh_build_kernel(docs, n=shingle_n).persist()
+    _write_lsh_rows(rows, path, mode="overwrite")
+    rows.unpersist()
     spark.createDataFrame(
         [(int(n), int(shingle_n), int(N_BANDS), int(ROWS_PER_BAND))],
         "n_docs bigint, shingle_n int, n_bands int, rows_per_band int",
     ).coalesce(1).write.mode("overwrite").parquet(_p(path, "meta"))
     return {"n_docs": n, "shingle_n": shingle_n, "n_bands": N_BANDS}
+
+
+def _write_lsh_rows(rows: DataFrame, path: str, mode: str) -> None:
+    """Write a kernel frame's two projections: exploded (doc_id, band,
+    band_key) rows clustered by band_key, and the (doc_id, shingles)
+    sets clustered by doc_id."""
+    (
+        rows.select("doc_id", F.posexplode("band_keys")
+                    .alias("band", "band_key"))
+        .repartition(8, "band_key")
+        .write.mode(mode).parquet(_p(path, "bands"))
+    )
+    (
+        rows.select("doc_id", "shingles")
+        .repartition(8, "doc_id")
+        .write.mode(mode).parquet(_p(path, "shingles"))
+    )
 
 
 def probe_lsh_index(
@@ -424,12 +439,13 @@ def probe_lsh_index(
     lsh_probe_pairs contract); a re-ingested doc id is excluded from
     matching itself.
     """
-    from .dedup import (jaccard_verify, lsh_band_keys,
-                        minhash_signatures_arrays, shingle_arrays)
+    from .dedup import jaccard_verify, lsh_build_kernel
 
     meta = spark.read.parquet(_p(path, "meta")).first()
-    batch_sharr = shingle_arrays(batch_docs, n=int(meta["shingle_n"]))
-    b = lsh_band_keys(minhash_signatures_arrays(batch_sharr)).alias("b")
+    batch_rows = lsh_build_kernel(batch_docs, n=int(meta["shingle_n"]))
+    b = batch_rows.select(
+        "doc_id", F.posexplode("band_keys").alias("band", "band_key")
+    ).alias("b")
     h = spark.read.parquet(_p(path, "bands")).alias("h")
     cand = (
         h.join(b, (F.col("h.band") == F.col("b.band"))
@@ -441,7 +457,7 @@ def probe_lsh_index(
     )
     hist_sharr = spark.read.parquet(_p(path, "shingles"))
     return jaccard_verify(hist_sharr, cand, threshold,
-                          sharr_right=batch_sharr.select("doc_id", "shingles"))
+                          sharr_right=batch_rows.select("doc_id", "shingles"))
 
 
 def append_to_lsh_index(
@@ -453,22 +469,13 @@ def append_to_lsh_index(
     parameters and append their band + shingle rows — history files
     are immutable, daily cost tracks the batch (the same contract as
     the IVFPQ/SQ8 appends and the Bloom/LSH probe paths)."""
-    from .dedup import (lsh_band_keys, minhash_signatures_arrays,
-                        shingle_arrays)
+    from .dedup import lsh_build_kernel
 
     meta = spark.read.parquet(_p(path, "meta")).first()
-    sharr = shingle_arrays(docs_new, n=int(meta["shingle_n"]))
     n_new = docs_new.count()
-    (
-        lsh_band_keys(minhash_signatures_arrays(sharr))
-        .repartition(8, "band_key")
-        .write.mode("append").parquet(_p(path, "bands"))
-    )
-    (
-        sharr.select("doc_id", "shingles")
-        .repartition(8, "doc_id")
-        .write.mode("append").parquet(_p(path, "shingles"))
-    )
+    rows = lsh_build_kernel(docs_new, n=int(meta["shingle_n"])).persist()
+    _write_lsh_rows(rows, path, mode="append")
+    rows.unpersist()
     total = int(meta["n_docs"]) + n_new
     spark.createDataFrame(
         [(total, int(meta["shingle_n"]), int(meta["n_bands"]),
