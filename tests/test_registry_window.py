@@ -12,70 +12,68 @@ from etl_pipe_spark.plans.catalog import _DEMOTED, REGISTRY, _load_all, queries
 DRIVER_WINDOW = 50
 
 FLAGSHIPS = [
-    # ROUND-7 WINDOW (the r6 verdict's item 3 rotation executed; the
-    # full history of every swap lives in catalog._DEMOTED's notes).
+    # ROUND-8 WINDOW (the r7 verdict's item 3 rotation with the
+    # CORRECTED staleness ordering — r02-stale group first; the
+    # swap-by-swap history lives in catalog._DEMOTED's notes).
     # This list pins the COMPLETE intended 50-slot window so any
     # future registration or demotion that would silently evict a
     # member fails here first.
     #
-    # Production flagships — pinned in-window EVERY round:
-    "kmeans_fit_clusters",
+    # Production flagships + the never-green orc row — pinned
+    # in-window EVERY round:
+    "streaming_dedup_watermark",
+    "incremental_neardup_lsh",
+    "lsh_index_persisted",
     "ann_ivf_scaled",
     "semantic_dedup_scaled",
-    "pq_ann_adc",
-    "ivfpq_ann_adc",
-    "ivfpq_rerank",
+    "kmeans_fit_clusters",
     "ivfpq_index_persisted",
-    "incremental_neardup_lsh",
-    "streaming_dedup_watermark",
-    # r7 carryovers holding their family's hard signal (green r6):
-    "tpch_q2_best_supplier",
-    "bm25_retrieval",
-    "sq8_ann_rerank",
-    "logreg_quality_fit",
-    "csv_ingest_coerced",
-    "orc_roundtrip_ingest",     # the one never-green row; r7 carries the tz-free fix
-    "schema_evolution_merge",
-    "snapshot_diff_cdc",
-    "dsir_importance_select",
-    "temperature_mixture_select",
-    "pagerank_neardup_graph",   # fresh post-cap bench row wanted (r6 verdict nit 3)
-    "triangle_clustering_coeff",
-    "bpe_train_merges",
-    "timeseries_gapfill",       # r7: day-chunked spine lands this round
-    "event_funnel_conversion",
-    # r7 NEW registrations (first driver rows pending):
-    "pagerank_persisted_edges",
-    "triangle_persisted_pairs",
     "sq8_index_persisted",
-    # mid-r7 additions (slots yielded by cms_heavy_hitters and
-    # bpe_encode_vocab, both r6-green with in-window family cover):
-    "lsh_index_persisted",
-    "winnowing_fingerprints",
-    # r7 promotions — longest-stale demotions back for fresh rows
-    # (staleness ceiling: every registered query has a driver row
-    # within the last 2 rounds after this window runs):
-    "string_functions",
-    "datetime_functions",
-    "ranking_functions",
-    "null_handling_functions",
-    "set_ops_membership",
-    "topk_per_group",
-    "pricing_summary",
-    "tpch_q21_waiting_supplier",
-    "tpch_q7_volume_shipping",
-    "dedup_clusters_star",
-    "boilerplate_span_removal",
-    "token_budget_selection",
-    "vocab_top_coverage",
-    "unigram_logprob_quality",
-    "embedding_gram_matrix",
-    "bloom_incremental_filter",
-    "zorder_layout_skipping",
-    "coercion_kitchen_sink",    # fresh row over the r7 grammar-gated safe_* ladders
-    "dedup_exact",
-    "grouping_sets_orders",
-    "lang_id_stopwords",
+    "orc_roundtrip_ingest",
+    # r8 promotions — the 18 r02-stale queries (5 rounds without a
+    # driver row), the 12 r03-stale, and 11 of the 15 r04-stale
+    # (the 4 left out have pinned production supersets):
+    "double_role_dim_join",
+    "topk_orders",
+    "timeline_union",
+    "semi_join_urgent_customers",
+    "anti_join_orderless_customers",
+    "rollup_orders",
+    "cube_lineitem",
+    "pivot_status_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "range_join_bucketed",
+    "window_frames",
+    "sql_api_segment_revenue",
+    "promo_revenue_share",
+    "array_aggregation",
+    "unpivot_lineitem_metrics",
+    "having_large_orders",
+    "tpch_q4_order_priority",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q22_dormant_customers",
+    "tpch_q13_count_distribution",
+    "tpch_q15_top_supplier",
+    "stats_moments",
+    "exact_percentiles",
+    "skew_salted_join",
+    "json_flatten_props",
+    "json_as_map",
+    "current_version_window",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "merge_upsert_snapshot",
+    "streaming_tumbling_counts",
+    "text_token_stats",
+    "doc_quality_score",
+    "embedding_neardup_pairs",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "mixture_sampling",
 ]
 
 

@@ -30,7 +30,7 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entrymod
-    from oracle_utils import compare, duckdb_connect
+    from oracle_utils import compare, compare_pandas, duckdb_connect
 
     from etl_pipe_spark.session import get_spark
 
@@ -48,6 +48,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             if name in oracles:
                 compare(df, con, oracles[name], name=name)
+                # Second path through toPandas()/.df() — predicts the
+                # DRIVER's pandas canonicalization, which fetchall-based
+                # compare() cannot (the r6–r7 orc blind spot).
+                compare_pandas(df, con, oracles[name], name=name)
                 n = df.count()
                 row.update(rows_match=True, schema_match=True, hash_match=True,
                            spark_rows=n, oracle_rows=n)
