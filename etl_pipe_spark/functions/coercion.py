@@ -35,11 +35,17 @@ from pyspark.sql import Column, functions as F
 # string branch after from_json has stringified everything.
 _NUMERIC_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
 
-# The exact whitespace set Python's float()/int() strip (str.isspace()
-# characters, Unicode 6.3+).  Shared with the property-test model so
-# engine and model trim identically.
+# The exact whitespace set Python's float()/int() strip.  NOT the same
+# as str.isspace(): \x1c-\x1f (file/group/record/unit separators) are
+# isspace() characters that float()/int() nonetheless REJECT
+# (float("\x1c1") raises on CPython 3.11), so they are deliberately
+# absent here -- trimming them would coerce "\x1c42" to 42.0 where the
+# reference float(val) returns NULL.  The property-test model derives
+# its own trim set empirically from float() itself
+# (tests/test_coercion_properties.py), so engine and model can no
+# longer certify a shared wrong constant.
 _WS_CHARS = (
-    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
+    "\t\n\x0b\x0c\r \x85\xa0 "
     "           "
     "    　"
 )

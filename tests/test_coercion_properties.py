@@ -36,6 +36,39 @@ from etl_pipe_spark.functions.coercion import (
     safe_numeric,
 )
 
+
+def _empirical_float_ws() -> str:
+    """The whitespace set Python's float() ACTUALLY strips, derived by
+    calling float() itself over the BMP — deliberately NOT the
+    engine's _WS_CHARS constant, so engine and model cannot certify a
+    shared wrong trim set (the r7 ADVICE finding: \\x1c-\\x1f are
+    str.isspace() yet float() rejects them, and a model that reused
+    the engine constant was blind to it)."""
+    out = []
+    for i in range(0x10000):
+        ch = chr(i)
+        if not ch.isspace() and ch not in "\x85\xa0":
+            continue  # float strips only whitespace-class chars
+        try:
+            float(ch + "1")
+        except ValueError:
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+_MODEL_WS = _empirical_float_ws()
+
+
+def test_engine_ws_constant_matches_python_float():
+    """The engine's trim set must equal float()'s empirical strip set —
+    a char float() rejects must not be trimmed (else "\\x1c42" would
+    coerce where the reference raises), and a char float() strips must
+    be trimmed (else " 42" would NULL where the reference parses)."""
+    assert set(_WS_CHARS) == set(_MODEL_WS), sorted(
+        hex(ord(c)) for c in set(_WS_CHARS) ^ set(_MODEL_WS)
+    )
+
 _JAVA_LITERALS = ["0D", "3.7f", "1F", "0x1p3", "0x10", "12L", "1d", ".5F"]
 
 # mix of adversarial shapes: plain words, numeric strings, bool words,
@@ -74,7 +107,7 @@ def _model_numeric(v):
         return None
     # documented divergence: the engine's gate is the ASCII Python-float
     # grammar over the Python-whitespace-trimmed input
-    if not _float_re.fullmatch(v.strip(_WS_CHARS).lower()):
+    if not _float_re.fullmatch(v.strip(_MODEL_WS).lower()):
         return None
     return f
 
@@ -82,7 +115,7 @@ def _model_numeric(v):
 def _model_int(v):
     if v is None:
         return None
-    s = v.strip(_WS_CHARS)
+    s = v.strip(_MODEL_WS)
     if _int_re.fullmatch(s):
         i = int(s)  # the reference helper (transform.py:40-47)
         if -(2**63) <= i <= 2**63 - 1:
@@ -110,10 +143,19 @@ def test_safe_bool_matches_model(spark, values):
     assert _run(spark, safe_bool, values) == [_model_bool(v) for v in values]
 
 
+def test_safe_numeric_matches_model_separators(spark):
+    """The r7 ADVICE case pinned: \x1c-\x1f are isspace() but
+    float() rejects them -- "\x1c42" must be NULL, not 42.0."""
+    values = ["\x1c42", "\x1d1", "1\x1e", "\x1f3.5", "\xa042", " 1", "\x0b7"]
+    got = _run(spark, safe_numeric, values)
+    assert got == [_model_numeric(v) for v in values]
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.lists(_raw, min_size=1, max_size=40))
 @example(_JAVA_LITERALS)
 @example(["1_000", "1__0", "_1", "1_", "١٢٣", "  3.5 ", "9" * 19])
+@example(["\x1c42", "\x1d1", "1\x1e", "\x1f3.5", "\xa042", "\u202f1"])
 def test_safe_numeric_matches_model(spark, values):
     got = _run(spark, safe_numeric, values)
     want = [_model_numeric(v) for v in values]
@@ -130,6 +172,7 @@ def test_safe_numeric_matches_model(spark, values):
 @example(_JAVA_LITERALS)
 @example(["1_000", "9" * 19, "9" * 20, "9223372036854775807",
           "-9223372036854775808", "9223372036854775808", "١٢٣"])
+@example(["\x1c42", "\x1d1", "1\x1e", "\x1f3", "\xa042", "\u202f1"])
 def test_safe_int_matches_model(spark, values):
     got = _run(spark, safe_int, values)
     want = [_model_int(v) for v in values]
