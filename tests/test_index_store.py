@@ -240,3 +240,205 @@ def test_lsh_append_only_touches_batch(spark, sf_dir, tmp_path_factory):
             for r in probe_lsh_index(spark, path, probe).collect()}
     assert hits.get(src["doc_id"]) == 1.0     # original still matches
     assert hits.get(9_000_001) == 1.0          # appended copy matches too
+
+
+# ---------------------------------------------------------------------------
+# Commit protocol (round 8): a worst-point crash leaves appended data
+# INVISIBLE (never half-applied), concurrent appends are excluded by the
+# CAS claim, and a stale crashed claim is reclaimed without duplicating
+# rows — the ParquetMergeSink convention (operators/merge.py) adapted to
+# append-only epoch directories.
+# ---------------------------------------------------------------------------
+
+def _lsh_fixture(spark, sf_dir, tmp_path_factory):
+    from etl_pipe_spark.operators.index_store import build_lsh_index
+    from etl_pipe_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path_factory.mktemp("lsh-torn") / "idx")
+    build_lsh_index(spark, hist, path)
+    return docs, hist, path
+
+
+def test_lsh_torn_append_invisible_then_recovered(
+        spark, sf_dir, tmp_path_factory, monkeypatch):
+    """Crash at the worst point — data epoch fully written, pointer not
+    swapped: the probe and the meta must behave as if the append never
+    happened; a retry must first be fenced by the live claim, then
+    (once the claim is stale) succeed with EXACTLY one copy of the
+    batch — the orphan epoch is purged, not double-appended."""
+    from etl_pipe_spark.operators import index_store as IS
+
+    docs, hist, path = _lsh_fixture(spark, sf_dir, tmp_path_factory)
+    meta0 = IS.load_index_meta(spark, path)
+    src = hist.orderBy("doc_id").first()
+    probe = spark.createDataFrame([(9_100_000, src["text"])],
+                                  "doc_id long, text string")
+    hits0 = sorted((r["left_id"], round(r["jaccard"], 12)) for r in
+                   IS.probe_lsh_index(spark, path, probe).collect())
+
+    batch = spark.createDataFrame([(9_000_001, src["text"])],
+                                  "doc_id long, text string")
+    real_commit = IS._commit_epoch
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(IS, "_commit_epoch", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        IS.append_to_lsh_index(spark, batch, path)
+
+    # torn epoch is INVISIBLE: meta unchanged, probe result unchanged
+    assert IS.load_index_meta(spark, path) == meta0
+    hits1 = sorted((r["left_id"], round(r["jaccard"], 12)) for r in
+                   IS.probe_lsh_index(spark, path, probe).collect())
+    assert hits1 == hits0
+    assert not any(lid == 9_000_001 for lid, _ in hits1)
+
+    # the crashed claimant's slot fences a second appender...
+    monkeypatch.setattr(IS, "_commit_epoch", real_commit)
+    with pytest.raises(IS.ConcurrentAppendError):
+        IS.append_to_lsh_index(spark, batch, path)
+    # ...until the claim is stale; the retry must not duplicate rows
+    out = IS.append_to_lsh_index(spark, batch, path, stale_after_s=0.0)
+    assert out["appended"] == 1
+    meta2 = IS.load_index_meta(spark, path)
+    assert meta2["epoch"] == meta0["epoch"] + 1
+    assert meta2["n_docs"] == meta0["n_docs"] + 1
+    bands = spark.read.parquet(f"{path}/bands")
+    assert bands.filter(F.col("doc_id") == 9_000_001).count() == 4  # N_BANDS
+    hits2 = {r["left_id"]: r["jaccard"] for r in
+             IS.probe_lsh_index(spark, path, probe).collect()}
+    assert hits2.get(9_000_001) == 1.0
+
+
+def test_lsh_crash_between_bands_and_shingles_writes(
+        spark, sf_dir, tmp_path_factory, monkeypatch):
+    """The r7 design's sharpest tear: bands rows on disk, shingle sets
+    missing — candidates with no verify arrays.  Under the epoch
+    protocol the half-written epoch is invisible and the stale-claim
+    retry heals it."""
+    from etl_pipe_spark.operators import index_store as IS
+
+    docs, hist, path = _lsh_fixture(spark, sf_dir, tmp_path_factory)
+    meta0 = IS.load_index_meta(spark, path)
+    src = hist.orderBy("doc_id").first()
+    batch = spark.createDataFrame([(9_000_001, src["text"])],
+                                  "doc_id long, text string")
+    real_write = IS._write_lsh_rows
+
+    def half_write(rows, p, epoch):
+        (rows.select("doc_id", F.posexplode("band_keys")
+                     .alias("band", "band_key"))
+         .write.mode("append").parquet(f"{p}/bands/epoch={epoch}"))
+        raise RuntimeError("simulated crash between the two table writes")
+
+    monkeypatch.setattr(IS, "_write_lsh_rows", half_write)
+    with pytest.raises(RuntimeError, match="between the two"):
+        IS.append_to_lsh_index(spark, batch, path)
+    assert IS.load_index_meta(spark, path) == meta0
+
+    probe = spark.createDataFrame([(9_100_000, src["text"])],
+                                  "doc_id long, text string")
+    hits = {r["left_id"] for r in
+            IS.probe_lsh_index(spark, path, probe).collect()}
+    assert 9_000_001 not in hits          # torn bands rows invisible
+    assert src["doc_id"] in hits          # history intact
+
+    monkeypatch.setattr(IS, "_write_lsh_rows", real_write)
+    out = IS.append_to_lsh_index(spark, batch, path, stale_after_s=0.0)
+    assert out["appended"] == 1
+    bands = spark.read.parquet(f"{path}/bands")
+    assert bands.filter(F.col("doc_id") == 9_000_001).count() == 4
+    hits2 = {r["left_id"]: r["jaccard"] for r in
+             IS.probe_lsh_index(spark, path, probe).collect()}
+    assert hits2.get(9_000_001) == 1.0
+
+
+def test_ivfpq_torn_append_invisible_then_recovered(
+        spark, emb, queries, tmp_path_factory, monkeypatch):
+    """Same contract on the IVFPQ leg: searched results are identical
+    before the torn append and after it, and the stale-claim retry
+    lands the batch exactly once."""
+    from etl_pipe_spark.operators import index_store as IS
+
+    path = str(tmp_path_factory.mktemp("ivfpq-torn") / "idx")
+    IS.build_ivfpq_index(spark, emb, path)
+    meta0 = IS.load_index_meta(spark, path)
+    base = emb.filter(F.col("vec_id") == 0).first()
+    q = spark.createDataFrame([(0, list(base["v"]))],
+                              "query_id bigint, v array<double>")
+    got0 = sorted(tuple(r) for r in
+                  IS.search_ivfpq_index(spark, path, q, k=5, nprobe=1).collect())
+
+    batch = spark.createDataFrame([(10_000_000, list(base["v"]))],
+                                  "vec_id bigint, v array<double>")
+    real_commit = IS._commit_epoch
+    monkeypatch.setattr(IS, "_commit_epoch",
+                        lambda *a, **kw: (_ for _ in ()).throw(
+                            RuntimeError("simulated crash")))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        IS.append_to_ivfpq_index(spark, batch, path)
+    assert IS.load_index_meta(spark, path) == meta0
+    got1 = sorted(tuple(r) for r in
+                  IS.search_ivfpq_index(spark, path, q, k=5, nprobe=1).collect())
+    assert got1 == got0
+
+    monkeypatch.setattr(IS, "_commit_epoch", real_commit)
+    with pytest.raises(IS.ConcurrentAppendError):
+        IS.append_to_ivfpq_index(spark, batch, path)
+    out = IS.append_to_ivfpq_index(spark, batch, path, stale_after_s=0.0)
+    assert out == {"appended": 1, "n_vectors": meta0["n_vectors"] + 1}
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.filter(F.col("vec_id") == 10_000_000).count() == 1  # no dup
+
+
+def test_sq8_concurrent_append_excluded(spark, emb, tmp_path_factory):
+    """A live claim fences a concurrent appender BEFORE it writes any
+    data (lost-update prevention, the ParquetMergeSink CAS)."""
+    import os
+
+    from etl_pipe_spark.operators import index_store as IS
+
+    path = str(tmp_path_factory.mktemp("sq8-cas") / "idx")
+    IS.build_sq8_index(spark, emb, path)
+    os.mkdir(f"{path}/_claim-epoch-00000001")  # another writer's claim
+
+    base = emb.filter(F.col("vec_id") == 0).first()
+    batch = spark.createDataFrame([(10_000_000, list(base["v"]))],
+                                  "vec_id bigint, v array<double>")
+    with pytest.raises(IS.ConcurrentAppendError):
+        IS.append_to_sq8_index(spark, batch, path)
+    assert not os.path.exists(f"{path}/codes/epoch=1")  # nothing written
+    assert IS.load_index_meta(spark, path)["epoch"] == 0
+
+    os.rmdir(f"{path}/_claim-epoch-00000001")  # winner released
+    out = IS.append_to_sq8_index(spark, batch, path)
+    assert out["appended"] == 1
+    assert IS.load_index_meta(spark, path)["epoch"] == 1
+
+
+def test_lsh_bands_footers_are_range_clustered(spark, sf_dir,
+                                               tmp_path_factory):
+    """The bands write must leave REAL parquet footers whose per-file
+    band_key ranges are disjoint (range clustering + in-file sort) —
+    the property that lets a small probe's key predicate skip
+    non-overlapping row groups.  Hash clustering left every footer
+    spanning the whole md5 keyspace; a point key then pruned nothing."""
+    import glob
+
+    from test_layout_ops import _file_stats
+
+    _, _, path = _lsh_fixture(spark, sf_dir, tmp_path_factory)
+    files = sorted(glob.glob(f"{path}/bands/epoch=0/*.parquet"))
+    stats = _file_stats(f"{path}/bands/epoch=0", ["band_key"])
+    spans = sorted((s["band_key"][0], s["band_key"][1]) for s in stats
+                   if s["band_key"][0] is not None)
+    assert len(spans) >= 4 and len(files) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+    # a point key falls inside at most ONE file's range
+    probe_key = spans[len(spans) // 2][0]
+    containing = sum(1 for lo, hi in spans if lo <= probe_key <= hi)
+    assert containing == 1
