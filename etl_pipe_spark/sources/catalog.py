@@ -215,18 +215,34 @@ def load_jdbc(
 
 
 def jdbc_execute(spark: SparkSession, url: str, statements: list[str],
-                 driver: str | None = None) -> list[int]:
+                 driver: str | None = None,
+                 transactional: bool = False) -> list[int]:
     """Server-side statement execution over one short-lived connection
     (reference db.py:33-51 S2: cursor.execute against the target).
-    Returns the update count per statement."""
+    Returns the update count per statement.
+
+    ``transactional=True`` wraps the statements in ONE transaction
+    (autocommit off, commit at the end, rollback on any failure) — the
+    multi-statement paths (upsert fallback, SCD-2 close-version) need
+    all-or-nothing semantics: a crash between an UPDATE and its paired
+    INSERT must not leave the target half-applied (r7 ADVICE)."""
     jvm = spark.sparkContext._jvm
     if driver:
         jvm.Class.forName(driver)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        if transactional:
+            conn.setAutoCommit(False)
         st = conn.createStatement()
         try:
-            return [st.executeUpdate(s) for s in statements]
+            counts = [st.executeUpdate(s) for s in statements]
+            if transactional:
+                conn.commit()
+            return counts
+        except Exception:
+            if transactional:
+                conn.rollback()
+            raise
         finally:
             st.close()
     finally:
@@ -238,6 +254,30 @@ def _q(name: str) -> str:
     TABLE time (double quotes), so hand-written statements hit the
     same case-sensitive column names."""
     return '"' + name.replace('"', '""') + '"'
+
+
+_IDENT_RE = None
+
+
+def _safe_table(name: str) -> str:
+    """Validate a possibly schema-qualified table name against a plain
+    identifier grammar before it reaches statement text (r7 ADVICE:
+    names were interpolated raw and unchecked).  Validation, not
+    quoting: Spark's JDBC writer passes ``dbtable`` unquoted at CREATE
+    time, so the server stored the dialect's case-folded form — a
+    late exact-case quote (``"upsert_m"`` vs Derby's ``UPSERT_M``)
+    would stop matching the very table the stage write just created."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+    if not _IDENT_RE.match(name):
+        raise ValueError(
+            f"unsafe table identifier {name!r}: only plain "
+            f"(optionally schema-qualified) identifiers may reach "
+            f"server-side statement text"
+        )
+    return name
 
 
 def jdbc_upsert(
@@ -277,7 +317,8 @@ def jdbc_upsert(
     twice, so replay dedup happens BEFORE the sink, identically to
     the reference pipeline's per-key latest-wins collapse.
     """
-    staging = staging or f"{table}_stage"
+    table = _safe_table(table)
+    staging = _safe_table(staging or f"{table}_stage")
     write_jdbc(df, url, staging, mode="overwrite", batchsize=batchsize,
                **({"driver": driver} if driver else {}))
     cols = df.columns
@@ -300,9 +341,88 @@ def jdbc_upsert(
         ins_cols = ", ".join(_q(c) for c in cols)
         sel_cols = ", ".join(f"s.{_q(c)}" for c in cols)
         anti = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+        # one transaction: a failure between the two statements must
+        # not leave the target updated but missing the new rows
         jdbc_execute(spark, url, [
             f"UPDATE {table} t SET {set_subqs} WHERE EXISTS ({exists})",
             f"INSERT INTO {table} ({ins_cols}) SELECT {sel_cols} "
             f"FROM {staging} s WHERE NOT EXISTS "
             f"(SELECT 1 FROM {table} t WHERE {anti})",
-        ], driver=driver)
+        ], driver=driver, transactional=True)
+
+
+def jdbc_scd2_close_version(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    ts_col: str,
+    *,
+    end_col: str = "version_ended_at",
+    current_col: str = "is_current_version",
+    staging: str | None = None,
+    batchsize: int = 500,
+    use_merge: bool = True,
+    driver: str | None = None,
+    end_sql_type: str = "TIMESTAMP",
+) -> None:
+    """Server-side SCD-2 version flip (reference load.py:50-83 L2/L5),
+    the in-order loader path: each staged row is a NEW version of its
+    key, so the target's current row is CLOSED (``end_col`` := the new
+    version's start, ``current_col`` := FALSE) and the new version is
+    inserted open — two set-based statements in ONE transaction, so a
+    failure can never close history without inserting its successor.
+
+    ``df`` carries the key columns, ``ts_col`` (version start) and the
+    payload — NOT the end/current columns; those are derived here
+    (inserted versions start open).  The batch must hold at most one
+    version per key (collapse with the Spark-side
+    ``scd2_apply_versions`` when a batch can carry version chains or
+    out-of-order history — this function is the fast path for the
+    ordinary one-new-version-per-key increment).
+
+    Replay-idempotent: a version already present (same key + start) is
+    neither re-inserted nor allowed to re-close anything — re-running
+    the same batch is a no-op, matching the engine's replay contract.
+
+    ``use_merge=False`` runs the close as a correlated UPDATE instead
+    of MERGE (max-portability, the jdbc_upsert convention); both
+    variants share the transactional INSERT tail.
+    """
+    table = _safe_table(table)
+    staging = _safe_table(staging or f"{table}_stage")
+    write_jdbc(df, url, staging, mode="overwrite", batchsize=batchsize,
+               **({"driver": driver} if driver else {}))
+    cols = df.columns
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+    qts, qend, qcur = _q(ts_col), _q(end_col), _q(current_col)
+    # only a strictly NEWER version closes the current row — a replayed
+    # batch row (t.ts = s.ts on the now-current row) matches nothing,
+    # which is the whole idempotence argument
+    newer = f"{on} AND t.{qts} < s.{qts}"
+    ins_cols = ", ".join([_q(c) for c in cols] + [qend, qcur])
+    sel_cols = ", ".join(f"s.{_q(c)}" for c in cols)
+    insert = (
+        f"INSERT INTO {table} ({ins_cols}) "
+        f"SELECT {sel_cols}, CAST(NULL AS {end_sql_type}), TRUE "
+        f"FROM {staging} s WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {table} t WHERE {on} AND t.{qts} = s.{qts})"
+    )
+    if use_merge:
+        close = (
+            f"MERGE INTO {table} t USING {staging} s "
+            f"ON {newer} AND t.{qcur} = TRUE "
+            f"WHEN MATCHED THEN UPDATE SET "
+            f"{qend} = s.{qts}, {qcur} = FALSE"
+        )
+    else:
+        close = (
+            f"UPDATE {table} t SET "
+            f"{qend} = (SELECT s.{qts} FROM {staging} s WHERE {newer}), "
+            f"{qcur} = FALSE "
+            f"WHERE t.{qcur} = TRUE AND EXISTS "
+            f"(SELECT 1 FROM {staging} s WHERE {newer})"
+        )
+    jdbc_execute(spark, url, [close, insert], driver=driver,
+                 transactional=True)
