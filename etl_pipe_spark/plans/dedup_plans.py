@@ -226,15 +226,25 @@ def incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets needed only for verifying the colliding candidates.
     Complements bloom_incremental_filter (exact membership) with the
     NEAR-dup membership a curation pipeline actually runs.
+
+    Signatures ride the one-pass Arrow ``lsh_build_kernel`` (round 8:
+    the driver-checked incremental path is now also the fast one —
+    2.2x the expression route at 1M docs); band keys and shingle sets
+    are byte-identical to the expression surface the DuckDB oracle
+    models (tests/test_dedup_kernel.py pins parity), so the oracle is
+    unchanged.  A doc under shingle_n tokens produces no kernel row —
+    and no bands and no candidates on the expression route either, so
+    it lands in the decision table as clean through ``batch_ids``
+    exactly as before.
     """
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    sharr = DD.shingle_arrays(docs, n=3)
-    hist_sig = DD.minhash_signatures_arrays(
-        sharr.filter(F.col("doc_id") % 5 != 0))
-    batch_sig = DD.minhash_signatures_arrays(
-        sharr.filter(F.col("doc_id") % 5 == 0))
-    cand = DD.lsh_probe_pairs(hist_sig, batch_sig)
-    verified = DD.jaccard_verify(sharr, cand, threshold=0.5)
+    # one kernel pass serves both sides and the verify arrays
+    rows = DD.lsh_build_kernel(docs, n=3).persist()
+    cand = DD.lsh_probe_pairs_kernel(
+        rows.filter(F.col("doc_id") % 5 != 0),
+        rows.filter(F.col("doc_id") % 5 == 0))
+    verified = DD.jaccard_verify(
+        rows.select("doc_id", "shingles"), cand, threshold=0.5)
     batch_ids = docs.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("batch_id"))
     return _neardup_decision(batch_ids, verified)

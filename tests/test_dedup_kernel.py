@@ -70,3 +70,28 @@ def test_kernel_matches_expression_on_edge_docs(spark):
     want_b = _collect_bands(_expr_bands(docs, 3))
     rows.unpersist()
     assert got_b == want_b
+
+
+def test_kernel_probe_pairs_match_expression_probe(spark, sf_dir):
+    """The cross-set candidate join over kernel frames must produce
+    the exact candidate set of the expression-route probe — the
+    parity that lets incremental_neardup_lsh ride the kernel while
+    keeping the expression-modeled DuckDB oracle (round 8)."""
+    from etl_pipe_spark.operators.dedup import (
+        lsh_probe_pairs, lsh_probe_pairs_kernel)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = lsh_build_kernel(docs, n=3).persist()
+    got = sorted(
+        tuple(r) for r in lsh_probe_pairs_kernel(
+            rows.filter(F.col("doc_id") % 5 != 0),
+            rows.filter(F.col("doc_id") % 5 == 0)).collect())
+
+    sharr = shingle_arrays(docs, n=3)
+    want = sorted(
+        tuple(r) for r in lsh_probe_pairs(
+            minhash_signatures_arrays(sharr.filter(F.col("doc_id") % 5 != 0)),
+            minhash_signatures_arrays(sharr.filter(F.col("doc_id") % 5 == 0)),
+        ).collect())
+    rows.unpersist()
+    assert got == want and len(got) > 0
