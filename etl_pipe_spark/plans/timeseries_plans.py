@@ -86,33 +86,49 @@ ORDER BY s.user_id, s.bucket
 def chunked_hour_spine(span: DataFrame) -> DataFrame:
     """(user_id, lo, hi) -> dense hourly (user_id, bucket) spine via
     DAY-CHUNKED generation (round 7 — the refinement the module
-    docstring names): explode the span into (user, day) chunks first,
-    then generate hours within each chunk clamped to [lo, hi].
+    docstring names): explode the span into 24-hour chunks first, then
+    generate hours within each chunk clamped to [lo, hi].
 
     Identical rows to the single ``sequence(lo, hi, 1 HOUR)`` spine
-    (pinned by tests/test_timeseries_ops.py), but every generated
-    array is bounded — <= 24 entries per inner row, span-days per
-    outer row — so a user spanning years at minute grain materializes
-    thousands-of-rows, never a hundred-thousand-element array in one
-    row buffer.  Both explodes are map-side (no shuffle added).
+    (pinned by tests/test_timeseries_ops.py), but every generated array is
+    bounded — <= 24 entries per inner row, span-days per outer row —
+    so a user spanning years materializes thousands-of-rows, never a
+    hundred-thousand-element array in one row buffer.  Both explodes
+    are map-side (no shuffle added).
+
+    Chunks are aligned to ``lo``'s OWN offset (``lo + 24k h``), not to
+    calendar-day truncation (round 8): the r7 form chunked on
+    ``date_trunc('day', ...)`` boundaries, which (a) CRASHED on any
+    ``lo`` whose time-of-day is past 23:00 (the first chunk's start
+    ``greatest(day, lo)`` overtook its end ``day + 23h`` — inverted
+    sequence boundaries), and (b) silently dropped ``lo``'s sub-hour
+    offset from every later day's buckets, diverging from the
+    single-sequence semantics for minute-grain spans.  The registered
+    gap-fill query truncates its span to whole hours, which is why
+    neither surfaced until the extreme-span sweep
+    (tools/spine_scaling.py) drove the operator's general contract.
+    Offset-aligned chunks make the identity unconditional: chunk k
+    covers hours [24k, 24k+23] past ``lo``, every chunk start is
+    <= ``hi`` by construction of the chunk count, and the union is
+    exactly ``sequence(lo, hi, 1 HOUR)``.
     """
-    days = span.select(
+    # timestampdiff works for TIMESTAMP and TIMESTAMP_NTZ alike
+    # (a long cast is ntz-rejected); floor(secs/86400) is the chunk
+    # count that guarantees every chunk start lo + 24k h <= hi
+    n_days = (F.expr("timestampdiff(SECOND, lo, hi)")
+              / F.lit(86400)).cast("long")
+    chunks = span.select(
         "user_id", "lo", "hi",
-        F.explode(
-            F.sequence(
-                F.date_trunc("day", F.col("lo")),
-                F.date_trunc("day", F.col("hi")),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("day"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_days)).alias("k"),
     )
-    return days.select(
+    start = F.col("lo") + F.make_interval(
+        hours=(F.col("k") * 24).cast("int"))
+    return chunks.select(
         "user_id",
         F.explode(
             F.sequence(
-                F.greatest(F.col("day"), F.col("lo")),
-                F.least(F.col("day") + F.expr("INTERVAL 23 HOURS"),
-                        F.col("hi")),
+                start,
+                F.least(start + F.expr("INTERVAL 23 HOURS"), F.col("hi")),
                 F.expr("INTERVAL 1 HOUR"),
             )
         ).alias("bucket"),

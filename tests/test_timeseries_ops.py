@@ -32,6 +32,15 @@ _SPANS = [
     (5, dt.datetime(2024, 4, 1, 23), dt.datetime(2024, 4, 9, 23)),
     # multi-week
     (6, dt.datetime(2024, 5, 1, 11), dt.datetime(2024, 6, 2, 2)),
+    # MINUTE-GRAIN endpoints (round 8): lo past 23:00 crashed the r7
+    # calendar-day-truncated chunking with inverted sequence
+    # boundaries (greatest(day, lo) > day + 23h on the first chunk),
+    # and any sub-hour lo offset silently mis-aligned later days'
+    # buckets — caught by tools/spine_scaling.py, pinned here
+    (7, dt.datetime(2024, 1, 1, 23, 1), dt.datetime(2024, 1, 9, 4, 50)),
+    (8, dt.datetime(2024, 1, 1, 0, 37), dt.datetime(2024, 1, 3, 22, 59)),
+    # sub-hour total span
+    (9, dt.datetime(2024, 1, 1, 23, 59), dt.datetime(2024, 1, 2, 0, 30)),
 ]
 
 

@@ -94,6 +94,23 @@ def main() -> None:
         row["naive_pairs"] = jaccard_verify(sharr, cand, 0.5).count()
         row["naive"] = round(time.time() - t0, 2)
 
+        # Same unamortized shape on the Arrow kernel route — what the
+        # registered incremental_neardup_lsh now runs (round 8): the
+        # naive-vs-kernel delta is the batch+history signature cost
+        # moving out of the interpreted HOF expression.
+        from etl_pipe_spark.operators.dedup import (
+            lsh_build_kernel, lsh_probe_pairs_kernel)
+
+        t0 = time.time()
+        rows_k = lsh_build_kernel(docs, n=3).persist()
+        cand_k = lsh_probe_pairs_kernel(
+            rows_k.filter(F.col("doc_id") % 100 != 7),
+            rows_k.filter(F.col("doc_id") % 100 == 7))
+        row["kernel_pairs"] = jaccard_verify(
+            rows_k.select("doc_id", "shingles"), cand_k, 0.5).count()
+        row["kernel_inmem"] = round(time.time() - t0, 2)
+        rows_k.unpersist()
+
         t0 = time.time()
         row["winnow_rows"] = winnowing_fingerprints(spark, sf_dir).count()
         row["winnow"] = round(time.time() - t0, 2)
