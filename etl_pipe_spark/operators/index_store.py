@@ -646,6 +646,7 @@ def append_to_lsh_index(
     docs_new: DataFrame,
     path: str,
     stale_after_s: float = STALE_AFTER_S,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Index increment: shingle/hash ONLY the new docs with the saved
     parameters and append their band + shingle rows — history files
@@ -665,5 +666,10 @@ def append_to_lsh_index(
     _write_lsh_rows(rows, path, epoch=epoch)
     rows.unpersist()
     total = meta["n_docs"] + n_new
-    _commit_epoch(path, claim, {**meta, "epoch": epoch, "n_docs": int(total)})
+    # extra_meta rides the SAME pointer swap as the data (e.g. the
+    # streaming maintainer's last-applied micro-batch epoch) — the
+    # marker and the rows it describes commit or vanish together,
+    # the RollupMaintainer convention (streaming/rollup.py)
+    _commit_epoch(path, claim, {**meta, **(extra_meta or {}),
+                                "epoch": epoch, "n_docs": int(total)})
     return {"appended": n_new, "n_docs": total}
