@@ -115,6 +115,26 @@ _DEMOTED = (
     # semantic_dedup_scaled / kmeans_fit_clusters /
     # streaming_dedup_watermark / incremental_neardup_lsh and the
     # persisted-index trilogy ivfpq/sq8/lsh_index_persisted.
+    # ROUND-9 ROTATION QUEUE (forward-looking, in the RECOMPUTED
+    # staleness order — oldest last-driver-green first; verify against
+    # the r01-r08 union before executing, the r7 lesson):
+    #   1. the 4 r04-stale leftovers (similarity_ann_ivf,
+    #      similarity_topk_cosine, kmeans_update_step, semantic_dedup);
+    #   2. the 33-query r05 group (multimodal_features, tpch_q8/q9/q20,
+    #      ann_kmeans_recall_lift, pq_fit_quality, pca_top_component,
+    #      corpus_shuffle_shards, approx_aggregates, sequence_packing,
+    #      tfidf_top_terms, dedup_ngram_jaccard,
+    #      corpus_curation_pipeline, multimodal_frame_sample,
+    #      pandas_group_zscore, contamination_check,
+    #      quality_repetition_filter, dedup_minhash_lsh,
+    #      run_summary_rollup, incremental_scan, asof_join_last_event,
+    #      session_window_agg, merge_replay_dedup, scd2_version_chain,
+    #      wide_projection, denorm_join, supplier_nation_rollup,
+    #      json_flatten_input_data, doc_fingerprint, similarity_srp_lsh,
+    #      text_redact, doc_chunking, dedup_simhash) — 4 + 33 = 37
+    #      fills most of the window;
+    #   3. then the r06 group.  Keep the production flagships + the
+    #      persisted-index trilogy pinned as below.
     # The 41 demotions below (all r7-green, implementations unchanged,
     # local-artifact row coverage + in-window family rep per line):
     "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders
