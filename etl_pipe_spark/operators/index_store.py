@@ -156,6 +156,38 @@ def _commit_epoch(path: str, claim: str, meta: dict) -> None:
     shutil.rmtree(claim, ignore_errors=True)
 
 
+def _epoch_filter(df: DataFrame, meta: dict) -> DataFrame:
+    """Committed-window filter every reader applies: epochs below
+    ``epoch_base`` were REPLACED by a compaction (their consolidated
+    rows live at the base epoch), epochs above ``epoch`` are not yet
+    committed (torn or in-flight).  Both bounds are partition
+    predicates — pruning, not scanning."""
+    base = meta.get("epoch_base", 0)
+    return df.filter((F.col("epoch") >= F.lit(base))
+                     & (F.col("epoch") <= F.lit(meta["epoch"])))
+
+
+def _vacuum_epochs(path: str, tables: tuple[str, ...], base: int) -> None:
+    """Best-effort removal of replaced epoch directories (< base).
+    Runs AFTER the pointer swap, so a crash at any point here leaves
+    only invisible garbage — readers' epoch_base filter already
+    excludes everything this deletes; the next compaction (or a
+    re-run) sweeps the rest."""
+    for t in tables:
+        tdir = _p(path, t)
+        if not os.path.isdir(tdir):
+            continue
+        for name in os.listdir(tdir):
+            if not name.startswith("epoch="):
+                continue
+            try:
+                n = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if n < base:
+                shutil.rmtree(_p(tdir, name), ignore_errors=True)
+
+
 def _fresh_store(path: str) -> None:
     """Reset a store directory for a full (re)build: drop the pointer
     FIRST so a crash mid-build cannot leave an old pointer describing
@@ -228,8 +260,8 @@ def build_ivfpq_index(
         "sub int, code_id int, cw array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(_p(path, "codebooks"))
     _commit_epoch(path, claim, {
-        "epoch": 0, "n_vectors": int(n), "k": int(k), "m": int(m),
-        "ksub": int(ksub), "n_buckets": int(N_BUCKETS),
+        "epoch": 0, "epoch_base": 0, "n_vectors": int(n), "k": int(k),
+        "m": int(m), "ksub": int(ksub), "n_buckets": int(N_BUCKETS),
     })
     return {"n_vectors": n, "k": k, "m": m, "ksub": ksub}
 
@@ -296,8 +328,7 @@ def search_ivfpq_index(
     buckets = sorted({c % meta["n_buckets"] for c in probed_cells})
 
     codes_df = (
-        spark.read.parquet(_p(path, "codes"))
-        .filter(F.col("epoch") <= meta["epoch"])         # uncommitted invisible
+        _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
         .filter(F.col("cell_bucket").isin(buckets))      # partition pruning
         .filter(F.col("cent_id").isin(probed_cells))     # footer min/max
     )
@@ -430,7 +461,8 @@ def build_sq8_index(
         "dim int, lo double, scale double",
     ).coalesce(1).write.mode("overwrite").parquet(_p(path, "stats"))
     _commit_epoch(path, claim, {
-        "epoch": 0, "n_vectors": int(n), "dim": int(lo.shape[0]),
+        "epoch": 0, "epoch_base": 0, "n_vectors": int(n),
+        "dim": int(lo.shape[0]),
     })
     return {"n_vectors": n, "dim": int(lo.shape[0])}
 
@@ -458,8 +490,7 @@ def search_sq8_index(
     meta = load_index_meta(spark, path)
     lo, scale = _load_sq8_stats(spark, path)
     codes = (
-        spark.read.parquet(_p(path, "codes"))
-        .filter(F.col("epoch") <= meta["epoch"])  # uncommitted invisible
+        _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
         .select("vec_id", "codes")
     )
     return sq8_search_topk(codes, queries, lo, scale, k=k,
@@ -550,8 +581,9 @@ def build_lsh_index(
     _write_lsh_rows(rows, path, epoch=0)
     rows.unpersist()
     _commit_epoch(path, claim, {
-        "epoch": 0, "n_docs": int(n), "shingle_n": int(shingle_n),
-        "n_bands": int(N_BANDS), "rows_per_band": int(ROWS_PER_BAND),
+        "epoch": 0, "epoch_base": 0, "n_docs": int(n),
+        "shingle_n": int(shingle_n), "n_bands": int(N_BANDS),
+        "rows_per_band": int(ROWS_PER_BAND),
     })
     return {"n_docs": n, "shingle_n": shingle_n, "n_bands": N_BANDS}
 
@@ -609,10 +641,7 @@ def probe_lsh_index(
     b = batch_rows.select(
         "doc_id", F.posexplode("band_keys").alias("band", "band_key")
     ).alias("b")
-    h = (
-        spark.read.parquet(_p(path, "bands"))
-        .filter(F.col("epoch") <= meta["epoch"])  # uncommitted invisible
-    )
+    h = _epoch_filter(spark.read.parquet(_p(path, "bands")), meta)
     # Small-probe fast path: a bounded batch's band keys form a small
     # IN set; against the range-clustered, sorted bands files the
     # predicate reaches parquet footers/column index and skips the row
@@ -633,8 +662,7 @@ def probe_lsh_index(
         .distinct()
     )
     hist_sharr = (
-        spark.read.parquet(_p(path, "shingles"))
-        .filter(F.col("epoch") <= meta["epoch"])
+        _epoch_filter(spark.read.parquet(_p(path, "shingles")), meta)
         .select("doc_id", "shingles")
     )
     return jaccard_verify(hist_sharr, cand, threshold,
@@ -673,3 +701,87 @@ def append_to_lsh_index(
     _commit_epoch(path, claim, {**meta, **(extra_meta or {}),
                                 "epoch": epoch, "n_docs": int(total)})
     return {"appended": n_new, "n_docs": total}
+
+
+# ---------------------------------------------------------------------------
+# Compaction (round 8): consolidate accumulated epochs, atomically.
+#
+# A year of daily appends leaves ~365 `epoch=N` directories of small
+# files per table; every probe/search then lists and opens all of
+# them.  Compaction rewrites the committed window into ONE fresh epoch
+# with the store's canonical clustering (the same layout the build
+# emits), then swaps the pointer to {epoch: E+1, epoch_base: E+1} —
+# readers' epoch-window filter makes every replaced epoch invisible in
+# the same atomic step that publishes the consolidated one (Delta's
+# OPTIMIZE, re-expressed on the pointer protocol).  A crash mid-compact
+# leaves the new epoch invisible and the claim stale-reclaimable; a
+# crash after the swap leaves only invisible garbage, which the
+# post-swap vacuum (or the next compaction's) sweeps.  Quantizer /
+# dimension tables (centroids, codebooks, stats) are immutable and
+# untouched — compaction moves bytes, never changes a single result
+# (tests pin probe/search equality before and after).
+# ---------------------------------------------------------------------------
+
+def compact_ivfpq_index(spark: SparkSession, path: str,
+                        stale_after_s: float = STALE_AFTER_S) -> dict:
+    """Rewrite all committed code epochs into one, bucket-clustered
+    like the build (one file per cell_bucket)."""
+    meta = load_index_meta(spark, path)
+    epoch = meta["epoch"] + 1
+    claim = _claim_epoch(path, epoch, ("codes",), stale_after_s)
+    (
+        _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
+        .select("vec_id", "codes", "cent_id", "cell_bucket")
+        .repartition(meta["n_buckets"], "cell_bucket")
+        .write.partitionBy("cell_bucket").mode("append")
+        .parquet(_p(path, "codes", f"epoch={epoch}"))
+    )
+    _commit_epoch(path, claim, {**meta, "epoch": epoch, "epoch_base": epoch})
+    _vacuum_epochs(path, ("codes",), epoch)
+    return {"epoch": epoch, "n_vectors": meta["n_vectors"]}
+
+
+def compact_sq8_index(spark: SparkSession, path: str,
+                      stale_after_s: float = STALE_AFTER_S) -> dict:
+    """Rewrite all committed code epochs into one, vec_id-clustered."""
+    meta = load_index_meta(spark, path)
+    epoch = meta["epoch"] + 1
+    claim = _claim_epoch(path, epoch, ("codes",), stale_after_s)
+    (
+        _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
+        .select("vec_id", "codes")
+        .repartition(8, "vec_id")
+        .write.mode("append").parquet(_p(path, "codes", f"epoch={epoch}"))
+    )
+    _commit_epoch(path, claim, {**meta, "epoch": epoch, "epoch_base": epoch})
+    _vacuum_epochs(path, ("codes",), epoch)
+    return {"epoch": epoch, "n_vectors": meta["n_vectors"]}
+
+
+def compact_lsh_index(spark: SparkSession, path: str,
+                      stale_after_s: float = STALE_AFTER_S) -> dict:
+    """Rewrite all committed band/shingle epochs into one — bands
+    regain GLOBAL band_key range clustering (append epochs each sorted
+    their own files; consolidation restores disjoint footer ranges
+    across the whole table, re-arming the small-probe skip), shingles
+    re-cluster by doc_id.  No text is re-shingled: this is a byte
+    move over the stored rows."""
+    meta = load_index_meta(spark, path)
+    epoch = meta["epoch"] + 1
+    claim = _claim_epoch(path, epoch, ("bands", "shingles"), stale_after_s)
+    (
+        _epoch_filter(spark.read.parquet(_p(path, "bands")), meta)
+        .select("doc_id", "band", "band_key")
+        .repartitionByRange(8, "band_key")
+        .sortWithinPartitions("band_key")
+        .write.mode("append").parquet(_p(path, "bands", f"epoch={epoch}"))
+    )
+    (
+        _epoch_filter(spark.read.parquet(_p(path, "shingles")), meta)
+        .select("doc_id", "shingles")
+        .repartition(8, "doc_id")
+        .write.mode("append").parquet(_p(path, "shingles", f"epoch={epoch}"))
+    )
+    _commit_epoch(path, claim, {**meta, "epoch": epoch, "epoch_base": epoch})
+    _vacuum_epochs(path, ("bands", "shingles"), epoch)
+    return {"epoch": epoch, "n_docs": meta["n_docs"]}

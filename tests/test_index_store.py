@@ -442,3 +442,166 @@ def test_lsh_bands_footers_are_range_clustered(spark, sf_dir,
     probe_key = spans[len(spans) // 2][0]
     containing = sum(1 for lo, hi in spans if lo <= probe_key <= hi)
     assert containing == 1
+
+
+# ---------------------------------------------------------------------------
+# Compaction (round 8): consolidate epochs atomically — the OPTIMIZE
+# answer to a year of daily appends.
+# ---------------------------------------------------------------------------
+
+def _glob_epochs(path, table):
+    import glob
+    import os
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{path}/{table}/epoch=*") if os.path.isdir(p))
+
+
+def test_lsh_compaction_preserves_results_and_consolidates(
+        spark, sf_dir, tmp_path_factory):
+    """After several appends + one compaction: probe results identical,
+    epoch dirs collapse to one, replaced dirs vacuumed, meta counts
+    preserved, bands footers are globally range-clustered again, and
+    the store keeps accepting appends afterwards."""
+    import glob
+
+    from test_layout_ops import _file_stats
+
+    from etl_pipe_spark.operators.index_store import (
+        append_to_lsh_index, build_lsh_index, compact_lsh_index,
+        load_index_meta, probe_lsh_index)
+    from etl_pipe_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path_factory.mktemp("lsh-compact") / "idx")
+    build_lsh_index(spark, hist, path)
+    src = hist.orderBy("doc_id").first()
+    for i in range(3):  # three daily batches, incl. a copy of src
+        batch = spark.createDataFrame(
+            [(9_000_000 + i, src["text"] if i == 0 else f"batch {i} words"
+              + " filler tokens for shingles")],
+            "doc_id long, text string")
+        append_to_lsh_index(spark, batch, path)
+    meta_before = load_index_meta(spark, path)
+    assert _glob_epochs(path, "bands") == [
+        "epoch=0", "epoch=1", "epoch=2", "epoch=3"]
+
+    probe = spark.createDataFrame([(9_100_000, src["text"])],
+                                  "doc_id long, text string")
+    hits_before = sorted(
+        (r["left_id"], round(r["jaccard"], 12))
+        for r in probe_lsh_index(spark, path, probe).collect())
+    assert any(l == 9_000_000 for l, _ in hits_before)  # appended copy
+
+    out = compact_lsh_index(spark, path)
+    assert out["n_docs"] == meta_before["n_docs"]
+    meta_after = load_index_meta(spark, path)
+    assert meta_after["epoch"] == meta_after["epoch_base"] == 4
+    assert meta_after["n_docs"] == meta_before["n_docs"]
+    # replaced epochs vacuumed; one consolidated dir per table
+    assert _glob_epochs(path, "bands") == ["epoch=4"]
+    assert _glob_epochs(path, "shingles") == ["epoch=4"]
+
+    hits_after = sorted(
+        (r["left_id"], round(r["jaccard"], 12))
+        for r in probe_lsh_index(spark, path, probe).collect())
+    assert hits_after == hits_before
+
+    # global range clustering restored: disjoint per-file key ranges
+    spans = sorted(
+        (s["band_key"][0], s["band_key"][1])
+        for s in _file_stats(f"{path}/bands/epoch=4", ["band_key"])
+        if s["band_key"][0] is not None)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    # and the store keeps working: append after compaction
+    post = spark.createDataFrame([(9_500_000, src["text"])],
+                                 "doc_id long, text string")
+    append_to_lsh_index(spark, post, path)
+    hits_post = {r["left_id"] for r in
+                 probe_lsh_index(spark, path, probe).collect()}
+    assert 9_500_000 in hits_post and 9_000_000 in hits_post
+
+
+def test_lsh_compaction_crash_is_invisible_then_heals(
+        spark, sf_dir, tmp_path_factory, monkeypatch):
+    """Crash after the consolidated rows are written but before the
+    pointer swap: readers still see the multi-epoch window unchanged;
+    the retried compaction stale-reclaims and lands exactly once."""
+    from etl_pipe_spark.operators import index_store as IS
+    from etl_pipe_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path_factory.mktemp("lsh-compact-crash") / "idx")
+    IS.build_lsh_index(spark, hist, path)
+    src = hist.orderBy("doc_id").first()
+    IS.append_to_lsh_index(spark, spark.createDataFrame(
+        [(9_000_000, src["text"])], "doc_id long, text string"), path)
+    meta0 = IS.load_index_meta(spark, path)
+    probe = spark.createDataFrame([(9_100_000, src["text"])],
+                                  "doc_id long, text string")
+    hits0 = sorted((r["left_id"], round(r["jaccard"], 12)) for r in
+                   IS.probe_lsh_index(spark, path, probe).collect())
+
+    real_commit = IS._commit_epoch
+    monkeypatch.setattr(IS, "_commit_epoch",
+                        lambda *a, **kw: (_ for _ in ()).throw(
+                            RuntimeError("simulated crash")))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        IS.compact_lsh_index(spark, path)
+    assert IS.load_index_meta(spark, path) == meta0
+    hits1 = sorted((r["left_id"], round(r["jaccard"], 12)) for r in
+                   IS.probe_lsh_index(spark, path, probe).collect())
+    assert hits1 == hits0
+
+    monkeypatch.setattr(IS, "_commit_epoch", real_commit)
+    out = IS.compact_lsh_index(spark, path, stale_after_s=0.0)
+    assert out["n_docs"] == meta0["n_docs"]
+    hits2 = sorted((r["left_id"], round(r["jaccard"], 12)) for r in
+                   IS.probe_lsh_index(spark, path, probe).collect())
+    assert hits2 == hits0
+    # no duplicated rows from the orphaned first attempt
+    bands = spark.read.parquet(f"{path}/bands")
+    assert (bands.groupBy("doc_id", "band").count()
+            .filter(F.col("count") > 1).count()) == 0
+
+
+def test_ivfpq_and_sq8_compaction_preserve_search(spark, emb, queries,
+                                                  tmp_path_factory):
+    """Same contract on the vector legs: search results byte-identical
+    across append -> compact, epoch dirs consolidated."""
+    from etl_pipe_spark.operators.index_store import (
+        append_to_ivfpq_index, append_to_sq8_index, build_ivfpq_index,
+        build_sq8_index, compact_ivfpq_index, compact_sq8_index,
+        search_ivfpq_index, search_sq8_index)
+
+    base = emb.filter(F.col("vec_id") == 0).first()
+    batch = spark.createDataFrame([(10_000_000, list(base["v"]))],
+                                  "vec_id bigint, v array<double>")
+    q = spark.createDataFrame([(0, list(base["v"]))],
+                              "query_id bigint, v array<double>")
+
+    p1 = str(tmp_path_factory.mktemp("ivfpq-compact") / "idx")
+    build_ivfpq_index(spark, emb, p1)
+    append_to_ivfpq_index(spark, batch, p1)
+    before = sorted(tuple(r) for r in
+                    search_ivfpq_index(spark, p1, q, k=5, nprobe=2).collect())
+    compact_ivfpq_index(spark, p1)
+    assert _glob_epochs(p1, "codes") == ["epoch=2"]
+    after = sorted(tuple(r) for r in
+                   search_ivfpq_index(spark, p1, q, k=5, nprobe=2).collect())
+    assert after == before
+
+    p2 = str(tmp_path_factory.mktemp("sq8-compact") / "idx")
+    build_sq8_index(spark, emb, p2)
+    append_to_sq8_index(spark, batch, p2)
+    qq = q.withColumnRenamed("v", "qv")
+    before = sorted(tuple(r) for r in
+                    search_sq8_index(spark, p2, qq, k=5).collect())
+    compact_sq8_index(spark, p2)
+    assert _glob_epochs(p2, "codes") == ["epoch=2"]
+    after = sorted(tuple(r) for r in
+                   search_sq8_index(spark, p2, qq, k=5).collect())
+    assert after == before
