@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 104 names: 154 registered − 104 demoted = 50 in-window
+# Exactly 105 names: 155 registered − 105 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -135,6 +135,16 @@ _DEMOTED = (
     #      fills most of the window;
     #   3. then the r06 group.  Keep the production flagships + the
     #      persisted-index trilogy pinned as below.
+    # MID-R8 ADDENDUM: one new registration landed after the rotation
+    # above (lsh_index_lifecycle — build + two appends + compact +
+    # probe under the SAME oracle as the one-shot build, putting the
+    # whole store lifecycle incl. atomic compaction under driver
+    # hash-signal).  It takes its first driver row in-window (the
+    # never-driver-checked set stays empty, the r5-r8 convention); the
+    # slot comes from one of this round's 11 r04-stale promotions
+    # (keeping every other staleness repair intact — the r8 "no query
+    # older than r04" ceiling still holds for the demoted row):
+    "promo_revenue_share",        # last green r4; single-row conditional-share agg covered in-window by promoted tpch_q19 (disjunctive conditional agg) + rollup_orders + sql_api_segment_revenue (same revenue-share shape, promoted)
     # The 41 demotions below (all r7-green, implementations unchanged,
     # local-artifact row coverage + in-window family rep per line):
     "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders

@@ -306,6 +306,44 @@ def lsh_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_decision(batch_ids, verified)
 
 
+@register("lsh_index_lifecycle", oracle=_duck_incremental_neardup_sql())
+def lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL store lifecycle under the driver's hash check
+    (round 8): build the index on only a third of history, APPEND the
+    other two thirds as two daily batches, COMPACT the accumulated
+    epochs into one (the atomic pointer-swap consolidation of
+    operators/index_store.py), then probe — under the IDENTICAL
+    oracle as lsh_index_persisted / incremental_neardup_lsh.
+
+    A matching hash therefore certifies the strongest store property
+    in one row: ``append + append + compact + probe`` is
+    result-equivalent to ``build-once-on-everything + probe`` — the
+    frozen parameters reproduce byte-identical band keys for data
+    indexed on different days, and compaction moves bytes without
+    touching a single verdict.  This is exactly the weekly-maintenance
+    cadence a year-long daily-ingest pipeline runs
+    (docs/DEPLOYMENT.md), checked end to end by the driver every
+    round it is in-window.
+    """
+    from ..operators.index_store import (
+        append_to_lsh_index, build_lsh_index, compact_lsh_index,
+        probe_lsh_index)
+    from .ingest_plans import _io_dir
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    path = _io_dir(sf_dir, "lsh_index_lifecycle")
+    # seed: one third of history; two "days" of appends deliver the rest
+    build_lsh_index(spark, hist.filter(F.col("doc_id") % 3 == 0), path)
+    append_to_lsh_index(spark, hist.filter(F.col("doc_id") % 3 == 1), path)
+    append_to_lsh_index(spark, hist.filter(F.col("doc_id") % 3 == 2), path)
+    compact_lsh_index(spark, path)
+    verified = probe_lsh_index(spark, path, batch, threshold=0.5)
+    batch_ids = batch.select(F.col("doc_id").alias("batch_id"))
+    return _neardup_decision(batch_ids, verified)
+
+
 # --------------------------------------------------------------------------
 # SimHash fingerprints.
 # --------------------------------------------------------------------------

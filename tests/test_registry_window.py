@@ -47,7 +47,7 @@ FLAGSHIPS = [
     "range_join_bucketed",
     "window_frames",
     "sql_api_segment_revenue",
-    "promo_revenue_share",
+    "lsh_index_lifecycle",   # mid-r8 registration: full store lifecycle (build+append+append+compact+probe) under the one-shot-build oracle
     "array_aggregation",
     "unpivot_lineitem_metrics",
     "having_large_orders",
