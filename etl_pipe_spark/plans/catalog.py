@@ -49,7 +49,7 @@ _PLAN_MODULES = (
     "pandas_ops", "curation_pipeline", "corpus_plans", "corpus_plans2",
     "layout_plans", "profiling_plans", "ingest_plans", "maintenance_plans",
     "selection_plans", "graph_plans", "joinopt_plans", "corpus_plans3",
-    "timeseries_plans", "funnel_plans",
+    "timeseries_plans", "funnel_plans", "quant_plans",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 105 names: 155 registered − 105 demoted = 50 in-window
+# Exactly 106 names: 156 registered − 106 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -145,6 +145,14 @@ _DEMOTED = (
     # (keeping every other staleness repair intact — the r8 "no query
     # older than r04" ceiling still holds for the demoted row):
     "promo_revenue_share",        # last green r4; single-row conditional-share agg covered in-window by promoted tpch_q19 (disjunctive conditional agg) + rollup_orders + sql_api_segment_revenue (same revenue-share shape, promoted)
+    # MID-R8 ADDENDUM 2: bq_hamming_rerank landed (1-bit binary
+    # quantization — integer-exact Hamming shortlist + exact rerank,
+    # completing the PQ/SQ8/BQ quantizer family).  It takes its first
+    # driver row in-window (never-driver-checked set stays empty); the
+    # slot comes from one more r04-stale promotion whose family stays
+    # hard-checked (the "no query older than r04" ceiling holds — this
+    # row returns to the head of the r9 queue):
+    "pivot_status_revenue",       # last green r4; pivot conditional-agg shape covered in-window by unpivot_lineitem_metrics (the inverse op, promoted), cube_lineitem + rollup_orders (grouping family) + sql_api_segment_revenue (CASE-sum shares)
     # The 41 demotions below (all r7-green, implementations unchanged,
     # local-artifact row coverage + in-window family rep per line):
     "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders

@@ -1,0 +1,114 @@
+"""Binary quantization (operators/bq.py + plans/quant_plans.py).
+
+The cross-engine oracle (tests/test_oracle_parity.py) certifies the
+full query; these tests pin the kernel invariants independently:
+
+* pack parity — the Catalyst CASE-sum words equal a numpy bit-pack of
+  the same thresholds, bit for bit;
+* hamming parity — ``bit_count(xor)`` over the packed words equals the
+  unpacked per-dimension disagreement count (the packed/unpacked
+  differential the oracle relies on);
+* word-range safety — every packed word is in [0, 2^32), so the
+  CASE-sum can never overflow bigint under ANSI arithmetic;
+* threshold determinism — midrange thresholds are reproducible across
+  recomputation (min/max exact + one IEEE add/halving).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipe_spark.functions import vectors as VX
+from etl_pipe_spark.operators import bq as BQ
+from etl_pipe_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", VX.as_double(F.col("embedding")).alias("v"))
+    )
+
+
+def _np_pack(vecs: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
+    """Independent numpy model of bq_pack's word layout."""
+    bits = (vecs > thresholds[None, :]).astype(np.uint64)
+    dim = vecs.shape[1]
+    words = np.zeros((vecs.shape[0], BQ.n_words(dim)), dtype=np.uint64)
+    for d in range(dim):
+        w, j = divmod(d, BQ.BITS_PER_WORD)
+        words[:, w] |= bits[:, d] << np.uint64(j)
+    return words.astype(np.int64)
+
+
+def test_pack_matches_numpy_model(spark, emb):
+    thresholds = BQ.bq_thresholds(emb)
+    dim = len(thresholds)
+    packed = (
+        BQ.bq_pack(emb, thresholds, "v", prefix="code")
+        .orderBy("vec_id")
+        .collect()
+    )
+    vecs = np.array([r["v"] for r in packed], dtype=np.float64)
+    model = _np_pack(vecs, np.array(thresholds))
+    for i, row in enumerate(packed):
+        got = [row[f"code{w}"] for w in range(BQ.n_words(dim))]
+        assert got == list(model[i]), f"vec {row['vec_id']}: {got} != {list(model[i])}"
+
+
+def test_words_fit_32_bits(spark, emb):
+    thresholds = BQ.bq_thresholds(emb)
+    dim = len(thresholds)
+    packed = BQ.bq_pack(emb, thresholds, "v", prefix="code")
+    conds = [
+        (F.col(f"code{w}") < 0) | (F.col(f"code{w}") >= F.lit(1 << 32))
+        for w in range(BQ.n_words(dim))
+    ]
+    bad = packed.filter(conds[0] if len(conds) == 1 else conds[0] | conds[1])
+    assert bad.count() == 0
+
+
+def test_hamming_equals_unpacked_disagreements(spark, emb):
+    thresholds = BQ.bq_thresholds(emb)
+    dim = len(thresholds)
+    sample = BQ.bq_pack(emb, thresholds, "v", prefix="code").limit(40).collect()
+    vecs = np.array([r["v"] for r in sample])
+    bits = vecs > np.array(thresholds)[None, :]
+    words = np.array(
+        [[r[f"code{w}"] for w in range(BQ.n_words(dim))] for r in sample],
+        dtype=np.int64,
+    )
+    # packed popcount-of-xor vs unpacked disagreement count, all pairs
+    for i in range(len(sample)):
+        for j in range(i + 1, len(sample)):
+            unpacked = int((bits[i] != bits[j]).sum())
+            packed_ham = sum(
+                bin(int(words[i, w]) ^ int(words[j, w])).count("1")
+                for w in range(BQ.n_words(dim))
+            )
+            assert packed_ham == unpacked
+
+
+def test_thresholds_deterministic(spark, emb):
+    assert BQ.bq_thresholds(emb) == BQ.bq_thresholds(emb)
+
+
+def test_registered_query_shape(spark, sf_dir):
+    from etl_pipe_spark.plans.quant_plans import BQ_TOPK, bq_hamming_rerank
+
+    out = bq_hamming_rerank(spark, sf_dir)
+    assert out.columns == [
+        "query_id", "neighbor_id", "hamming", "rnk", "recall_ge_floor"]
+    rows = out.collect()
+    assert rows, "no output rows"
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+        assert 0 <= r["hamming"] <= 64
+        assert r["recall_ge_floor"] is True  # floor holds at the test sf
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= BQ_TOPK

@@ -40,7 +40,11 @@ FLAGSHIPS = [
     "anti_join_orderless_customers",
     "rollup_orders",
     "cube_lineitem",
-    "pivot_status_revenue",
+    # pivot_status_revenue yielded its slot to bq_hamming_rerank
+    # (mid-r8 addendum 2); the pivot conditional-agg family stays
+    # in-window via unpivot_lineitem_metrics + cube/rollup +
+    # sql_api_segment_revenue.
+    "bq_hamming_rerank",     # mid-r8 registration: 1-bit BQ Hamming shortlist + exact rerank (integer-exact distance oracle)
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q10_returned_items",
