@@ -108,3 +108,37 @@ def hamming(left_prefix: str, right_prefix: str, dim: int) -> Column:
         for w in range(n_words(dim))
     ]
     return reduce(add, parts)
+
+
+def hamming_shortlist(codes: DataFrame, packed_queries: DataFrame,
+                      dim: int, shortlist: int) -> DataFrame:
+    """Per-query Hamming top-``shortlist`` over packed code frames.
+
+    ``codes``: (vec_id, code0..codeW-1); ``packed_queries``:
+    (query_id, qcode0..qcodeW-1).  Returns (query_id, neighbor_id,
+    hamming), self-pairs excluded, ties broken on neighbor_id.
+
+    Shared by the in-memory registered query and the persisted-index
+    search (operators/index_store.py) so the two paths cannot drift —
+    the store-trilogy convention.  The plan Spark produces is the
+    scale-correct one: WindowGroupLimit runs PARTIAL before the
+    exchange, so each task forwards at most ``shortlist`` rows per
+    query and the shuffle is queries x shortlist, never the corpus.
+    """
+    from pyspark.sql.window import Window as W
+
+    cand = (
+        codes.join(F.broadcast(packed_queries),
+                   F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            hamming("code", "qcode", dim).alias("hamming"),
+        )
+    )
+    sw = W.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("srnk", F.row_number().over(sw))
+        .filter(F.col("srnk") <= shortlist)
+        .drop("srnk")
+    )

@@ -704,6 +704,133 @@ def append_to_lsh_index(
 
 
 # ---------------------------------------------------------------------------
+# BQ leg: 1-bit sign codes under the same store contract (round 8,
+# completing the quantizer family's persisted forms: IVFPQ / SQ8 / BQ)
+# ---------------------------------------------------------------------------
+
+def build_bq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> dict:
+    """Persist the binary-quantization flat index:
+
+    * ``thresholds`` — (dim, t)                dim rows (the whole
+                       quantizer: per-dim midrange sign thresholds)
+    * ``codes``      — (vec_id, code0..codeW)  N rows, 8 BYTES each at
+                       dim 64 (32x under float32, 4x under SQ8)
+    * meta           — (n_vectors, dim) on the COMMITTED pointer
+
+    One dim-row stats aggregate, one shuffle-free Catalyst pack pass,
+    one key-clustered write.  Flat by design like the SQ8 leg (the
+    pruning story lives in the IVFPQ leg; production composes), but
+    the scan it serves is pure-integer ``bit_count(xor)`` — the
+    cheapest probe of the three stores.
+    """
+    from .bq import bq_pack, bq_thresholds, n_words
+
+    n = emb.count()
+    if n == 0:
+        raise ValueError("build_bq_index: empty embedding frame")
+    _fresh_store(path)
+    claim = _claim_epoch(path, 0, ("codes",))
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    thresholds = bq_thresholds(vecs, "v")
+    dim = len(thresholds)
+    code_cols = [f"code{w}" for w in range(n_words(dim))]
+    (
+        bq_pack(vecs, thresholds, "v", prefix="code")
+        .select("vec_id", *code_cols)
+        .repartition(8, "vec_id")
+        .write.mode("overwrite").parquet(_p(path, "codes", "epoch=0"))
+    )
+    spark.createDataFrame(
+        [(int(d), float(t)) for d, t in enumerate(thresholds)],
+        "dim int, t double",
+    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "thresholds"))
+    _commit_epoch(path, claim, {
+        "epoch": 0, "epoch_base": 0, "n_vectors": int(n), "dim": int(dim),
+    })
+    return {"n_vectors": n, "dim": dim}
+
+
+def _load_bq_thresholds(spark: SparkSession, path: str) -> list[float]:
+    rows = spark.read.parquet(_p(path, "thresholds")).orderBy("dim").collect()
+    return [r["t"] for r in rows]
+
+
+def search_bq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    shortlist: int,
+    query_id_col: str = "query_id",
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Hamming shortlist over the persisted codes — queries are packed
+    with the SAVED thresholds and ranked by the exact
+    ``bq.hamming_shortlist`` helper the in-memory registered query
+    uses, so the persisted path cannot drift from the oracle-checked
+    one (the store trilogy's literal-equality property).  Returns
+    (query_id, neighbor_id, hamming)."""
+    from .bq import bq_pack, hamming_shortlist, n_words
+
+    meta = load_index_meta(spark, path)
+    thresholds = _load_bq_thresholds(spark, path)
+    dim = meta["dim"]
+    code_cols = [f"code{w}" for w in range(n_words(dim))]
+    codes = (
+        _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
+        .select("vec_id", *code_cols)
+    )
+    packed_q = bq_pack(
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")),
+        thresholds, "qv", prefix="qcode",
+    ).select("query_id", *[f"qcode{w}" for w in range(n_words(dim))])
+    return hamming_shortlist(codes, packed_q, dim, shortlist)
+
+
+def append_to_bq_index(
+    spark: SparkSession,
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    stale_after_s: float = STALE_AFTER_S,
+) -> dict:
+    """Frozen-quantizer increment: pack ONLY the batch with the SAVED
+    thresholds and append its code rows — history bytes are immutable,
+    and a batch value landing exactly on a frozen threshold resolves
+    by the same strict ``>`` every other row used.  Same epoch/CAS/
+    pointer atomicity contract as the sibling appends."""
+    from .bq import bq_pack, n_words
+
+    meta = load_index_meta(spark, path)
+    epoch = meta["epoch"] + 1
+    claim = _claim_epoch(path, epoch, ("codes",), stale_after_s)
+    thresholds = _load_bq_thresholds(spark, path)
+    code_cols = [f"code{w}" for w in range(n_words(meta["dim"]))]
+    vecs = emb_new.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v")).persist()
+    try:
+        n_new = vecs.count()
+        (
+            bq_pack(vecs, thresholds, "v", prefix="code")
+            .select("vec_id", *code_cols)
+            .repartition(8, "vec_id")
+            .write.mode("append").parquet(_p(path, "codes", f"epoch={epoch}"))
+        )
+    finally:
+        vecs.unpersist()
+    total = meta["n_vectors"] + n_new
+    _commit_epoch(path, claim, {**meta, "epoch": epoch, "n_vectors": int(total)})
+    return {"appended": n_new, "n_vectors": total}
+
+
+# ---------------------------------------------------------------------------
 # Compaction (round 8): consolidate accumulated epochs, atomically.
 #
 # A year of daily appends leaves ~365 `epoch=N` directories of small
@@ -750,6 +877,28 @@ def compact_sq8_index(spark: SparkSession, path: str,
     (
         _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
         .select("vec_id", "codes")
+        .repartition(8, "vec_id")
+        .write.mode("append").parquet(_p(path, "codes", f"epoch={epoch}"))
+    )
+    _commit_epoch(path, claim, {**meta, "epoch": epoch, "epoch_base": epoch})
+    _vacuum_epochs(path, ("codes",), epoch)
+    return {"epoch": epoch, "n_vectors": meta["n_vectors"]}
+
+
+def compact_bq_index(spark: SparkSession, path: str,
+                     stale_after_s: float = STALE_AFTER_S) -> dict:
+    """Rewrite all committed code epochs into one, vec_id-clustered
+    (the SQ8 recipe — flat scan, so clustering serves point lookups
+    and merges, not probe pruning)."""
+    from .bq import n_words
+
+    meta = load_index_meta(spark, path)
+    epoch = meta["epoch"] + 1
+    claim = _claim_epoch(path, epoch, ("codes",), stale_after_s)
+    code_cols = [f"code{w}" for w in range(n_words(meta["dim"]))]
+    (
+        _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
+        .select("vec_id", *code_cols)
         .repartition(8, "vec_id")
         .write.mode("append").parquet(_p(path, "codes", f"epoch={epoch}"))
     )

@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 106 names: 156 registered − 106 demoted = 50 in-window
+# Exactly 107 names: 157 registered − 107 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -153,6 +153,12 @@ _DEMOTED = (
     # hard-checked (the "no query older than r04" ceiling holds — this
     # row returns to the head of the r9 queue):
     "pivot_status_revenue",       # last green r4; pivot conditional-agg shape covered in-window by unpivot_lineitem_metrics (the inverse op, promoted), cube_lineitem + rollup_orders (grouping family) + sql_api_segment_revenue (CASE-sum shares)
+    # MID-R8 ADDENDUM 3: bq_index_persisted landed (the BQ leg of the
+    # index store — build/search/append/compact on the same epoch/CAS/
+    # pointer protocol, certified by the SAME oracle as the in-memory
+    # form).  First driver row in-window; the slot comes from one more
+    # r04-stale promotion whose exact shape stays hard-checked:
+    "having_large_orders",        # last green r4; groupBy+HAVING-on-aggregate shape is tpch_q18_large_volume's core (promoted, in-window) + cube/rollup grouping family
     # The 41 demotions below (all r7-green, implementations unchanged,
     # local-artifact row coverage + in-window family rep per line):
     "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders

@@ -130,37 +130,42 @@ def bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist quality per round against the in-query brute-force
     answer (the sq8_ann_rerank convention).
     """
-    import math
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.as_double(F.col("embedding")).alias("v"))
-    shortlist = max(BQ_SHORTLIST_MIN,
-                    math.ceil(BQ_SHORTLIST_FRAC * emb.count()))
+    shortlist = _bq_shortlist_size(emb.count())
     thresholds = BQ.bq_thresholds(emb)
     dim = len(thresholds)
     codes = BQ.bq_pack(emb, thresholds, "v", prefix="code")
-    q = BQ.bq_pack(
-        emb.filter(F.col("vec_id") % 100 == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
-        thresholds, "qv", prefix="qcode")
-    cand = (
-        codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            BQ.hamming("code", "qcode", dim).alias("hamming"),
-            "qv", "v",
-        )
-    )
-    sw = W.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("neighbor_id").asc())
-    short = (
-        cand.withColumn("srnk", F.row_number().over(sw))
-        .filter(F.col("srnk") <= shortlist)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    packed_q = BQ.bq_pack(q, thresholds, "qv", prefix="qcode").drop("qv")
+    short = BQ.hamming_shortlist(codes, packed_q, dim, shortlist)
+    return _bq_rerank_tail(spark, sf_dir, emb, q, short)
+
+
+def _bq_shortlist_size(n_corpus: int) -> int:
+    import math
+
+    return max(BQ_SHORTLIST_MIN, math.ceil(BQ_SHORTLIST_FRAC * n_corpus))
+
+
+def _bq_rerank_tail(spark: SparkSession, sf_dir: str, emb: DataFrame,
+                    q: DataFrame, short: DataFrame) -> DataFrame:
+    """Exact-cosine rerank of a (query_id, neighbor_id, hamming)
+    shortlist + the in-query recall certificate — shared by the
+    in-memory form (bq_hamming_rerank) and the persisted-index form
+    (bq_index_persisted), the _sq8_rerank_tail convention."""
+    reranked = (
+        short.join(emb.withColumnRenamed("vec_id", "neighbor_id"),
+                   "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", "hamming",
+                VX.cosine(F.col("qv"), F.col("v")).alias("cos"))
     )
     rw = W.partitionBy("query_id").orderBy(
-        VX.cosine(F.col("qv"), F.col("v")).desc(),
-        F.col("neighbor_id").asc())
+        F.col("cos").desc(), F.col("neighbor_id").asc())
     out = (
-        short.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        reranked.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
         .filter(F.col("rnk") <= BQ_TOPK)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     )
@@ -174,3 +179,33 @@ def bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "recall_ge_floor", F.lit(bool(recall_ok))
     ).orderBy("query_id", "rnk")
+
+
+@register("bq_index_persisted", oracle=_BQ_ANN_ORACLE)
+def bq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED BQ index under the exact-distance hash check —
+    completing the store's quantizer legs (IVFPQ / SQ8 / BQ, all on
+    the epoch/CAS/pointer commit protocol of operators/index_store.py).
+
+    Build writes the thresholds/codes tables (8 bytes per vector at
+    dim 64) and publishes them with one pointer swap; search RELOADS
+    them, packs the raw float queries with the SAVED thresholds, and
+    ranks via the same ``bq.hamming_shortlist`` helper as
+    bq_hamming_rerank — the identical _BQ_ANN_ORACLE certifies that
+    the save/load round trip through packed bigint storage changes
+    NOTHING about shortlist distances or reranked order.  Appends are
+    frozen-quantizer increments (tests/test_index_store.py pins the
+    contract: history bytes untouched, appended vectors searchable,
+    torn appends invisible)."""
+    from ..operators.index_store import build_bq_index, search_bq_index
+    from .ingest_plans import _io_dir
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.as_double(F.col("embedding")).alias("v"))
+    path = _io_dir(sf_dir, "bq_index")
+    build_bq_index(spark, emb, path)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    short = search_bq_index(spark, path, q,
+                            shortlist=_bq_shortlist_size(emb.count()))
+    return _bq_rerank_tail(spark, sf_dir, emb, q, short)

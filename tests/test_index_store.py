@@ -605,3 +605,133 @@ def test_ivfpq_and_sq8_compaction_preserve_search(spark, emb, queries,
     after = sorted(tuple(r) for r in
                    search_sq8_index(spark, p2, qq, k=5).collect())
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# BQ leg (round 8): sign-bit codes under the same store contract
+# ---------------------------------------------------------------------------
+
+def test_bq_persisted_search_equals_in_memory(spark, emb, queries,
+                                              tmp_path_factory):
+    """The persisted BQ search must return literally the same
+    (query_id, neighbor_id, hamming) triples as the in-memory
+    hamming_shortlist over freshly-packed codes — persistence is not a
+    second implementation (the trilogy property, fourth leg)."""
+    from etl_pipe_spark.operators import bq as BQ
+    from etl_pipe_spark.operators.index_store import (
+        build_bq_index, search_bq_index)
+
+    path = str(tmp_path_factory.mktemp("bq") / "idx")
+    stats = build_bq_index(spark, emb, path)
+    assert stats["n_vectors"] == emb.count()
+
+    qq = queries.withColumnRenamed("v", "qv")
+    got = sorted(tuple(r) for r in
+                 search_bq_index(spark, path, qq, shortlist=25).collect())
+
+    thresholds = BQ.bq_thresholds(emb)
+    codes = BQ.bq_pack(emb, thresholds, "v", prefix="code")
+    packed_q = BQ.bq_pack(qq, thresholds, "qv", prefix="qcode").drop("qv")
+    ref = sorted(tuple(r) for r in
+                 BQ.hamming_shortlist(codes, packed_q, len(thresholds),
+                                      25).collect())
+    assert got == ref and len(got) > 0
+
+
+def test_bq_append_frozen_thresholds(spark, emb, tmp_path_factory):
+    """Appending packs ONLY the batch with the SAVED thresholds:
+    byte-identical vectors get byte-identical code words, history
+    files are untouched, and the appended rows are searchable."""
+    import os
+
+    from etl_pipe_spark.operators.index_store import (
+        append_to_bq_index, build_bq_index, load_index_meta,
+        search_bq_index)
+
+    path = str(tmp_path_factory.mktemp("bq-append") / "idx")
+    build_bq_index(spark, emb, path)
+    n0 = load_index_meta(spark, path)["n_vectors"]
+    files0 = sorted(os.listdir(f"{path}/codes/epoch=0"))
+
+    base = emb.filter(F.col("vec_id") == 0).first()
+    new_ids = [10_000_000 + i for i in range(3)]
+    batch = spark.createDataFrame(
+        [(i, list(base["v"])) for i in new_ids],
+        "vec_id bigint, v array<double>")
+    out = append_to_bq_index(spark, batch, path)
+    assert out == {"appended": 3, "n_vectors": n0 + 3}
+    assert sorted(os.listdir(f"{path}/codes/epoch=0")) == files0  # immutable
+
+    codes = spark.read.parquet(f"{path}/codes")
+    ref = codes.filter(F.col("vec_id") == 0).first()
+    for r in codes.filter(F.col("vec_id").isin(new_ids)).collect():
+        assert r["code0"] == ref["code0"] and r["code1"] == ref["code1"]
+
+    q = spark.createDataFrame([(0, list(base["v"]))],
+                              "query_id bigint, qv array<double>")
+    got = search_bq_index(spark, path, q, shortlist=5).collect()
+    assert {r["neighbor_id"] for r in got} >= set(new_ids)  # hamming 0
+    assert all(r["neighbor_id"] != 0 for r in got)  # self excluded
+
+
+def test_bq_torn_append_invisible_then_recovered(
+        spark, emb, tmp_path_factory, monkeypatch):
+    """A crash before the pointer swap leaves search results identical
+    and the meta untouched; the stale-claim retry lands the batch
+    exactly once."""
+    from etl_pipe_spark.operators import index_store as IS
+
+    path = str(tmp_path_factory.mktemp("bq-torn") / "idx")
+    IS.build_bq_index(spark, emb, path)
+    meta0 = IS.load_index_meta(spark, path)
+    base = emb.filter(F.col("vec_id") == 0).first()
+    q = spark.createDataFrame([(0, list(base["v"]))],
+                              "query_id bigint, qv array<double>")
+    got0 = sorted(tuple(r) for r in
+                  IS.search_bq_index(spark, path, q, shortlist=10).collect())
+
+    batch = spark.createDataFrame([(10_000_000, list(base["v"]))],
+                                  "vec_id bigint, v array<double>")
+    real_commit = IS._commit_epoch
+    monkeypatch.setattr(IS, "_commit_epoch",
+                        lambda *a, **kw: (_ for _ in ()).throw(
+                            RuntimeError("simulated crash")))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        IS.append_to_bq_index(spark, batch, path)
+    assert IS.load_index_meta(spark, path) == meta0
+    got1 = sorted(tuple(r) for r in
+                  IS.search_bq_index(spark, path, q, shortlist=10).collect())
+    assert got1 == got0
+
+    monkeypatch.setattr(IS, "_commit_epoch", real_commit)
+    with pytest.raises(IS.ConcurrentAppendError):
+        IS.append_to_bq_index(spark, batch, path)
+    out = IS.append_to_bq_index(spark, batch, path, stale_after_s=0.0)
+    assert out == {"appended": 1, "n_vectors": meta0["n_vectors"] + 1}
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.filter(F.col("vec_id") == 10_000_000).count() == 1
+
+
+def test_bq_compaction_preserves_search(spark, emb, tmp_path_factory):
+    """Search results byte-identical across append -> compact; epoch
+    dirs consolidated to one."""
+    from etl_pipe_spark.operators.index_store import (
+        append_to_bq_index, build_bq_index, compact_bq_index,
+        search_bq_index)
+
+    base = emb.filter(F.col("vec_id") == 0).first()
+    batch = spark.createDataFrame([(10_000_000, list(base["v"]))],
+                                  "vec_id bigint, v array<double>")
+    q = spark.createDataFrame([(0, list(base["v"]))],
+                              "query_id bigint, qv array<double>")
+
+    path = str(tmp_path_factory.mktemp("bq-compact") / "idx")
+    build_bq_index(spark, emb, path)
+    append_to_bq_index(spark, batch, path)
+    before = sorted(tuple(r) for r in
+                    search_bq_index(spark, path, q, shortlist=10).collect())
+    compact_bq_index(spark, path)
+    assert _glob_epochs(path, "codes") == ["epoch=2"]
+    after = sorted(tuple(r) for r in
+                   search_bq_index(spark, path, q, shortlist=10).collect())
+    assert after == before

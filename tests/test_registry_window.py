@@ -54,7 +54,10 @@ FLAGSHIPS = [
     "lsh_index_lifecycle",   # mid-r8 registration: full store lifecycle (build+append+append+compact+probe) under the one-shot-build oracle
     "array_aggregation",
     "unpivot_lineitem_metrics",
-    "having_large_orders",
+    # having_large_orders yielded its slot to bq_index_persisted
+    # (mid-r8 addendum 3); its groupBy+HAVING shape stays in-window
+    # via tpch_q18_large_volume.
+    "bq_index_persisted",    # mid-r8 registration: persisted BQ store leg under the in-memory oracle
     "tpch_q4_order_priority",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
