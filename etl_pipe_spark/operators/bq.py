@@ -40,10 +40,20 @@ family (SURVEY §2.12).
 
 from __future__ import annotations
 
+import sys
+from collections.abc import Iterator
 from functools import reduce
 from operator import add
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, functions as F
+
+try:  # same by-value pickling seam as operators/ann.py
+    from pyspark import cloudpickle as _cp
+except ImportError:  # pragma: no cover
+    import cloudpickle as _cp
+_cp.register_pickle_by_value(sys.modules[__name__])
 
 # Bits packed per bigint word.  32 (not 64) so every word is a SUM of
 # distinct non-negative powers of two < 2^32 — equivalent to bitwise OR
@@ -61,16 +71,21 @@ def bq_thresholds(emb: DataFrame, vec_col: str = "v") -> list[float]:
     """Per-dimension midrange thresholds, bit-deterministic across
     engines (min/max exact; one IEEE add + halving).
 
-    Bounded driver state: dim rows (the sq8_stats convention).
+    One aggregate pass of 2*dim min/max expressions — fully
+    map-side-combinable, so the shuffle is one 2*dim-column row per
+    partition (a posexplode would shuffle N*dim rows: 256M at a 4M x
+    64 corpus, measured 3x the whole build).  Bounded driver state:
+    one 2*dim-column row (the sq8_stats convention).
     """
-    rows = (
-        emb.select(F.posexplode(F.col(vec_col)).alias("dimi", "x"))
-        .groupBy("dimi")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-        .orderBy("dimi")
-        .collect()
-    )
-    return [(r["lo"] + r["hi"]) / 2.0 for r in rows]
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("bq_thresholds: empty embedding frame")
+    dim = len(first[0])
+    row = emb.agg(
+        *[F.min(F.col(vec_col)[d]).alias(f"lo{d}") for d in range(dim)],
+        *[F.max(F.col(vec_col)[d]).alias(f"hi{d}") for d in range(dim)],
+    ).first()
+    return [(row[f"lo{d}"] + row[f"hi{d}"]) / 2.0 for d in range(dim)]
 
 
 def bq_pack(df: DataFrame, thresholds: list[float], vec_col: str,
@@ -98,6 +113,46 @@ def bq_pack(df: DataFrame, thresholds: list[float], vec_col: str,
     return df.select("*", *words)
 
 
+def bq_pack_kernel(vecs: DataFrame, thresholds: list[float],
+                   id_col: str = "vec_id",
+                   vec_col: str = "v") -> DataFrame:
+    """Arrow twin of :func:`bq_pack` for the index-store build path:
+    one vectorized numpy pass (compare + weighted bit sum) per batch
+    instead of 64 codegen'd CASE terms per row.
+
+    Byte-parity with the expression route is pinned by
+    tests/test_quant.py (the winnowing / lsh_build_kernel convention:
+    the expression IS the oracle surface of the registered in-memory
+    query; the kernel is the production build's fast path).
+    """
+    t = np.asarray(thresholds, dtype=np.float64)
+    dim = len(t)
+    words = n_words(dim)
+    out_schema = ", ".join(
+        [f"{id_col} bigint"] + [f"code{w} bigint" for w in range(words)])
+
+    def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            flat = col.flatten()
+            n = len(col)
+            mat = np.asarray(flat, dtype=np.float64).reshape(n, dim) \
+                if n else np.zeros((0, dim))
+            bits = (mat > t[None, :]).astype(np.uint64)
+            arrays: dict = {id_col: ids}
+            for w in range(words):
+                seg = bits[:, w * BITS_PER_WORD:(w + 1) * BITS_PER_WORD]
+                weights = np.uint64(1) << np.arange(
+                    seg.shape[1], dtype=np.uint64)
+                arrays[f"code{w}"] = pa.array(
+                    (seg * weights[None, :]).sum(axis=1).astype(np.int64))
+            yield pa.record_batch(arrays)
+
+    return vecs.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        pack, out_schema)
+
+
 def hamming(left_prefix: str, right_prefix: str, dim: int) -> Column:
     """Hamming distance between two packed codes: popcount of xor,
     summed over words — integer math, exact across engines."""
@@ -108,6 +163,92 @@ def hamming(left_prefix: str, right_prefix: str, dim: int) -> Column:
         for w in range(n_words(dim))
     ]
     return reduce(add, parts)
+
+
+# byte-popcount lookup table for the Arrow search kernel
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def hamming_shortlist_kernel(codes_df: DataFrame,
+                             packed_queries: DataFrame,
+                             dim: int, shortlist: int) -> DataFrame:
+    """Arrow twin of :func:`hamming_shortlist` for the index-store
+    search path: per Arrow batch of codes, numpy XOR + byte-table
+    popcount against the (bounded, collected) query words, exact
+    per-batch top-(shortlist+1) under the total order (hamming,
+    neighbor_id), then a global per-query window merge over the
+    batches x (shortlist+1) survivors — the sq8_search_topk shape.
+
+    Because Hamming is INTEGER math, the kernel's results are exactly
+    equal to the expression route's (no ulp caveat), so the persisted
+    path stays certified by the registered query's oracle; equality is
+    pinned by tests/test_quant.py and the store's literal-equality
+    test.  Per-batch pruning is exact under ties: every row strictly
+    under the boundary distance is taken, and boundary ties are
+    resolved by ascending neighbor_id — the same total order the final
+    window applies, so a batch-local cut can never drop a global
+    top-shortlist member.
+    """
+    from pyspark.sql.window import Window as W
+
+    words = n_words(dim)
+    q_rows = packed_queries.collect()
+    if not q_rows:
+        return codes_df.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, hamming bigint")
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qw = np.array(
+        [[r[f"qcode{w}"] for w in range(words)] for r in q_rows],
+        dtype=np.int64,
+    ).astype(np.uint64)
+    take_n = shortlist + 1  # +1: the self row may occupy a slot
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = np.asarray(
+                b.column(b.schema.get_field_index("vec_id")), dtype=np.int64)
+            n = len(ids)
+            if n == 0:
+                continue
+            wmat = np.stack(
+                [np.asarray(b.column(b.schema.get_field_index(f"code{w}")),
+                            dtype=np.int64) for w in range(words)],
+                axis=1,
+            ).astype(np.uint64)
+            out_q, out_i, out_h = [], [], []
+            for qi in range(len(qids)):
+                x = wmat ^ qw[qi][None, :]
+                ham = _POP8[x.view(np.uint8)].reshape(n, -1) \
+                    .sum(axis=1).astype(np.int64)
+                take = min(take_n, n)
+                part = np.argpartition(ham, take - 1)[:take]
+                h_star = int(ham[part].max())
+                strict = np.nonzero(ham < h_star)[0]
+                ties = np.nonzero(ham == h_star)[0]
+                need = take - len(strict)
+                tie_sel = ties[np.argsort(ids[ties], kind="stable")[:need]]
+                idx = np.concatenate([strict, tie_sel])
+                out_q.append(np.full(len(idx), qids[qi], dtype=np.int64))
+                out_i.append(ids[idx])
+                out_h.append(ham[idx])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q), type=pa.int64()),
+                 pa.array(np.concatenate(out_i), type=pa.int64()),
+                 pa.array(np.concatenate(out_h), type=pa.int64())],
+                ["query_id", "neighbor_id", "hamming"],
+            )
+
+    cand = codes_df.select(
+        "vec_id", *[f"code{w}" for w in range(words)]
+    ).mapInArrow(op, "query_id bigint, neighbor_id bigint, hamming bigint")
+    sw = W.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("srnk", F.row_number().over(sw))
+        .filter(F.col("srnk") <= shortlist)
+        .drop("srnk")
+    )
 
 
 def hamming_shortlist(codes: DataFrame, packed_queries: DataFrame,

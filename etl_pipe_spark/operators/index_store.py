@@ -57,6 +57,18 @@ from .similarity import ivf_centroids_for_corpus
 
 N_BUCKETS = 64  # bounded partition-directory count for cell pruning
 
+# Rows per code file for the flat (SQ8/BQ) legs.  The inverse of the
+# small-file problem: a fixed repartition(8) caps every flat search's
+# scan at 8 splits regardless of corpus size (measured: the 4M-vector
+# BQ Hamming scan ran on 8 of 32 cores).  Scaling the file count with
+# rows keeps ~250k codes (a few MB) per file — small enough to spread,
+# large enough that listing stays trivial; compaction re-applies it.
+_ROWS_PER_CODE_FILE = 250_000
+
+
+def _n_code_files(n_rows: int, floor: int = 8) -> int:
+    return max(floor, -(-int(n_rows) // _ROWS_PER_CODE_FILE))
+
 # Grace window before a crashed appender's claim may be reclaimed —
 # the ParquetMergeSink convention (operators/merge.py).
 STALE_AFTER_S = 3600.0
@@ -453,7 +465,7 @@ def build_sq8_index(
     lo, scale = sq8_stats(emb, vec_col=vec_col)
     (
         sq8_encode(emb, lo, scale, id_col=id_col, vec_col=vec_col)
-        .repartition(8, "vec_id")
+        .repartition(_n_code_files(n), "vec_id")
         .write.mode("overwrite").parquet(_p(path, "codes", "epoch=0"))
     )
     spark.createDataFrame(
@@ -524,7 +536,7 @@ def append_to_sq8_index(
         n_new = vecs.count()
         (
             sq8_encode(vecs, lo, scale)
-            .repartition(8, "vec_id")
+            .repartition(_n_code_files(n_new, floor=1), "vec_id")
             .write.mode("append").parquet(_p(path, "codes", f"epoch={epoch}"))
         )
     finally:
@@ -729,7 +741,7 @@ def build_bq_index(
     the scan it serves is pure-integer ``bit_count(xor)`` — the
     cheapest probe of the three stores.
     """
-    from .bq import bq_pack, bq_thresholds, n_words
+    from .bq import bq_pack_kernel, bq_thresholds
 
     n = emb.count()
     if n == 0:
@@ -739,11 +751,12 @@ def build_bq_index(
     vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     thresholds = bq_thresholds(vecs, "v")
     dim = len(thresholds)
-    code_cols = [f"code{w}" for w in range(n_words(dim))]
     (
-        bq_pack(vecs, thresholds, "v", prefix="code")
-        .select("vec_id", *code_cols)
-        .repartition(8, "vec_id")
+        # Arrow pack kernel — the production build path (byte-parity
+        # with the bq_pack expression pinned by tests/test_quant.py;
+        # the expression remains the registered query's oracle surface)
+        bq_pack_kernel(vecs, thresholds)
+        .repartition(_n_code_files(n), "vec_id")
         .write.mode("overwrite").parquet(_p(path, "codes", "epoch=0"))
     )
     spark.createDataFrame(
@@ -770,12 +783,16 @@ def search_bq_index(
     vec_col: str = "qv",
 ) -> DataFrame:
     """Hamming shortlist over the persisted codes — queries are packed
-    with the SAVED thresholds and ranked by the exact
-    ``bq.hamming_shortlist`` helper the in-memory registered query
-    uses, so the persisted path cannot drift from the oracle-checked
-    one (the store trilogy's literal-equality property).  Returns
-    (query_id, neighbor_id, hamming)."""
-    from .bq import bq_pack, hamming_shortlist, n_words
+    with the SAVED thresholds and ranked by the Arrow
+    ``bq.hamming_shortlist_kernel`` (XOR + byte-table popcount per
+    batch, exact per-batch pruning under the (hamming, neighbor_id)
+    total order).  Hamming is integer math, so the kernel's results
+    are EXACTLY the expression route's — the persisted path stays
+    certified by the registered query's oracle (kernel/expression
+    equality pinned by tests/test_quant.py; persisted/in-memory
+    equality by tests/test_index_store.py).  Returns (query_id,
+    neighbor_id, hamming)."""
+    from .bq import bq_pack, hamming_shortlist_kernel, n_words
 
     meta = load_index_meta(spark, path)
     thresholds = _load_bq_thresholds(spark, path)
@@ -790,7 +807,7 @@ def search_bq_index(
                        F.col(vec_col).alias("qv")),
         thresholds, "qv", prefix="qcode",
     ).select("query_id", *[f"qcode{w}" for w in range(n_words(dim))])
-    return hamming_shortlist(codes, packed_q, dim, shortlist)
+    return hamming_shortlist_kernel(codes, packed_q, dim, shortlist)
 
 
 def append_to_bq_index(
@@ -806,21 +823,19 @@ def append_to_bq_index(
     and a batch value landing exactly on a frozen threshold resolves
     by the same strict ``>`` every other row used.  Same epoch/CAS/
     pointer atomicity contract as the sibling appends."""
-    from .bq import bq_pack, n_words
+    from .bq import bq_pack_kernel
 
     meta = load_index_meta(spark, path)
     epoch = meta["epoch"] + 1
     claim = _claim_epoch(path, epoch, ("codes",), stale_after_s)
     thresholds = _load_bq_thresholds(spark, path)
-    code_cols = [f"code{w}" for w in range(n_words(meta["dim"]))]
     vecs = emb_new.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("v")).persist()
     try:
         n_new = vecs.count()
         (
-            bq_pack(vecs, thresholds, "v", prefix="code")
-            .select("vec_id", *code_cols)
-            .repartition(8, "vec_id")
+            bq_pack_kernel(vecs, thresholds)
+            .repartition(_n_code_files(n_new, floor=1), "vec_id")
             .write.mode("append").parquet(_p(path, "codes", f"epoch={epoch}"))
         )
     finally:
@@ -877,7 +892,7 @@ def compact_sq8_index(spark: SparkSession, path: str,
     (
         _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
         .select("vec_id", "codes")
-        .repartition(8, "vec_id")
+        .repartition(_n_code_files(meta["n_vectors"]), "vec_id")
         .write.mode("append").parquet(_p(path, "codes", f"epoch={epoch}"))
     )
     _commit_epoch(path, claim, {**meta, "epoch": epoch, "epoch_base": epoch})
@@ -899,7 +914,7 @@ def compact_bq_index(spark: SparkSession, path: str,
     (
         _epoch_filter(spark.read.parquet(_p(path, "codes")), meta)
         .select("vec_id", *code_cols)
-        .repartition(8, "vec_id")
+        .repartition(_n_code_files(meta["n_vectors"]), "vec_id")
         .write.mode("append").parquet(_p(path, "codes", f"epoch={epoch}"))
     )
     _commit_epoch(path, claim, {**meta, "epoch": epoch, "epoch_base": epoch})

@@ -96,6 +96,43 @@ def test_thresholds_deterministic(spark, emb):
     assert BQ.bq_thresholds(emb) == BQ.bq_thresholds(emb)
 
 
+def test_pack_kernel_byte_parity_with_expression(spark, emb):
+    """The Arrow build kernel must emit byte-identical code words to
+    the Catalyst expression route (the winnowing/lsh_build_kernel
+    convention: expression = oracle surface, kernel = fast path)."""
+    thresholds = BQ.bq_thresholds(emb)
+    dim = len(thresholds)
+    cols = ["vec_id"] + [f"code{w}" for w in range(BQ.n_words(dim))]
+    expr = sorted(
+        tuple(r) for r in
+        BQ.bq_pack(emb, thresholds, "v", prefix="code")
+        .select(*cols).collect())
+    kern = sorted(
+        tuple(r) for r in
+        BQ.bq_pack_kernel(emb, thresholds).select(*cols).collect())
+    assert kern == expr and len(kern) > 0
+
+
+def test_search_kernel_exactly_equals_expression(spark, emb):
+    """The Arrow Hamming search kernel must return literally the same
+    (query_id, neighbor_id, hamming) triples as the Catalyst
+    expression route — integer math, no ulp caveat.  Shortlist of 7
+    forces boundary ties to be cut, exercising the kernel's exact
+    tie-resolution path."""
+    thresholds = BQ.bq_thresholds(emb)
+    dim = len(thresholds)
+    codes = BQ.bq_pack(emb, thresholds, "v", prefix="code")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    packed_q = BQ.bq_pack(q, thresholds, "qv", prefix="qcode").drop("qv")
+    for shortlist in (7, 25):
+        expr = sorted(tuple(r) for r in BQ.hamming_shortlist(
+            codes, packed_q, dim, shortlist).collect())
+        kern = sorted(tuple(r) for r in BQ.hamming_shortlist_kernel(
+            codes, packed_q, dim, shortlist).collect())
+        assert kern == expr and len(kern) > 0
+
+
 def test_registered_query_shape(spark, sf_dir):
     from etl_pipe_spark.plans.quant_plans import BQ_TOPK, bq_hamming_rerank
 
