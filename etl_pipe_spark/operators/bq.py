@@ -168,6 +168,70 @@ def hamming(left_prefix: str, right_prefix: str, dim: int) -> Column:
 # byte-popcount lookup table for the Arrow search kernel
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
+# Fixed-point scale for the SRP sign projections: vq = floor(v*2^20 +
+# 0.5).  Scaling by a power of two is EXACT in IEEE doubles, floor is
+# exact, and the projected dot sums (|vq| <~ 2^21 x |w| <= 1000 x 64
+# terms < 2^37) stay far under 2^53 — so the sign bits are identical
+# across Spark, DuckDB, and numpy REGARDLESS of summation order or
+# whether the engine sums in int64 or double.  This is what makes a
+# numpy matmul hash-certifiable here, where a float-dot sign would be
+# one ulp away from flipping across engines.
+SRP_SCALE = 1 << 20
+
+
+def srp_pack_kernel(vecs: DataFrame, n_bits: int,
+                    id_col: str = "vec_id",
+                    vec_col: str = "v",
+                    prefix: str = "code") -> DataFrame:
+    """Pack SRP sign bits into bigint words: bit i = sign of the
+    fixed-point integer dot <floor(v*2^20+0.5), plane_i>, planes being
+    the md5-derived integer hyperplanes of operators/similarity.py
+    (identical constants in Python, Spark SQL, and DuckDB).
+
+    This is the "more bits" scale path of the BQ family: code length
+    grows with log(corpus) instead of being capped at dim by the
+    midrange sign codes — 256-bit codes hold recall at a FIXED
+    shortlist where 64-bit codes decay (measured in
+    plans/quant_plans.py).  Integer math end to end: the oracle
+    certifies the packed-word popcount against DuckDB's per-plane
+    disagreement count exactly.
+    """
+    from .similarity import plane_weight
+
+    first = vecs.select(vec_col).first()
+    if first is None:
+        raise ValueError("srp_pack_kernel: empty frame")
+    dim = len(first[0])
+    planes = np.array(
+        [[plane_weight(i, d) for d in range(dim)] for i in range(n_bits)],
+        dtype=np.int64,
+    )
+    words = n_words(n_bits)
+    out_schema = ", ".join(
+        [f"{id_col} bigint"] + [f"{prefix}{w} bigint" for w in range(words)])
+
+    def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            flat = col.flatten()
+            n = len(col)
+            mat = np.asarray(flat, dtype=np.float64).reshape(n, dim) \
+                if n else np.zeros((0, dim))
+            vq = np.floor(mat * SRP_SCALE + 0.5).astype(np.int64)
+            bits = (vq @ planes.T >= 0).astype(np.uint64)  # (n, n_bits)
+            arrays: dict = {id_col: ids}
+            for w in range(words):
+                seg = bits[:, w * BITS_PER_WORD:(w + 1) * BITS_PER_WORD]
+                weights = np.uint64(1) << np.arange(
+                    seg.shape[1], dtype=np.uint64)
+                arrays[f"{prefix}{w}"] = pa.array(
+                    (seg * weights[None, :]).sum(axis=1).astype(np.int64))
+            yield pa.record_batch(arrays)
+
+    return vecs.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        pack, out_schema)
+
 
 def hamming_shortlist_kernel(codes_df: DataFrame,
                              packed_queries: DataFrame,

@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 107 names: 157 registered − 107 demoted = 50 in-window
+# Exactly 108 names: 158 registered − 108 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -159,6 +159,12 @@ _DEMOTED = (
     # form).  First driver row in-window; the slot comes from one more
     # r04-stale promotion whose exact shape stays hard-checked:
     "having_large_orders",        # last green r4; groupBy+HAVING-on-aggregate shape is tpch_q18_large_volume's core (promoted, in-window) + cube/rollup grouping family
+    # MID-R8 ADDENDUM 4: srp_bq_hamming_rerank landed (256-bit SRP
+    # binary codes — the "more bits" scale path of the BQ family,
+    # integer-exact end to end so even the numpy matmul pack is
+    # hash-certified).  First driver row in-window; the slot comes
+    # from one more r04-stale promotion whose shape stays covered:
+    "tpch_q10_returned_items",    # last green r4; join+agg+topk revenue shape covered in-window by tpch_q3_shipping_priority (same shape, promoted) + tpch_q5/q15
     # The 41 demotions below (all r7-green, implementations unchanged,
     # local-artifact row coverage + in-window family rep per line):
     "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders

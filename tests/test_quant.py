@@ -133,6 +133,28 @@ def test_search_kernel_exactly_equals_expression(spark, emb):
         assert kern == expr and len(kern) > 0
 
 
+def test_srp_sign_bits_are_integer_exact(spark, emb):
+    """The SRP pack's sign bits must equal an independent PURE-PYTHON
+    integer recomputation (no numpy, no floats after quantization) —
+    the property that licenses hash-certifying a numpy matmul."""
+    from etl_pipe_spark.operators.similarity import plane_weight
+
+    n_bits = 64  # one word's worth is enough to pin the construction
+    rows = (
+        BQ.srp_pack_kernel(emb.limit(25), n_bits, prefix="code")
+        .join(emb.limit(25), "vec_id").collect()
+    )
+    assert rows
+    import math
+    for r in rows:
+        vq = [math.floor(x * BQ.SRP_SCALE + 0.5) for x in r["v"]]
+        w0 = sum(1 << i for i in range(32) if sum(
+            q * plane_weight(i, d) for d, q in enumerate(vq)) >= 0)
+        w1 = sum(1 << (i - 32) for i in range(32, 64) if sum(
+            q * plane_weight(i, d) for d, q in enumerate(vq)) >= 0)
+        assert (r["code0"], r["code1"]) == (w0, w1)
+
+
 def test_registered_query_shape(spark, sf_dir):
     from etl_pipe_spark.plans.quant_plans import BQ_TOPK, bq_hamming_rerank
 

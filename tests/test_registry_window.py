@@ -47,7 +47,10 @@ FLAGSHIPS = [
     "bq_hamming_rerank",     # mid-r8 registration: 1-bit BQ Hamming shortlist + exact rerank (integer-exact distance oracle)
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
+    # tpch_q10_returned_items yielded its slot to srp_bq_hamming_rerank
+    # (mid-r8 addendum 4); its join+agg+topk shape stays in-window via
+    # tpch_q3_shipping_priority.
+    "srp_bq_hamming_rerank",  # mid-r8 registration: 256-bit SRP codes, integer-exact fixed-shortlist Hamming ANN
     "range_join_bucketed",
     "window_frames",
     "sql_api_segment_revenue",
