@@ -33,9 +33,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from dedup_scaling import gen_embeddings  # noqa: E402
+from dedup_scaling import OUT_ROOT, gen_embeddings  # noqa: E402
 
 N_QUERIES = 20
+
+
+def gen_embeddings_uniform(n: int, seed: int = 23) -> str:
+    """Isotropic unit vectors — the WELL-SEPARATED end of the recall
+    envelope (the 16-cluster corpus is the dense end: ~n/16 points per
+    center with 0.3 jitter, where top-5 distinctions are sub-jitter
+    and any binary prefilter needs shortlist ~ cell density)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(OUT_ROOT, f"u{n}")
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vecs = rng.normal(size=(n, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n) % 16).astype("int32"), pa.int32()),
+    }), path)
+    return out_dir
 
 
 def _du(path: str) -> int:
@@ -46,11 +71,137 @@ def _du(path: str) -> int:
     return total
 
 
+def recall_sweep(scales: list[int], shortlist: int = 50,
+                 corpus: str = "clustered") -> None:
+    """Fixed-shortlist recall@5 vs corpus size, per code family:
+    64-bit midrange sign codes vs 128/256-bit SRP codes — the
+    measured form of the 'bits must grow with log(corpus)' rule the
+    registered srp_bq_hamming_rerank query pins at small scale.
+
+    Ground truth is exact brute-force cosine (BLAS per Arrow batch,
+    per-batch top-(k+1) prune — the sq8_search_topk shape over RAW
+    vectors)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from etl_pipe_spark.operators import bq as BQ
+    from etl_pipe_spark.session import get_spark
+
+    spark = get_spark("bq-recall-scaling")
+    k = 5
+    gen = gen_embeddings_uniform if corpus == "uniform" else gen_embeddings
+    for n in scales:
+        sf_dir = gen(n)
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        stride = max(1, n // N_QUERIES)
+        q = emb.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        q_rows = q.collect()
+        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+
+        def exact_op(batches, qids=qids, Q=Q, qn=qn):
+            for b in batches:
+                ids = np.asarray(b.column(0), dtype=np.int64)
+                nb = len(ids)
+                if nb == 0:
+                    continue
+                dim = Q.shape[1]
+                X = np.asarray(b.column(1).flatten(),
+                               dtype=np.float64).reshape(nb, dim)
+                xn = np.linalg.norm(X, axis=1)
+                xn[xn == 0.0] = 1.0
+                s = (Q @ X.T) / (qn[:, None] * xn[None, :])
+                take = min(k + 1, nb)
+                top = np.argpartition(-s, take - 1, axis=1)[:, :take]
+                yield pa.record_batch({
+                    "query_id": np.repeat(qids, take),
+                    "neighbor_id": ids[top.reshape(-1)],
+                    "score": np.take_along_axis(s, top, axis=1).reshape(-1),
+                })
+
+        cand = emb.mapInArrow(
+            exact_op, "query_id bigint, neighbor_id bigint, score double")
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id"))
+        t0 = time.time()
+        truth_rows = (
+            cand.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+            .select("query_id", "neighbor_id").collect()
+        )
+        brute_s = time.time() - t0
+        truth: dict[int, set] = {}
+        for r in truth_rows:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+        emb_cache = emb.persist()
+        emb_cache.count()
+        row = {"n": n, "corpus": corpus, "n_queries": len(qids),
+               "shortlist": shortlist, "brute_s": round(brute_s, 1)}
+        for fam, bits in (("mid64", 64), ("srp128", 128), ("srp256", 256)):
+            t0 = time.time()
+            if fam == "mid64":
+                thr = BQ.bq_thresholds(emb_cache)
+                codes = BQ.bq_pack_kernel(emb_cache, thr)
+                pq_ = BQ.bq_pack_kernel(
+                    q.withColumnRenamed("query_id", "vec_id")
+                    .withColumnRenamed("qv", "v"), thr
+                ).withColumnRenamed("vec_id", "query_id")
+                for wd in range(BQ.n_words(bits)):
+                    pq_ = pq_.withColumnRenamed(f"code{wd}", f"qcode{wd}")
+            else:
+                codes = BQ.srp_pack_kernel(emb_cache, bits, prefix="code")
+                pq_ = BQ.srp_pack_kernel(q, bits, id_col="query_id",
+                                         vec_col="qv", prefix="qcode")
+            short = BQ.hamming_shortlist_kernel(codes, pq_, bits, shortlist)
+            # exact rerank on the driver: shortlist is queries x C rows
+            srows = short.collect()
+            wall = time.time() - t0
+            ids_needed = sorted({r["neighbor_id"] for r in srows})
+            vec_map = {
+                r["vec_id"]: np.array(r["v"]) for r in
+                emb_cache.filter(F.col("vec_id").isin(ids_needed)).collect()
+            }
+            qvec = {int(i): Q[j] for j, i in enumerate(qids)}
+            per_q: dict[int, list] = {}
+            for r in srows:
+                per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+            hits = tot = 0
+            for qid, cands in per_q.items():
+                qv = qvec[qid]
+                scores = sorted(
+                    ((-float(np.dot(qv, vec_map[c])
+                             / (np.linalg.norm(qv)
+                                * np.linalg.norm(vec_map[c]))), c)
+                     for c in cands))
+                sel = {c for _, c in scores[:k]}
+                hits += len(sel & truth.get(qid, set()))
+                tot += len(truth.get(qid, set()))
+            row[f"{fam}_recall"] = round(hits / tot, 3) if tot else None
+            row[f"{fam}_s"] = round(wall, 1)
+        emb_cache.unpersist()
+        print(json.dumps(row), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1000000,4000000")
     ap.add_argument("--shortlist", type=int, default=100)
+    ap.add_argument("--recall-scales", default=None,
+                    help="run the fixed-shortlist recall sweep instead")
+    ap.add_argument("--corpus", default="clustered",
+                    choices=["clustered", "uniform"])
     args = ap.parse_args()
+    if args.recall_scales:
+        recall_sweep([int(s) for s in args.recall_scales.split(",")],
+                     shortlist=50, corpus=args.corpus)
+        return
     scales = [int(s) for s in args.scales.split(",")]
 
     from pyspark.sql import functions as F
