@@ -49,7 +49,7 @@ _PLAN_MODULES = (
     "pandas_ops", "curation_pipeline", "corpus_plans", "corpus_plans2",
     "layout_plans", "profiling_plans", "ingest_plans", "maintenance_plans",
     "selection_plans", "graph_plans", "joinopt_plans", "corpus_plans3",
-    "timeseries_plans", "funnel_plans", "quant_plans",
+    "timeseries_plans", "funnel_plans", "quant_plans", "corpus_plans4",
 )
 
 # The driver's differential harness hard-checks the first 50 registered
@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 108 names: 158 registered − 108 demoted = 50 in-window
+# Exactly 112 names: 162 registered − 112 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -118,8 +118,14 @@ _DEMOTED = (
     # ROUND-9 ROTATION QUEUE (forward-looking, in the RECOMPUTED
     # staleness order — oldest last-driver-green first; verify against
     # the r01-r08 union before executing, the r7 lesson):
-    #   1. the 4 r04-stale leftovers (similarity_ann_ivf,
-    #      similarity_topk_cosine, kmeans_update_step, semantic_dedup);
+    #   0. the two never-driver-checked r8 registrations FIRST
+    #      (ngram_novelty_score, binaryfile_ingest);
+    #   1. the r04-stale group (similarity_ann_ivf,
+    #      similarity_topk_cosine, kmeans_update_step, semantic_dedup,
+    #      plus this round's r04 demotions: promo_revenue_share,
+    #      pivot_status_revenue, having_large_orders,
+    #      tpch_q10_returned_items, json_flatten_props,
+    #      exact_percentiles);
     #   2. the 33-query r05 group (multimodal_features, tpch_q8/q9/q20,
     #      ann_kmeans_recall_lift, pq_fit_quality, pca_top_component,
     #      corpus_shuffle_shards, approx_aggregates, sequence_packing,
@@ -165,6 +171,24 @@ _DEMOTED = (
     # hash-certified).  First driver row in-window; the slot comes
     # from one more r04-stale promotion whose shape stays covered:
     "tpch_q10_returned_items",    # last green r4; join+agg+topk revenue shape covered in-window by tpch_q3_shipping_priority (same shape, promoted) + tpch_q5/q15
+    # MID-R8 ADDENDUM 5: paragraph_dedup_reassemble landed
+    # (RefinedWeb-style segment-level exact dedup + document
+    # reassembly — corpus_plans4.py).  First driver row in-window;
+    # the slot comes from one more r04-stale promotion:
+    "json_flatten_props",         # last green r4; JSON-ops family rep in-window: promoted json_as_map (same from_json/map surface); JS1/JS2 ladder pinned by tests/test_flatten_properties.py
+    # MID-R8 ADDENDUM 6: curriculum_quantile_interleave landed
+    # (quality-decile curriculum schedule over the two-phase
+    # distributed rank — corpus_plans4.py).  First driver row
+    # in-window; the slot comes from the last expendable r04-stale
+    # promotion, whose exact machinery the NEW query supersedes
+    # (same ranked_running_sum recipe, plus bucket arithmetic):
+    "exact_percentiles",          # last green r4; nearest-rank percentile machinery covered in-window by curriculum_quantile_interleave (same two-phase rank, integer bucket identities) + pinned token-rank reps
+    # Registered this round but NOT in-window (the two slots above
+    # went to the flagship pair; these two take the HEAD of the r9
+    # queue so the never-driver-checked debt lasts exactly one round;
+    # both carry local-artifact rows in CORRECTNESS_local_r8.json):
+    "ngram_novelty_score",        # new r8 (never driver-checked — r9 queue HEAD); gram-explode + anti-join machinery in-window via paragraph_dedup_reassemble (same shingle/md5-key recipe) + pinned incremental_neardup_lsh
+    "binaryfile_ingest",          # new r8 (never driver-checked — r9 queue HEAD); write→read→hash round-trip family rep in-window: orc_roundtrip_ingest (pinned)
     # The 41 demotions below (all r7-green, implementations unchanged,
     # local-artifact row coverage + in-window family rep per line):
     "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders
@@ -187,9 +211,9 @@ _DEMOTED = (
     "ivfpq_rerank",              # green r6+r7; exact-rerank leg rides pinned ivfpq_index_persisted + sq8_index_persisted (both rerank)
     "dedup_clusters_star",       # green r5-r7; components family rep in-window: promoted dedup_clusters (same capped pair graph, simple contraction) + embedding_neardup_pairs
     "boilerplate_span_removal",  # green r5+r7; span-window family rep in-window: promoted doc_quality_score + text_token_stats; stride span index pinned by tests/test_corpus_ops.py
-    "token_budget_selection",    # green r5+r7; distributed-rank selection rep in-window: promoted mixture_sampling + exact_percentiles (same two-phase rank recipe)
+    "token_budget_selection",    # green r5+r7; distributed-rank selection rep in-window: promoted mixture_sampling + curriculum_quantile_interleave (same two-phase rank recipe)
     "bm25_retrieval",            # green r6+r7; retrieval family: DF postings + IDF machinery rides promoted tfidf-style stats in text_token_stats; ranked top-k via promoted topk_orders; exactness stays in the local artifact
-    "vocab_top_coverage",        # green r5+r7; vocab/frequency family rep in-window: promoted text_token_stats; ranked coverage via promoted exact_percentiles' rank machinery
+    "vocab_top_coverage",        # green r5+r7; vocab/frequency family rep in-window: promoted text_token_stats; ranked coverage via curriculum_quantile_interleave's rank machinery (in-window)
     "unigram_logprob_quality",   # green r5+r7; LM-quality family rep in-window: promoted doc_quality_score (quality scoring member under driver signal)
     "embedding_gram_matrix",     # green r5+r7; linalg family: blocked-gram kernel pinned by tests/test_ops_extras.py; embedding surface rep in-window: promoted embedding_neardup_pairs
     "bloom_incremental_filter",  # green r5+r7; Bloom core (operators/bloom.py) pinned by tests; incremental-scan shape rep in-window: pinned incremental_neardup_lsh (batch-vs-history)
@@ -200,7 +224,7 @@ _DEMOTED = (
     "csv_ingest_coerced",        # green r6+r7; ingest family rep in-window: pinned orc_roundtrip_ingest (same round-trip + coercion convention); quarantine path pinned by tests/test_ingest_io.py
     "schema_evolution_merge",    # green r6+r7; mergeSchema read pinned by tests/test_ingest_io.py; evolution-merge shape rides pinned orc leg + promoted merge_upsert_snapshot
     "dsir_importance_select",    # green r6+r7; selection family rep in-window: promoted mixture_sampling (same hash-ranked quota machinery)
-    "temperature_mixture_select",# green r6+r7; integer-exact quota family rep in-window: promoted mixture_sampling + exact_percentiles (rank brackets)
+    "temperature_mixture_select",# green r6+r7; integer-exact quota family rep in-window: promoted mixture_sampling + curriculum_quantile_interleave (rank brackets)
     "pagerank_neardup_graph",    # green r6+r7; graph family: hot-bucket-capped Pregel pinned by tests/test_graph_ops.py; pair-graph generation rep in-window: promoted dedup_simhash_pairs + embedding_neardup_pairs
     "triangle_clustering_coeff", # green r6+r7; triangle machinery pinned by tests/test_graph_ops.py; same pair-graph reps as above
     "pagerank_persisted_edges",  # green r7 (first row); SAME oracle as pagerank_neardup_graph (persistence proven result-neutral r7); derivation cost amortization benched in BENCH_COMPARE

@@ -1,0 +1,299 @@
+"""Corpus-construction plans, fourth batch: paragraph-level dedup with
+document reassembly, curriculum scheduling over quality quantiles, and
+n-gram novelty scoring against a reference split.
+
+All three are standard large-corpus curation stages (RefinedWeb-style
+intra-corpus paragraph dedup; curriculum/mixture batch scheduling;
+reference-corpus novelty a.k.a. "how much of this doc is new text").
+Reference scope: the reference engine has no corpus operators; this is
+the driver-mandated LLM-pipeline extension family (SURVEY §2.12+).
+
+Scale notes (the design constraints, per query):
+
+* ``paragraph_dedup_reassemble`` — the only shuffle keys are a 128-bit
+  md5 of the segment text (first-occurrence window) and ``doc_id``
+  (reassembly groupBy); the arbitrary-length segment string never
+  rides a shuffle as a KEY.  No global window, no driver state.
+* ``curriculum_quantile_interleave`` — bucket AND rank-in-bucket are
+  pure arithmetic over ONE distributed global rank
+  (operators/ordering.py two-phase recipe); the naive form would be
+  two partitionless windows (two single-task sorts at 100 TB) plus a
+  10-partition window (corpus/10 rows in one task).  Here the only
+  non-arithmetic step is a second two-phase rank for the final
+  schedule position.
+* ``ngram_novelty_score`` — novelty is an anti-join from the target
+  split's distinct trigrams to the reference split's distinct
+  trigrams, both keyed by md5(gram); never an all-pairs comparison,
+  and the reference set is built once and shared across the whole
+  batch (at 100 TB it would persist as a parquet side table exactly
+  like operators/index_store.py's band tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import shingles, token_count, ws_tokens
+from ..operators.ordering import ranked_running_sum
+from ..sources.catalog import load_table
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup + document reassembly (RefinedWeb-style).
+# --------------------------------------------------------------------------
+
+_SEG = 12  # tokens per "paragraph" segment (the corpus has no newlines,
+           # so segmentation is a fixed token window — the operator is
+           # identical for real newline paragraphs: swap the splitter).
+
+_PARA_DEDUP_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS seg_no,
+         array_to_string(ws[t.i * {_SEG} + 1 : t.i * {_SEG} + {_SEG}], ' ')
+           AS seg_text
+  FROM words,
+       unnest(range(0, CAST(ceil(len(ws) / {_SEG}.0) AS BIGINT))) AS t(i)
+),
+marked AS (
+  SELECT doc_id, seg_no, seg_text,
+         row_number() OVER (PARTITION BY seg_text
+                            ORDER BY doc_id, seg_no) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       coalesce(string_agg(seg_text, ' ' ORDER BY seg_no)
+                  FILTER (WHERE rn = 1), '') AS kept_text
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@register("paragraph_dedup_reassemble", oracle=_PARA_DEDUP_ORACLE)
+def paragraph_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup, then reassemble each document.
+
+    The RefinedWeb / CCNet curation stage: split every document into
+    fixed {_SEG}-token segments, keep only the corpus-wide FIRST
+    occurrence of each distinct segment (first = smallest (doc_id,
+    seg_no)), and rebuild each document from its surviving segments in
+    original order.  Output: per-doc segment counts before/after plus
+    the reassembled text (empty string when everything was a repeat).
+
+    Plan: one array expression builds the segments (no shuffle), one
+    window keyed on md5(seg_text) marks first occurrences (the only
+    wide exchange — a fixed 32-byte key regardless of segment length;
+    a 128-bit collision is the accepted ~2^-64 corpus-scale risk, the
+    dedup family's standing convention), one groupBy(doc_id)
+    reassembles.  collect_list sees only kept segments (nulls are
+    dropped) and array_sort restores seg_no order deterministically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n_segs = F.ceil(F.size(toks) / F.lit(float(_SEG))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * _SEG + 1, _SEG)),
+    )
+    segs = docs.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_no", "seg_text")
+    ).select("doc_id", F.col("seg_no").cast("long").alias("seg_no"), "seg_text")
+
+    w_first = W.partitionBy(F.md5("seg_text")).orderBy("doc_id", "seg_no")
+    marked = segs.withColumn("rn", F.row_number().over(w_first))
+
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("seg_no"), F.col("seg_text"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum scheduling: quality deciles, round-robin interleave.
+# --------------------------------------------------------------------------
+
+_NB = 10  # quantile buckets
+
+# Integer identities used on BOTH sides (no float quantile cutoffs):
+#   bucket(rnk)  = floor((rnk-1) * NB / n)            — decile by rank
+#   start(b)     = ceil(b * n / NB) + 1               — first rank in b
+#   rib(rnk)     = rnk - ceil(bucket * n / NB)        — 1-based in-bucket
+# so bucket and rank-in-bucket need NO second sort: they are arithmetic
+# over the single global rank.
+_CURRICULUM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM t
+),
+b AS (
+  SELECT doc_id, n_tokens, rnk,
+         ((rnk - 1) * {_NB}) // n AS bucket,
+         rnk - ((((rnk - 1) * {_NB}) // n) * n + {_NB} - 1) // {_NB} AS rib
+  FROM r
+)
+SELECT doc_id, n_tokens,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(rib AS BIGINT) AS rank_in_bucket,
+       row_number() OVER (ORDER BY rib, bucket) AS schedule_pos
+FROM b
+"""
+
+
+@register("curriculum_quantile_interleave", oracle=_CURRICULUM_ORACLE)
+def curriculum_quantile_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum batch schedule: quality deciles, interleaved.
+
+    The training-order construction: rank documents by a difficulty
+    proxy (token count, doc_id tiebreak), cut the ranking into {_NB}
+    equal deciles, then emit the schedule that round-robins one
+    document from every decile per step (easiest decile first within a
+    step) — the standard mixed-curriculum ordering that keeps every
+    difficulty band represented in every training window.
+
+    Plan: ONE two-phase distributed rank (operators/ordering.py — no
+    partitionless window) gives the global rank; decile and
+    rank-in-bucket are closed-form integer arithmetic over that rank
+    (see the identities above the oracle), so the naive second sort
+    per bucket disappears; a second two-phase rank over (rib, bucket)
+    yields the final schedule position.  Total: two range shuffles,
+    zero single-task stages, bit-identical to the oracle's sequential
+    window arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialization point: (doc_id, n_tokens) is 16 bytes/row and
+    # feeds THREE consumers (the count, the rank's main branch, the
+    # rank's per-partition offsets branch); without it each branch —
+    # and the second rank phase's copy of all of them — re-runs the
+    # parquet scan + tokenize (12 scans in the unpersisted plan).
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).persist()
+    n_row = F.broadcast(base.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ranked = ranked_running_sum(
+        base, [F.col("n_tokens"), F.col("doc_id")], None, rank_name="rnk"
+    ).crossJoin(n_row)
+    # bucket/rib: exact integer arithmetic (see module docstring).
+    # Second materialization point: the schedule rank below would
+    # otherwise duplicate the entire first-phase lineage into its own
+    # offsets branch, re-paying the range shuffle.
+    bucketed = ranked.select(
+        "doc_id", "n_tokens", "rnk", "n",
+        F.expr(f"((rnk - 1) * {_NB}) DIV n").alias("bucket"),
+    ).withColumn(
+        "rank_in_bucket",
+        F.expr(f"rnk - (bucket * n + {_NB} - 1) DIV {_NB}"),
+    ).persist()
+    return ranked_running_sum(
+        bucketed,
+        [F.col("rank_in_bucket"), F.col("bucket")],
+        None,
+        rank_name="schedule_pos",
+    ).select(
+        "doc_id", "n_tokens",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rank_in_bucket").cast("long").alias("rank_in_bucket"),
+        "schedule_pos",
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty vs a reference split.
+# --------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[t.i : t.i + 2], ' ') AS gram
+  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+),
+ref AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 0
+),
+tgt AS (
+  SELECT doc_id, gram,
+         CASE WHEN gram IN (SELECT gram FROM ref) THEN 0 ELSE 1 END AS novel
+  FROM grams WHERE doc_id % 2 = 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(novel) AS BIGINT) AS n_novel,
+       CAST(sum(novel) AS DOUBLE) / count(*) AS novelty
+FROM tgt
+GROUP BY doc_id
+"""
+
+
+@register("ngram_novelty_score", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-corpus novelty: fraction of unseen word trigrams.
+
+    The decontamination-adjacent curation signal: split the corpus by
+    doc_id parity into a reference half and a target half, and score
+    every target document by the fraction of its DISTINCT lowercased
+    word trigrams that appear in no reference document — high novelty
+    = genuinely new text, near-zero = boilerplate already covered.
+
+    Plan: distinct trigrams per doc come from the shared shingle
+    expression (functions/text.py — the exact fragment the Jaccard
+    dedup oracles mirror); the reference trigram set is built once
+    (distinct on md5(gram) — fixed-width shuffle key); membership is a
+    single left join on that key with a null-probe novelty flag, so
+    per-gram cost is one hash lookup — never a per-doc set comparison.
+    The integer counts hash-certify the join exactly; `novelty` is one
+    IEEE division of those certified integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gkey"))
+    ref = (
+        tri.filter(F.col("doc_id") % 2 == 0)
+        .select("gkey").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tgt = tri.filter(F.col("doc_id") % 2 == 1)
+    joined = tgt.join(ref, "gkey", "left")
+    novel = F.when(F.col("hit").isNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+            .alias("novelty"),
+        )
+    )

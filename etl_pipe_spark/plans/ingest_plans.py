@@ -298,3 +298,79 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-file binary ingest: the multimodal landing-zone read path
+# ---------------------------------------------------------------------------
+
+_BF_SHARDS = 8
+
+_BINARYFILE_ORACLE = f"""
+SELECT CAST(doc_id % {_BF_SHARDS} AS BIGINT) AS shard,
+       CAST(sum(length(text) + 1) AS BIGINT) AS n_bytes,
+       md5(string_agg(text, chr(10) ORDER BY doc_id) || chr(10)) AS content_md5
+FROM documents
+GROUP BY doc_id % {_BF_SHARDS}
+ORDER BY shard
+"""
+
+
+@register("binaryfile_ingest", oracle=_BINARYFILE_ORACLE)
+def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary read: write text shards, re-ingest as bytes.
+
+    Completes the source matrix with Spark's ``binaryFile`` format —
+    the landing-zone read path for opaque media blobs (images/audio:
+    operators/multimodal.py consumes exactly this shape).  Documents
+    are sharded by ``doc_id % {_BF_SHARDS}``, each shard written as
+    ONE text file (repartition on the shard column puts a shard in one
+    task; the partitionBy(shard) writer then emits a single file per
+    value), then the directory is re-read as whole files: one row per
+    file with the raw ``content`` bytes and the discovered ``shard``
+    partition column.
+
+    The hash certifies BYTE fidelity end to end: Spark md5s the raw
+    file content, while DuckDB reconstructs each file's exact bytes
+    from the parquet truth table (newline-terminated lines in doc_id
+    order — the writer's sortWithinPartitions) and md5s the same
+    string; the corpus is ASCII so char-length + 1 per line equals the
+    byte length Spark reports.  A one-byte divergence anywhere in the
+    write→read path flips the hash.
+
+    Scale: binaryFile rows must fit an executor (the format's
+    contract); real media lakes keep per-file sizes bounded at write
+    time exactly like this shard writer.  The scan parallelizes per
+    file, the md5/length projection is JVM-side, and the oracle-side
+    ORDER BY shard is {_BF_SHARDS} rows.
+    """
+    path = _io_dir(sf_dir, "docs_binaryfile")
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.select(
+            (F.col("doc_id") % _BF_SHARDS).cast("long").alias("shard"),
+            "doc_id",
+            F.col("text").alias("value"),
+        )
+        .repartition(_BF_SHARDS, "shard")
+        .sortWithinPartitions("doc_id")
+        .select("shard", "value")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(path)
+    )
+    # One output row per FILE (no aggregation): if the writer ever
+    # produced two files for a shard, the row count itself would
+    # diverge from the oracle's one-row-per-shard — the single-file
+    # property is part of what the differential certifies.
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.length("content").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("shard")
+    )

@@ -69,9 +69,14 @@ FLAGSHIPS = [
     "tpch_q13_count_distribution",
     "tpch_q15_top_supplier",
     "stats_moments",
-    "exact_percentiles",
+    # exact_percentiles yielded its slot to curriculum_quantile_interleave
+    # (mid-r8 addendum 6) — the new query runs the same two-phase
+    # distributed-rank machinery plus the decile arithmetic.
+    "curriculum_quantile_interleave",
     "skew_salted_join",
-    "json_flatten_props",
+    # json_flatten_props yielded its slot to paragraph_dedup_reassemble
+    # (mid-r8 addendum 5); JSON ops stay in-window via json_as_map.
+    "paragraph_dedup_reassemble",
     "json_as_map",
     "current_version_window",
     "tumbling_window_agg",
