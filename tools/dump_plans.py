@@ -148,6 +148,14 @@ EXTRA_PLANS = [
     # pass, no exchange before the final sort)
     "lsh_index_persisted",
     "winnowing_fingerprints",
+    # r8 corpus batch 4 + the binaryFile leg (paragraph dedup shows
+    # the md5-keyed first-occurrence window; curriculum shows two
+    # two-phase ranks separated by InMemoryRelations; novelty shows
+    # the md5-key left join; binaryfile shows the whole-file scan)
+    "paragraph_dedup_reassemble",
+    "curriculum_quantile_interleave",
+    "ngram_novelty_score",
+    "binaryfile_ingest",
 ]
 # bpe_train_merges / bpe_encode_vocab are omitted like
 # kmeans_fit_clusters: both run the 8-round merge loop (one 1-row
