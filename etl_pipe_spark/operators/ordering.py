@@ -64,6 +64,21 @@ def ranked_running_sum(
             "__sum_in",
             F.sum(sum_col).over(w_in.rowsBetween(W.unboundedPreceding, 0)),
         )
+    # MATERIALIZATION POINT — load-bearing for correctness, not a perf
+    # cache.  `within` feeds two consumers (the row output and the
+    # per-partition offsets aggregate).  Without a cache each consumer
+    # re-evaluates the range exchange, and the two evaluations need
+    # not agree on `spark_partition_id`: AQE gives every read stage
+    # its OWN coalesced shuffle reader (identical map output, different
+    # reducer grouping), and a duplicated exchange re-samples range
+    # boundaries with an RDD-id-derived seed.  Either way the offsets
+    # join mis-keys and ranks collide — observed at 1M rows/local[32]
+    # as 989,558 distinct ranks out of 1,000,000 (sub-window scales
+    # coalesce both branches identically, which is why sf0.01 parity
+    # never caught it; tests/test_ordering_scale.py now does).  The
+    # cache pins one evaluation; at cluster scale this is the standard
+    # disk-backed materialization a global total order costs.
+    within = within.persist()
     # one row per partition; prefix-scan this p-row table (p = shuffle
     # width, never data-scale) and broadcast the offsets back.  The
     # single-partition window is INTENTIONAL here — correct precisely
