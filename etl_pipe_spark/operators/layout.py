@@ -114,7 +114,39 @@ def _planned_scan_width(spark: SparkSession, df: DataFrame) -> int:
     parallelism = max(1, spark.sparkContext.defaultParallelism)
     padded = total + len(files) * open_cost
     split = min(max_pb, max(open_cost, padded // parallelism or 1))
-    return max(1, -(-padded // split))
+    width = max(1, -(-padded // split))
+    # A parquet SPLIT can never be finer than a ROW GROUP: a fat
+    # single-row-group file (pyarrow's default writes up to 1M rows
+    # per group) reports a healthy size-based width while every split
+    # except one comes back empty — measured 10x wall time on a 260 MB
+    # one-group corpus whose "33 planned splits" ran as one task.
+    # Clamp by the actual group count when the footers are cheap to
+    # stat (few local files; remote/non-parquet inputs skip).
+    rg = _parquet_total_row_groups(files)
+    if rg is not None:
+        width = min(width, rg)
+    return width
+
+
+def _parquet_total_row_groups(files: list[str], cap_files: int = 64) -> int | None:
+    """Sum of row-group counts across the scan's parquet files, or
+    None when the input isn't all-parquet, has too many files to stat
+    cheaply, or a footer isn't locally readable (object stores)."""
+    if not files or len(files) > cap_files:
+        return None
+    if not all(f.endswith(".parquet") for f in files):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            local = f[7:] if f.startswith("file://") else f
+            local = local[5:] if local.startswith("file:") else local
+            total += pq.ParquetFile(local).metadata.num_row_groups
+        return max(1, total)
+    except Exception:
+        return None
 
 
 def spread_for_compute(

@@ -2,16 +2,20 @@
 
 Reuses the dedup_scaling synthetic corpora (boilerplate-heavy: 30% of
 docs share an 8-word preamble — exactly the repeated "paragraph" the
-segment dedup must collapse) and times:
+segment dedup must collapse) and times the REGISTERED implementations
+(the corpora expose the same `documents.parquet` layout the plans
+read, so `sf_dir=/tmp/dedup_scale/nN` drives the real code), plus an
+md5-vs-raw window-key differential for the paragraph dedup.
 
-  * paragraph_dedup_reassemble's pipeline, md5-keyed first-occurrence
-    window vs the naive raw-string window key (the scale claim under
-    test: a fixed 32-byte exchange key vs shipping arbitrary-length
-    segment text through the shuffle);
-  * curriculum_quantile_interleave's two two-phase ranks (the claim:
-    no single-task sort — wall time stays near-linear in N);
-  * ngram_novelty_score's md5-keyed reference join (the claim: linear
-    in corpus trigram count).
+Measurement notes (learned the hard way in r8):
+
+* The first expression-heavy pipeline of a session pays JVM/codegen
+  warmup — measured 76 s for a job that runs in 4 s warm.  The sweep
+  burns one untimed warmup pass before any timed leg.
+* The r8 sweep's FIRST run of the curriculum leg at 1M rows caught a
+  real correctness bug (duplicate global ranks out of the two-phase
+  rank under AQE-divergent shuffle reads — see operators/ordering.py);
+  the permutation assert below is load-bearing, keep it.
 
 Usage:  python tools/curation_scaling.py [--scales 250000,1000000]
 Prints one JSON line per (op, N) with wall seconds + result invariants.
@@ -33,12 +37,10 @@ from pyspark.sql.window import Window as W
 from tools.dedup_scaling import gen_corpus  # same corpus, same seed
 
 
-def _spark():
-    from etl_pipe_spark.session import get_spark
-    return get_spark("curation-scaling", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-
-
-def para_pipeline(docs, key_md5: bool):
+def para_window_variant(docs, key_md5: bool):
+    """The paragraph-dedup pipeline with a switchable window key —
+    the md5-vs-raw differential only; the timed op is the registered
+    plan."""
     from etl_pipe_spark.functions.text import ws_tokens
     from etl_pipe_spark.plans.corpus_plans4 import _SEG
 
@@ -59,7 +61,6 @@ def para_pipeline(docs, key_md5: bool):
             F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
         )
         .agg(
-            F.count(F.lit(1)).alias("docs"),
             F.sum("n_segs").alias("segs"),
             F.sum("n_kept").alias("kept"),
         )
@@ -72,87 +73,76 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
-    spark = _spark()
-    from etl_pipe_spark.functions.text import shingles, token_count, ws_tokens
-    from etl_pipe_spark.operators.ordering import ranked_running_sum
-    from etl_pipe_spark.plans.corpus_plans4 import _NB
+    from etl_pipe_spark.plans.catalog import REGISTRY, _load_all
+    from etl_pipe_spark.session import get_spark
+
+    _load_all()
+    spark = get_spark(
+        "curation-scaling", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    para = REGISTRY["paragraph_dedup_reassemble"].fn
+    curr = REGISTRY["curriculum_quantile_interleave"].fn
+    nov = REGISTRY["ngram_novelty_score"].fn
+
+    # JVM/codegen warmup: one untimed expression-heavy pass.
+    warm_dir = gen_corpus(scales[0])
+    para(spark, warm_dir).agg(F.count(F.lit(1))).collect()
 
     for n in scales:
         sf_dir = gen_corpus(n)
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        docs = docs.repartition(64).persist()
-        docs.count()
 
-        # -- paragraph dedup: md5 key vs raw-string key ----------------
-        for key_md5 in (True, False):
-            t0 = time.time()
-            row = para_pipeline(docs, key_md5).collect()[0]
-            wall = time.time() - t0
-            print(json.dumps({
-                "op": "paragraph_dedup", "n_docs": n,
-                "key": "md5" if key_md5 else "raw",
-                "wall_s": round(wall, 2),
-                "segs": row["segs"], "kept": row["kept"],
-            }), flush=True)
-
-        # -- curriculum schedule ---------------------------------------
         t0 = time.time()
-        base = docs.select(
-            "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
-        ).persist()
-        n_row = F.broadcast(base.agg(F.count(F.lit(1)).cast("long").alias("n")))
-        ranked = ranked_running_sum(
-            base, [F.col("n_tokens"), F.col("doc_id")], None, rank_name="rnk"
-        ).crossJoin(n_row)
-        bucketed = ranked.select(
-            "doc_id", "rnk", "n",
-            F.expr(f"((rnk - 1) * {_NB}) DIV n").alias("bucket"),
-        ).withColumn(
-            "rank_in_bucket", F.expr(f"rnk - (bucket * n + {_NB} - 1) DIV {_NB}")
-        ).persist()
-        sched = ranked_running_sum(
-            bucketed, [F.col("rank_in_bucket"), F.col("bucket")], None,
-            rank_name="schedule_pos",
-        )
-        chk = sched.agg(
+        out = para(spark, sf_dir)
+        row = out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_segs").alias("segs"),
+            F.sum("n_kept").alias("kept"),
+        ).collect()[0]
+        print(json.dumps({
+            "op": "paragraph_dedup", "n_docs": n,
+            "wall_s": round(time.time() - t0, 2),
+            "segs": row["segs"], "kept": row["kept"],
+        }), flush=True)
+
+        # md5-vs-raw window-key differential (same corpus, warm JVM)
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).repartition(64).persist()
+        docs.count()
+        for key_md5 in (False, True):
+            t0 = time.time()
+            row = para_window_variant(docs, key_md5).collect()[0]
+            print(json.dumps({
+                "op": "paragraph_key_variant", "n_docs": n,
+                "key": "md5" if key_md5 else "raw",
+                "wall_s": round(time.time() - t0, 2), "kept": row["kept"],
+            }), flush=True)
+        docs.unpersist()
+
+        t0 = time.time()
+        out = curr(spark, sf_dir)
+        chk = out.agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("schedule_pos").alias("pos_sum"),
             F.countDistinct("bucket").alias("buckets"),
         ).collect()[0]
-        wall = time.time() - t0
-        base.unpersist(); bucketed.unpersist()
+        wall = round(time.time() - t0, 2)
         assert chk["pos_sum"] == n * (n + 1) // 2, "schedule_pos not a permutation"
         print(json.dumps({
-            "op": "curriculum", "n_docs": n, "wall_s": round(wall, 2),
+            "op": "curriculum", "n_docs": n, "wall_s": wall,
             "rows": chk["rows"], "buckets": chk["buckets"],
         }), flush=True)
 
-        # -- novelty ----------------------------------------------------
         t0 = time.time()
-        tri = docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("gram"),
-        ).select("doc_id", F.md5("gram").alias("gkey"))
-        ref = (tri.filter(F.col("doc_id") % 2 == 0).select("gkey").distinct()
-               .withColumn("hit", F.lit(1)))
-        tgt = tri.filter(F.col("doc_id") % 2 == 1)
-        out = (tgt.join(ref, "gkey", "left")
-               .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_grams"),
-                    F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
-                    .alias("n_novel")))
+        out = nov(spark, sf_dir)
         chk = out.agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_grams").alias("grams"),
             F.sum("n_novel").alias("novel"),
         ).collect()[0]
-        wall = time.time() - t0
         print(json.dumps({
-            "op": "novelty", "n_docs": n, "wall_s": round(wall, 2),
+            "op": "novelty", "n_docs": n, "wall_s": round(time.time() - t0, 2),
             "docs": chk["docs"], "grams": chk["grams"], "novel": chk["novel"],
         }), flush=True)
-
-        docs.unpersist()
 
 
 if __name__ == "__main__":
