@@ -156,6 +156,7 @@ EXTRA_PLANS = [
     "curriculum_quantile_interleave",
     "ngram_novelty_score",
     "binaryfile_ingest",
+    "ivfsq8_ann_rerank",
 ]
 # bpe_train_merges / bpe_encode_vocab are omitted like
 # kmeans_fit_clusters: both run the 8-round merge loop (one 1-row
