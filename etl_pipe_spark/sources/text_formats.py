@@ -143,3 +143,41 @@ def coerce_columns(df: DataFrame, spec: dict[str, str]) -> DataFrame:
         else:
             out.append(_COERCERS[kind](F.col(fld)).alias(fld))
     return df.select(*out)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro module is on the classpath.
+
+    Avro has been "built-in but external" since Spark 2.4
+    (org.apache.spark:spark-avro must be deployed alongside the app);
+    this sandbox ships only the avro core jars, so the data source is
+    absent and the avro round-trip tests skip — the Delta convention
+    (operators/delta_merge.delta_available).
+    """
+    try:
+        # Resolve through Spark's own data-source registry — some
+        # avro CLASSES ship in the bundled catalyst jars even when the
+        # spark-avro module (and its DataSourceRegister service entry)
+        # is absent, so Class.forName is a false positive here.
+        spark.read.format("avro").schema("probe long").load(
+            "/nonexistent-avro-probe-path")
+        return True
+    except Exception as exc:  # noqa: BLE001 — message decides
+        return "Failed to find data source" not in str(exc)
+
+
+def write_avro(df, path: str, mode: str = "overwrite") -> None:
+    """Avro shard write (splittable row format — the Kafka-adjacent
+    interchange leg of the source matrix).  Raises where the module is
+    absent; gate with :func:`avro_available`."""
+    df.write.mode(mode).format("avro").save(path)
+
+
+def read_avro(spark: SparkSession, path: str, avro_schema: str | None = None):
+    """Avro read; pass ``avro_schema`` (JSON) to pin reader schema for
+    schema-evolution reads, mirroring read_csv/read_jsonl's
+    explicit-schema stance."""
+    reader = spark.read.format("avro")
+    if avro_schema is not None:
+        reader = reader.option("avroSchema", avro_schema)
+    return reader.load(path)
