@@ -118,8 +118,8 @@ _DEMOTED = (
     # ROUND-9 ROTATION QUEUE (forward-looking, in the RECOMPUTED
     # staleness order — oldest last-driver-green first; verify against
     # the r01-r08 union before executing, the r7 lesson):
-    #   0. the two never-driver-checked r8 registrations FIRST
-    #      (ngram_novelty_score, binaryfile_ingest);
+    #   0. the three never-driver-checked r8 registrations FIRST
+    #      (ngram_novelty_score, binaryfile_ingest, ivfsq8_ann_rerank);
     #   1. the r04-stale group (similarity_ann_ivf,
     #      similarity_topk_cosine, kmeans_update_step, semantic_dedup,
     #      plus this round's r04 demotions: promo_revenue_share,
