@@ -93,6 +93,8 @@ def main() -> None:
 
     # Best-of-2 per query: single-shot local[N] timings carry 5-10x
     # scheduler/GC noise; the minimum reflects the plan's real cost.
+    from etl_pipe_spark.operators.ordering import release_rank_caches
+
     timings: dict[str, float] = {}
     for name in qs:  # the FULL registry, registration order
         best = float("inf")
@@ -101,6 +103,10 @@ def main() -> None:
             qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # each run above fully materializes, so the rank-correctness
+        # caches (operators/ordering.py) are safe to drain here — a
+        # 163-query session must not accumulate them
+        release_rank_caches()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -128,14 +128,30 @@ def _planned_scan_width(spark: SparkSession, df: DataFrame) -> int:
     return width
 
 
+_ROW_GROUP_CACHE: dict[tuple[str, ...], int | None] = {}
+
+
 def _parquet_total_row_groups(files: list[str], cap_files: int = 64) -> int | None:
     """Sum of row-group counts across the scan's parquet files, or
-    None when the input isn't all-parquet, has too many files to stat
-    cheaply, or a footer isn't locally readable (object stores)."""
+    None when the input isn't all-LOCAL-parquet or has too many files
+    to stat cheaply.
+
+    Scheme allowlist, not duck-typing: pyarrow can open s3://, gs://,
+    and hdfs:// URIs when the matching filesystem package is present,
+    so "rely on the open failing" would turn every spread gate into
+    up to ``cap_files`` synchronous remote footer GETs on the driver —
+    the per-file RPC storm this module's size estimator exists to
+    avoid.  Results are memoized per file list (footers are immutable
+    for a given listing; a rewritten table produces new file names)."""
     if not files or len(files) > cap_files:
         return None
     if not all(f.endswith(".parquet") for f in files):
         return None
+    if not all(f.startswith(("/", "file:")) for f in files):
+        return None  # object-store / remote input: skip the clamp
+    key = tuple(files)
+    if key in _ROW_GROUP_CACHE:
+        return _ROW_GROUP_CACHE[key]
     try:
         import pyarrow.parquet as pq
 
@@ -144,9 +160,13 @@ def _parquet_total_row_groups(files: list[str], cap_files: int = 64) -> int | No
             local = f[7:] if f.startswith("file://") else f
             local = local[5:] if local.startswith("file:") else local
             total += pq.ParquetFile(local).metadata.num_row_groups
-        return max(1, total)
+        result: int | None = max(1, total)
     except Exception:
-        return None
+        result = None
+    if len(_ROW_GROUP_CACHE) > 256:  # bounded: a long session's tables
+        _ROW_GROUP_CACHE.clear()
+    _ROW_GROUP_CACHE[key] = result
+    return result
 
 
 def spread_for_compute(

@@ -27,6 +27,37 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+# Correctness caches created by ranked_running_sum (and fellow
+# travellers like curriculum's phase frames) that a lazy result keeps
+# alive.  One entry per call; release_rank_caches() drains the list.
+_LIVE_RANK_CACHES: list[DataFrame] = []
+
+
+def track_rank_cache(df: DataFrame) -> DataFrame:
+    """Register an already-persisted frame for release_rank_caches()."""
+    _LIVE_RANK_CACHES.append(df)
+    return df
+
+
+def release_rank_caches(blocking: bool = False) -> int:
+    """Unpersist every tracked rank cache; returns how many.
+
+    Call ONLY between fully-materialized queries (after every action
+    on a rank-derived result has completed): releasing earlier forces
+    a re-evaluation of the un-cached range exchange, which reopens the
+    duplicate-rank divergence the cache exists to close.  The bench
+    and differential harnesses call this after each query's final
+    hash/count; a production pipeline calls it between jobs."""
+    n = 0
+    while _LIVE_RANK_CACHES:
+        df = _LIVE_RANK_CACHES.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def ranked_running_sum(
     df: DataFrame,
@@ -75,10 +106,15 @@ def ranked_running_sum(
     # join mis-keys and ranks collide — observed at 1M rows/local[32]
     # as 989,558 distinct ranks out of 1,000,000 (sub-window scales
     # coalesce both branches identically, which is why sf0.01 parity
-    # never caught it; tests/test_ordering_scale.py now does).  The
-    # cache pins one evaluation; at cluster scale this is the standard
-    # disk-backed materialization a global total order costs.
-    within = within.persist()
+    # never caught it; tests/test_ordering_scale.py now does — and an
+    # explicit repartitionByRange(N, ...) was tested and does NOT fix
+    # it, so the cache is the only correct form).  At cluster scale
+    # this is the standard disk-backed materialization a global total
+    # order costs.  The cache is corpus-sized and the result is lazy,
+    # so the operator cannot release it itself; it is TRACKED, and
+    # long-lived sessions (benches, differential harnesses) call
+    # release_rank_caches() between fully-materialized queries.
+    within = track_rank_cache(within.persist())
     # one row per partition; prefix-scan this p-row table (p = shuffle
     # width, never data-scale) and broadcast the offsets back.  The
     # single-partition window is INTENTIONAL here — correct precisely

@@ -36,7 +36,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.text import shingles, token_count, ws_tokens
 from ..operators.layout import spread_for_compute as _spread
-from ..operators.ordering import ranked_running_sum
+from ..operators.ordering import ranked_running_sum, track_rank_cache
 from ..sources.catalog import load_table
 from .catalog import register
 
@@ -75,26 +75,12 @@ GROUP BY doc_id
 """
 
 
-@register("paragraph_dedup_reassemble", oracle=_PARA_DEDUP_ORACLE)
-def paragraph_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segment-level exact dedup, then reassemble each document.
-
-    The RefinedWeb / CCNet curation stage: split every document into
-    fixed {_SEG}-token segments, keep only the corpus-wide FIRST
-    occurrence of each distinct segment (first = smallest (doc_id,
-    seg_no)), and rebuild each document from its surviving segments in
-    original order.  Output: per-doc segment counts before/after plus
-    the reassembled text (empty string when everything was a repeat).
-
-    Plan: one array expression builds the segments (no shuffle), one
-    window keyed on md5(seg_text) marks first occurrences (the only
-    wide exchange — a fixed 32-byte key regardless of segment length;
-    a 128-bit collision is the accepted ~2^-64 corpus-scale risk, the
-    dedup family's standing convention), one groupBy(doc_id)
-    reassembles.  collect_list sees only kept segments (nulls are
-    dropped) and array_sort restores seg_no order deterministically.
-    """
-    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+def paragraph_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level paragraph dedup + reassembly over (doc_id, text) —
+    the single implementation shared by the registered query, the
+    invariant tests (tests/test_corpus_ops4.py), and the scaling tool,
+    so a bug in the window key / slice arithmetic cannot hide behind a
+    hand-copied twin."""
     toks = ws_tokens(F.col("text"))
     n_segs = F.ceil(F.size(toks) / F.lit(float(_SEG))).cast("int")
     seg_arr = F.transform(
@@ -126,6 +112,29 @@ def paragraph_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_text"),
         )
     )
+
+
+@register("paragraph_dedup_reassemble", oracle=_PARA_DEDUP_ORACLE)
+def paragraph_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup, then reassemble each document.
+
+    The RefinedWeb / CCNet curation stage: split every document into
+    fixed {_SEG}-token segments, keep only the corpus-wide FIRST
+    occurrence of each distinct segment (first = smallest (doc_id,
+    seg_no)), and rebuild each document from its surviving segments in
+    original order.  Output: per-doc segment counts before/after plus
+    the reassembled text (empty string when everything was a repeat).
+
+    Plan: one array expression builds the segments (no shuffle), one
+    window keyed on md5(seg_text) marks first occurrences (the only
+    wide exchange — a fixed 32-byte key regardless of segment length;
+    a 128-bit collision is the accepted ~2^-64 corpus-scale risk, the
+    dedup family's standing convention), one groupBy(doc_id)
+    reassembles.  collect_list sees only kept segments (nulls are
+    dropped) and array_sort restores seg_no order deterministically.
+    """
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return paragraph_dedup_frame(docs)
 
 
 # --------------------------------------------------------------------------
@@ -188,29 +197,34 @@ def curriculum_quantile_interleave(spark: SparkSession, sf_dir: str) -> DataFram
     window arithmetic.
     """
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    # Materialization point: (doc_id, n_tokens) is 16 bytes/row and
-    # feeds THREE consumers (the count, the rank's main branch, the
-    # rank's per-partition offsets branch); without it each branch —
-    # and the second rank phase's copy of all of them — re-runs the
-    # parquet scan + tokenize (12 scans in the unpersisted plan).
-    base = docs.select(
+    return curriculum_frame(docs)
+
+
+def curriculum_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level curriculum schedule over (doc_id, text) — shared by
+    the registered query, the invariant tests, and the scaling tool.
+
+    Both persists below are TRACKED (operators.ordering registry): the
+    (doc_id, n_tokens) base is 16 bytes/row and feeds three consumers
+    (the count, the rank's main branch, its offsets branch); the
+    bucketed frame stops the second rank phase from duplicating the
+    whole first-phase lineage into its own offsets branch.  Harnesses
+    release them between queries via release_rank_caches()."""
+    base = track_rank_cache(docs.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
-    ).persist()
+    ).persist())
     n_row = F.broadcast(base.agg(F.count(F.lit(1)).cast("long").alias("n")))
     ranked = ranked_running_sum(
         base, [F.col("n_tokens"), F.col("doc_id")], None, rank_name="rnk"
     ).crossJoin(n_row)
     # bucket/rib: exact integer arithmetic (see module docstring).
-    # Second materialization point: the schedule rank below would
-    # otherwise duplicate the entire first-phase lineage into its own
-    # offsets branch, re-paying the range shuffle.
-    bucketed = ranked.select(
+    bucketed = track_rank_cache(ranked.select(
         "doc_id", "n_tokens", "rnk", "n",
         F.expr(f"((rnk - 1) * {_NB}) DIV n").alias("bucket"),
     ).withColumn(
         "rank_in_bucket",
         F.expr(f"rnk - (bucket * n + {_NB} - 1) DIV {_NB}"),
-    ).persist()
+    ).persist())
     return ranked_running_sum(
         bucketed,
         [F.col("rank_in_bucket"), F.col("bucket")],
@@ -278,9 +292,16 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join against DuckDB's raw-string membership; `novelty` is one
     IEEE division of those certified integers.
     """
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return novelty_frame(docs)
+
+
+def novelty_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level novelty scoring over (doc_id, text) — shared by the
+    registered query, the micro-corpus test, and the scaling tool (so
+    the test exercises the PRODUCTION hash60 key, not a copy)."""
     from ..functions.text import hash60
 
-    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     tri = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("gram"),

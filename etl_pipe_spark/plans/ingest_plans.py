@@ -353,7 +353,14 @@ def binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").alias("value"),
         )
         .repartition(_BF_SHARDS, "shard")
-        .sortWithinPartitions("doc_id")
+        # sort by (shard, doc_id), not doc_id alone: hash partitioning
+        # can co-locate two shard values in one task, and the
+        # partitionBy writer inserts its own sort on `shard` — doc_id
+        # order inside each shard would then survive only if that sort
+        # happens to be stable, an implementation detail.  The explicit
+        # composite sort satisfies the writer's requirement (no extra
+        # sort inserted) and makes within-shard line order a contract.
+        .sortWithinPartitions("shard", "doc_id")
         .select("shard", "value")
         .write.mode("overwrite")
         .partitionBy("shard")

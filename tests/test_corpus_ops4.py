@@ -1,11 +1,15 @@
 """Behavioral tests for corpus_plans4 (oracle parity for the
 registered forms is covered by test_oracle_parity; these pin the
 algorithmic invariants on adversarial micro-corpora the synthetic
-documents table never produces)."""
+documents table never produces).
+
+All tests drive the SHARED frame-level implementations
+(paragraph_dedup_frame / curriculum_frame / novelty_frame) — the same
+code the registered queries run — so a bug in the production window
+key, slice arithmetic, or hash cannot hide behind a hand-copied twin.
+"""
 
 from __future__ import annotations
-
-from pyspark.sql import functions as F
 
 from etl_pipe_spark.plans import corpus_plans4 as CP4
 from etl_pipe_spark.plans.catalog import REGISTRY, _load_all
@@ -18,37 +22,7 @@ def _docs(spark, rows):
 
 
 def _run_para(spark, rows):
-    """Run the paragraph-dedup pipeline on an inline corpus by
-    monkey-free substitution: rebuild the same plan the registered
-    query builds, from the given frame."""
-    docs = _docs(spark, rows)
-    from pyspark.sql.window import Window as W
-
-    from etl_pipe_spark.functions.text import ws_tokens
-
-    toks = ws_tokens(F.col("text"))
-    n_segs = F.ceil(F.size(toks) / F.lit(float(CP4._SEG))).cast("int")
-    seg_arr = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * CP4._SEG + 1, CP4._SEG)),
-    )
-    segs = docs.select(
-        "doc_id", F.posexplode(seg_arr).alias("seg_no", "seg_text")
-    )
-    w = W.partitionBy(F.md5("seg_text")).orderBy("doc_id", "seg_no")
-    marked = segs.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") == 1, F.struct("seg_no", "seg_text"))
-    out = (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segs"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(kept)),
-                            lambda s: s["seg_text"]), " ",
-            ).alias("kept_text"),
-        )
-    )
+    out = CP4.paragraph_dedup_frame(_docs(spark, rows))
     return {r["doc_id"]: r for r in out.collect()}
 
 
@@ -142,25 +116,31 @@ def test_novelty_bounds_and_reference_blindness(spark, sf_dir):
 
 
 def test_novelty_exact_on_micro_corpus(spark):
-    """Hand-checked novelty: target shares exactly one trigram with
-    the reference."""
-    from etl_pipe_spark.functions.text import shingles
-
+    """Hand-checked novelty THROUGH the production frame fn (hash60
+    key included): target shares exactly one trigram with the
+    reference."""
     docs = _docs(spark, [
         (0, "a b c d"),        # reference: trigrams {a b c, b c d}
         (1, "a b c x y"),      # target: {a b c, b c x, c x y} -> 2/3 novel
     ])
-    tri = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("gram"),
-    ).select("doc_id", F.md5("gram").alias("gkey"))
-    ref = (tri.filter(F.col("doc_id") % 2 == 0).select("gkey").distinct()
-           .withColumn("hit", F.lit(1)))
-    tgt = tri.filter(F.col("doc_id") % 2 == 1)
-    got = (tgt.join(ref, "gkey", "left")
-           .groupBy("doc_id")
-           .agg(F.count(F.lit(1)).alias("n_grams"),
-                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
-                .alias("n_novel"))).collect()
+    got = CP4.novelty_frame(docs).collect()
     assert len(got) == 1
-    assert (got[0]["n_grams"], got[0]["n_novel"]) == (3, 2)
+    r = got[0]
+    assert (r["doc_id"], r["n_grams"], r["n_novel"]) == (1, 3, 2)
+    assert abs(r["novelty"] - 2 / 3) < 1e-15
+
+
+def test_rank_caches_are_tracked_and_releasable(spark, sf_dir):
+    """curriculum's correctness caches must drain via the shared
+    registry once the query is fully materialized (the harness
+    contract — no session-lifetime cache residue)."""
+    from etl_pipe_spark.operators.ordering import (
+        _LIVE_RANK_CACHES, release_rank_caches)
+
+    release_rank_caches()
+    out = REGISTRY["curriculum_quantile_interleave"].fn(spark, sf_dir)
+    out.count()  # fully materialize
+    assert len(_LIVE_RANK_CACHES) >= 4  # base, bucketed, 2x within
+    released = release_rank_caches()
+    assert released >= 4
+    assert not _LIVE_RANK_CACHES

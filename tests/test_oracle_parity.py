@@ -45,11 +45,18 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         f"[{name}] complex-typed output columns {bad} would crash the "
         f"driver's pandas canonicalizer; serialize them to scalars"
     )
-    if name in oracles:
-        compare(df, duck, oracles[name], name=name)
-    else:
-        # rows-only check, mirroring the driver's weaker path
-        assert df.count() >= 0
+    try:
+        if name in oracles:
+            compare(df, duck, oracles[name], name=name)
+        else:
+            # rows-only check, mirroring the driver's weaker path
+            assert df.count() >= 0
+    finally:
+        # this query is fully materialized — drain its tracked
+        # rank-correctness caches so the 163-query session doesn't
+        # accumulate them (operators/ordering.py contract)
+        from etl_pipe_spark.operators.ordering import release_rank_caches
+        release_rank_caches()
 
 
 def test_entry_smoke(spark):

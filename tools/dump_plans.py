@@ -189,8 +189,11 @@ def main() -> None:
         # checkpointed plan is a bare RDD scan with no evidence in it
         lazy_forms = {}
         from etl_pipe_spark.plans.dedup_plans import ivfpq_rerank
+        from etl_pipe_spark.plans.quant_plans import ivfsq8_ann_rerank
         from etl_pipe_spark.plans.text_plans4 import bm25_retrieval
         lazy_forms["ivfpq_rerank"] = lambda s, d: ivfpq_rerank(
+            s, d, checkpoint=False)
+        lazy_forms["ivfsq8_ann_rerank"] = lambda s, d: ivfsq8_ann_rerank(
             s, d, checkpoint=False)
         lazy_forms["bm25_retrieval"] = lambda s, d: bm25_retrieval(
             s, d, checkpoint=False)
