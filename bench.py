@@ -102,11 +102,14 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+            # drain INSIDE the loop: run 2 must not read run 1's
+            # still-persisted rank frames through Spark's CacheManager
+            # (canonicalized-plan matching) — that reports a warm-cache
+            # time, understating the plan's real cost.  The caches are
+            # performance-only (operators/ordering.py), so the drain is
+            # safe at any point.
+            release_rank_caches()
         timings[name] = round(best, 3)
-        # each run above fully materializes, so the rank-correctness
-        # caches (operators/ordering.py) are safe to drain here — a
-        # 163-query session must not accumulate them
-        release_rank_caches()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

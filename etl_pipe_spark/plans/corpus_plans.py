@@ -169,8 +169,10 @@ def vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    # descending count == ascending negated count (bigint, exact) —
+    # ranked_running_sum takes plain ascending value expressions
     ranked = ranked_running_sum(
-        vocab, [F.col("cnt").desc(), F.col("token")], "cnt",
+        vocab, [(-F.col("cnt")), F.col("token")], "cnt",
         rank_name="rnk", before_name="cum_before",
     )
     # total tokens == sum over vocab of cnt, but computable as a

@@ -429,7 +429,7 @@ def exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     ranked = ranked_running_sum(
-        docs, [F.col("n_tokens").asc(), F.col("doc_id").asc()], None
+        docs, [F.col("n_tokens"), F.col("doc_id")], None
     )
     n_row = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     targets = (

@@ -216,8 +216,9 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str,
         k = scored.agg(
             F.ceil(F.count(F.lit(1)) * DSIR_KEEP_FRAC).alias("k")
         )
+        # descending fixed-point weight == ascending negated (bigint)
         ranked = ranked_running_sum(
-            scored, [F.col("weight_fp").desc(), F.col("doc_id")], None,
+            scored, [(-F.col("weight_fp")), F.col("doc_id")], None,
             rank_name="rnk",
         )
         out = (

@@ -256,7 +256,10 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").cast("bigint").alias("n_tokens"),
         (F.size(F.array_distinct("w")) / F.size("w").cast("double")).alias("ttr"),
     )
-    order = [F.col("ttr").desc(), F.col("doc_id")]
+    # descending ttr == ascending negated ttr (finite double in [0,1],
+    # NaN-free: size/size over non-empty splits) — ranked_running_sum
+    # takes plain ascending value expressions
+    order = [(-F.col("ttr")), F.col("doc_id")]
     total = scored.agg(F.sum("n_tokens").alias("__total"))
     return (
         ranked_running_sum(scored, order, "n_tokens",

@@ -163,21 +163,22 @@ def avro_available(spark: SparkSession) -> bool:
             "/nonexistent-avro-probe-path")
         return True
     except Exception as exc:  # noqa: BLE001 — the failure KIND decides
-        # Lookup failure today throws the avro-specific
-        # _LEGACY_ERROR_TEMP_1139 ("Failed to find data source: avro…");
-        # the standard Spark 4 condition is DATA_SOURCE_NOT_FOUND
-        # ("Failed to find the data source…", SQLSTATE 42K02).  Match
-        # the error class / SQLSTATE first so a future migration of the
-        # legacy message cannot flip the probe to a false True, with
-        # both message phrasings as the fallback.
+        # FAIL CLOSED: the ONLY failure that proves the source RESOLVED
+        # is the probe path itself not existing (PATH_NOT_FOUND — the
+        # analysis error Spark raises after the avro DataSource lookup
+        # succeeded).  Everything else — the avro-specific
+        # _LEGACY_ERROR_TEMP_1139 ("Failed to find data source: avro…"),
+        # the standard Spark 4 DATA_SOURCE_NOT_FOUND, or any transient
+        # Py4J/session error mid-probe — reports avro as absent, so
+        # downstream write_avro callers skip instead of erroring on a
+        # source the probe never actually confirmed.
         cond = getattr(exc, "getCondition", None) or getattr(
             exc, "getErrorClass", None)
         name = cond() if callable(cond) else None
-        if name and ("DATA_SOURCE_NOT_FOUND" in name or "_1139" in name):
-            return False
+        if name and "PATH_NOT_FOUND" in name:
+            return True
         msg = str(exc)
-        return not ("Failed to find data source" in msg
-                    or "Failed to find the data source" in msg)
+        return "Path does not exist" in msg
 
 
 def write_avro(df, path: str, mode: str = "overwrite") -> None:

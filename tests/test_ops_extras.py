@@ -126,9 +126,13 @@ def test_ranked_running_sum_equals_global_window(spark):
 
     rows = [(i, (i * 37) % 101, (i * 13) % 7 + 1) for i in range(1000)]
     df = spark.createDataFrame(rows, "id long, score long, weight long")
-    order = [F.col("score").desc(), F.col("id")]
+    # two-phase form takes plain ascending value expressions: score
+    # DESC is expressed as -score ASC (the negation convention every
+    # descending caller uses); the expected global window keeps the
+    # native DESC marker, so the test also pins the equivalence.
+    order = [(-F.col("score")), F.col("id")]
 
-    w = W.orderBy(*order)
+    w = W.orderBy(F.col("score").desc(), F.col("id"))
     expected = sorted(
         (r.id, r.rnk, r.before)
         for r in df.withColumn("rnk", F.row_number().over(w).cast("bigint"))

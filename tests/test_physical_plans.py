@@ -207,14 +207,14 @@ def test_events_normalizer_handles_micros_layout(spark, sf_dir, tmp_path):
     assert filtered.count() == events_since(ev, since).count()
 
 
-def test_zorder_layout_has_range_exchanges_and_no_cartesian(spark, sf_dir):
-    """Both layout rankings must go through range partitioning (the
-    two-phase rank), the min/max side must broadcast, and nothing may
-    degrade to a nested-loop/cartesian product."""
+def test_zorder_layout_has_bucketed_windows_and_no_cartesian(spark, sf_dir):
+    """Both layout rankings must go through the value-bucketed
+    two-phase rank — a hash exchange on the derived __pid bucket, one
+    per layout, NEVER a no-partition global sort/window of the data —
+    the min/max side must broadcast, and nothing may degrade to a
+    nested-loop/cartesian product."""
     plan = _plan(spark, sf_dir, "zorder_layout_skipping")
-    assert plan.count("rangepartitioning") >= 2 or \
-        plan.count("RangePartitioning") >= 2 or \
-        plan.lower().count("rangepartitioning") >= 2
+    assert plan.lower().count("hashpartitioning(__pid") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # 1-row min/max aggregate side
     assert "CartesianProduct" not in plan
 
