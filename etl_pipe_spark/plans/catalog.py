@@ -61,7 +61,7 @@ _PLAN_MODULES = (
 # queries) and by the per-round driver-format artifact
 # (tools/local_correctness.py -> docs/CORRECTNESS_local_r{N}.json —
 # auditable row/schema/hash flags for every query, demoted included).
-# Exactly 113 names: 163 registered − 113 demoted = 50 in-window
+# Exactly 116 names: 166 registered − 116 demoted = 50 in-window
 # (test_registry_window.py pins the arithmetic and the flagship set).
 #
 # Round-5 rotation: the two PRODUCTION BLAS kernels register as new
@@ -91,349 +91,172 @@ _PLAN_MODULES = (
 # row-level coverage in docs/CORRECTNESS_local_r{N}.json, and an
 # in-window family representative (noted per line).
 _DEMOTED = (
-    # ROUND-8 ROTATION (the r7 verdict's item 3, executed in full with
-    # the CORRECTED staleness ordering — the judge recomputed the
-    # r01–r07 union and found the r02-stale group two rounds staler
-    # than the queue this comment block previously listed first).
-    # Promotions (41 slots): ALL 18 queries whose last driver-green is
-    # r02 (tpch_q3/q5, json_as_map, merge_upsert_snapshot,
-    # current_version_window, topk_orders, tumbling_window_agg,
-    # streaming_tumbling_counts, double_role_dim_join,
-    # anti_join_orderless_customers, semi_join_urgent_customers,
-    # array_aggregation, rollup_orders, text_token_stats,
-    # doc_quality_score, mixture_sampling, dedup_simhash_pairs,
-    # embedding_neardup_pairs), ALL 12 r03-stale (stats_moments,
-    # tpch_q4/q13/q17/q18/q19/q22, cube_lineitem, window_frames,
-    # sliding_window_agg, range_join_bucketed, skew_salted_join), and
-    # 11 of the 15 r04-stale (the 4 left out — similarity_ann_ivf,
-    # similarity_topk_cosine, kmeans_update_step, semantic_dedup —
-    # each has its production-scale SUPERSET pinned in-window:
-    # ann_ivf_scaled ×2, kmeans_fit_clusters, semantic_dedup_scaled).
-    # Pinned in-window every round: orc_roundtrip_ingest (until its
-    # first-ever driver-green row lands — the r8 DECIMAL→DOUBLE fix)
-    # plus the production flagships ann_ivf_scaled /
-    # semantic_dedup_scaled / kmeans_fit_clusters /
-    # streaming_dedup_watermark / incremental_neardup_lsh and the
-    # persisted-index trilogy ivfpq/sq8/lsh_index_persisted.
-    # ROUND-9 ROTATION QUEUE (forward-looking, in the RECOMPUTED
-    # staleness order — oldest last-driver-green first; verify against
-    # the r01-r08 union before executing, the r7 lesson):
-    #   0. the three never-driver-checked r8 registrations FIRST
-    #      (ngram_novelty_score, binaryfile_ingest, ivfsq8_ann_rerank);
-    #   1. the r04-stale group (similarity_ann_ivf,
-    #      similarity_topk_cosine, kmeans_update_step, semantic_dedup,
-    #      plus this round's r04 demotions: promo_revenue_share,
-    #      pivot_status_revenue, having_large_orders,
-    #      tpch_q10_returned_items, json_flatten_props,
-    #      exact_percentiles);
-    #   2. the 33-query r05 group (multimodal_features, tpch_q8/q9/q20,
-    #      ann_kmeans_recall_lift, pq_fit_quality, pca_top_component,
-    #      corpus_shuffle_shards, approx_aggregates, sequence_packing,
-    #      tfidf_top_terms, dedup_ngram_jaccard,
-    #      corpus_curation_pipeline, multimodal_frame_sample,
-    #      pandas_group_zscore, contamination_check,
-    #      quality_repetition_filter, dedup_minhash_lsh,
-    #      run_summary_rollup, incremental_scan, asof_join_last_event,
-    #      session_window_agg, merge_replay_dedup, scd2_version_chain,
-    #      wide_projection, denorm_join, supplier_nation_rollup,
-    #      json_flatten_input_data, doc_fingerprint, similarity_srp_lsh,
-    #      text_redact, doc_chunking, dedup_simhash) — 4 + 33 = 37
-    #      fills most of the window;
-    #   3. then the r06 group.  Keep the production flagships + the
-    #      persisted-index trilogy pinned as below.
-    # MID-R8 ADDENDUM: one new registration landed after the rotation
-    # above (lsh_index_lifecycle — build + two appends + compact +
-    # probe under the SAME oracle as the one-shot build, putting the
-    # whole store lifecycle incl. atomic compaction under driver
-    # hash-signal).  It takes its first driver row in-window (the
-    # never-driver-checked set stays empty, the r5-r8 convention); the
-    # slot comes from one of this round's 11 r04-stale promotions
-    # (keeping every other staleness repair intact — the r8 "no query
-    # older than r04" ceiling still holds for the demoted row):
-    "promo_revenue_share",        # last green r4; single-row conditional-share agg covered in-window by promoted tpch_q19 (disjunctive conditional agg) + rollup_orders + sql_api_segment_revenue (same revenue-share shape, promoted)
-    # MID-R8 ADDENDUM 2: bq_hamming_rerank landed (1-bit binary
-    # quantization — integer-exact Hamming shortlist + exact rerank,
-    # completing the PQ/SQ8/BQ quantizer family).  It takes its first
-    # driver row in-window (never-driver-checked set stays empty); the
-    # slot comes from one more r04-stale promotion whose family stays
-    # hard-checked (the "no query older than r04" ceiling holds — this
-    # row returns to the head of the r9 queue):
-    "pivot_status_revenue",       # last green r4; pivot conditional-agg shape covered in-window by unpivot_lineitem_metrics (the inverse op, promoted), cube_lineitem + rollup_orders (grouping family) + sql_api_segment_revenue (CASE-sum shares)
-    # MID-R8 ADDENDUM 3: bq_index_persisted landed (the BQ leg of the
-    # index store — build/search/append/compact on the same epoch/CAS/
-    # pointer protocol, certified by the SAME oracle as the in-memory
-    # form).  First driver row in-window; the slot comes from one more
-    # r04-stale promotion whose exact shape stays hard-checked:
-    "having_large_orders",        # last green r4; groupBy+HAVING-on-aggregate shape is tpch_q18_large_volume's core (promoted, in-window) + cube/rollup grouping family
-    # MID-R8 ADDENDUM 4: srp_bq_hamming_rerank landed (256-bit SRP
-    # binary codes — the "more bits" scale path of the BQ family,
-    # integer-exact end to end so even the numpy matmul pack is
-    # hash-certified).  First driver row in-window; the slot comes
-    # from one more r04-stale promotion whose shape stays covered:
-    "tpch_q10_returned_items",    # last green r4; join+agg+topk revenue shape covered in-window by tpch_q3_shipping_priority (same shape, promoted) + tpch_q5/q15
-    # MID-R8 ADDENDUM 5: paragraph_dedup_reassemble landed
-    # (RefinedWeb-style segment-level exact dedup + document
-    # reassembly — corpus_plans4.py).  First driver row in-window;
-    # the slot comes from one more r04-stale promotion:
-    "json_flatten_props",         # last green r4; JSON-ops family rep in-window: promoted json_as_map (same from_json/map surface); JS1/JS2 ladder pinned by tests/test_flatten_properties.py
-    # MID-R8 ADDENDUM 6: curriculum_quantile_interleave landed
-    # (quality-decile curriculum schedule over the two-phase
-    # distributed rank — corpus_plans4.py).  First driver row
-    # in-window; the slot comes from the last expendable r04-stale
-    # promotion, whose exact machinery the NEW query supersedes
-    # (same ranked_running_sum recipe, plus bucket arithmetic):
-    "exact_percentiles",          # last green r4; nearest-rank percentile machinery covered in-window by curriculum_quantile_interleave (same two-phase rank, integer bucket identities) + pinned token-rank reps
-    # Registered this round but NOT in-window (the two slots above
-    # went to the flagship pair; these two take the HEAD of the r9
-    # queue so the never-driver-checked debt lasts exactly one round;
-    # both carry local-artifact rows in CORRECTNESS_local_r8.json):
-    "ngram_novelty_score",        # new r8 (never driver-checked — r9 queue HEAD); gram-explode + anti-join machinery in-window via paragraph_dedup_reassemble (same shingle/md5-key recipe) + pinned incremental_neardup_lsh
-    "binaryfile_ingest",          # new r8 (never driver-checked — r9 queue HEAD); write→read→hash round-trip family rep in-window: orc_roundtrip_ingest (pinned)
-    "ivfsq8_ann_rerank",          # new r8 (never driver-checked — r9 queue HEAD); IVF+SQ8 composition, family covers pinned in-window: sq8_index_persisted (same encode/rerank) + ivfpq_index_persisted (same coarse-cell probe)
-    # The 41 demotions below (all r7-green, implementations unchanged,
-    # local-artifact row coverage + in-window family rep per line):
-    "pricing_summary",           # green r1+r4+r7; CASE-sum rollup family rep in-window: promoted tpch_q19 (disjunctive conditional agg) + rollup_orders
-    "set_ops_membership",        # green r1+r4+r7; set-op family rep in-window: promoted semi_join_urgent_customers / anti_join_orderless_customers (EXISTS / NOT EXISTS twins)
-    "ranking_functions",         # green r1+r4+r7; window-rank family rep in-window: promoted window_frames + sliding_window_agg + topk_orders
-    "string_functions",          # green r1+r4+r7; string surface rep in-window: promoted text_token_stats + doc_quality_score (same split/length/ratio functions over documents)
-    "datetime_functions",        # green r1+r4+r7; datetime surface rep in-window: promoted tumbling_window_agg + current_version_window (epoch/interval math)
-    "grouping_sets_orders",      # green r1+r4+r7; grouping family reps in-window: promoted cube_lineitem + rollup_orders (the two siblings)
-    "null_handling_functions",   # green r1+r4+r7; NULL surface rides promoted json_as_map + array_aggregation (typed-NULL outputs) + every promoted outer join
-    "tpch_q7_volume_shipping",   # green r1+r4+r7; two-nation-role join rep in-window: promoted double_role_dim_join (the exact same-dim-twice shape) + tpch_q5
-    "tpch_q21_waiting_supplier", # green r1+r4+r7; EXISTS/NOT-EXISTS rep in-window: promoted tpch_q4 (correlated EXISTS) + tpch_q22 (anti join)
-    "tpch_q2_best_supplier",     # green r6+r7; multi-dim denormalize + argmax rep in-window: promoted tpch_q15_top_supplier (max-subquery) + tpch_q5 (5-table join)
-    "coercion_kitchen_sink",     # green r7 over the grammar-gated ladders; coercion family rep in-window: csv path demoted but ladder pinned by tests/test_coercions.py + property suite; promoted json_as_map keeps safe_get under driver signal
-    "topk_per_group",            # green r4-r7; partitioned-rank family rep in-window: promoted topk_orders + window_frames
-    "dedup_exact",               # green r2-r5+r7; exact-dedup family rep in-window: promoted merge_upsert_snapshot (key-dedup merge) + pinned incremental_neardup_lsh; hash identity pinned by tests
-    "lang_id_stopwords",         # green r3+r5+r7; text-stats family rep in-window: promoted text_token_stats + doc_quality_score (same tokenize/ratio machinery)
-    "winnowing_fingerprints",    # green r7 (first row); fingerprint family rep in-window: promoted dedup_simhash_pairs + pinned lsh_index_persisted; kernel-vs-expression parity pinned by tests/test_extensions.py
-    "pq_ann_adc",                # green r6+r7; PQ family rep in-window: pinned ivfpq_index_persisted (build+ADC search+append round trip consumes the same codebooks)
-    "ivfpq_ann_adc",             # green r6+r7; pinned ivfpq_index_persisted runs the same IVFADC search under the same oracle
-    "ivfpq_rerank",              # green r6+r7; exact-rerank leg rides pinned ivfpq_index_persisted + sq8_index_persisted (both rerank)
-    "dedup_clusters_star",       # green r5-r7; components family rep in-window: promoted dedup_clusters (same capped pair graph, simple contraction) + embedding_neardup_pairs
-    "boilerplate_span_removal",  # green r5+r7; span-window family rep in-window: promoted doc_quality_score + text_token_stats; stride span index pinned by tests/test_corpus_ops.py
-    "token_budget_selection",    # green r5+r7; distributed-rank selection rep in-window: promoted mixture_sampling + curriculum_quantile_interleave (same two-phase rank recipe)
-    "bm25_retrieval",            # green r6+r7; retrieval family: DF postings + IDF machinery rides promoted tfidf-style stats in text_token_stats; ranked top-k via promoted topk_orders; exactness stays in the local artifact
-    "vocab_top_coverage",        # green r5+r7; vocab/frequency family rep in-window: promoted text_token_stats; ranked coverage via curriculum_quantile_interleave's rank machinery (in-window)
-    "unigram_logprob_quality",   # green r5+r7; LM-quality family rep in-window: promoted doc_quality_score (quality scoring member under driver signal)
-    "embedding_gram_matrix",     # green r5+r7; linalg family: blocked-gram kernel pinned by tests/test_ops_extras.py; embedding surface rep in-window: promoted embedding_neardup_pairs
-    "bloom_incremental_filter",  # green r5+r7; Bloom core (operators/bloom.py) pinned by tests; incremental-scan shape rep in-window: pinned incremental_neardup_lsh (batch-vs-history)
-    "logreg_quality_fit",        # green r6+r7; model-fit family rep in-window: pinned kmeans_fit_clusters (same bit-deterministic iterative-fit convention); fixed-point oracle stays in the local artifact
-    "sq8_ann_rerank",            # green r6+r7; SQ8 family rep in-window: pinned sq8_index_persisted (same encode + BLAS scan + rerank, persisted)
-    "zorder_layout_skipping",    # green r5+r7; layout family: footer-pruning contract pinned by tests/test_layout_ops.py + pinned ivfpq_index_persisted's bucketed reads
-    "snapshot_diff_cdc",         # green r6+r7; monitoring family: full-outer diff shape rep in-window via promoted merge_upsert_snapshot + scd-style current_version_window
-    "csv_ingest_coerced",        # green r6+r7; ingest family rep in-window: pinned orc_roundtrip_ingest (same round-trip + coercion convention); quarantine path pinned by tests/test_ingest_io.py
-    "schema_evolution_merge",    # green r6+r7; mergeSchema read pinned by tests/test_ingest_io.py; evolution-merge shape rides pinned orc leg + promoted merge_upsert_snapshot
-    "dsir_importance_select",    # green r6+r7; selection family rep in-window: promoted mixture_sampling (same hash-ranked quota machinery)
-    "temperature_mixture_select",# green r6+r7; integer-exact quota family rep in-window: promoted mixture_sampling + curriculum_quantile_interleave (rank brackets)
-    "pagerank_neardup_graph",    # green r6+r7; graph family: hot-bucket-capped Pregel pinned by tests/test_graph_ops.py; pair-graph generation rep in-window: promoted dedup_simhash_pairs + embedding_neardup_pairs
-    "triangle_clustering_coeff", # green r6+r7; triangle machinery pinned by tests/test_graph_ops.py; same pair-graph reps as above
-    "pagerank_persisted_edges",  # green r7 (first row); SAME oracle as pagerank_neardup_graph (persistence proven result-neutral r7); derivation cost amortization benched in BENCH_COMPARE
-    "triangle_persisted_pairs",  # green r7 (first row); same-oracle twin of triangle_clustering_coeff, persisted
-    "bpe_train_merges",          # green r6+r7; BPE trainer oracle (unrolled CTE) stays in the local artifact; tokenizer family rep in-window: promoted text_token_stats; kernel pinned by tests/test_corpus_ops3.py
-    "timeseries_gapfill",        # green r6+r7; day-chunked spine pinned by tests/test_timeseries.py; time-window family rep in-window: promoted tumbling_window_agg + sliding_window_agg
-    "event_funnel_conversion",   # green r6+r7; ordered-sequence family rep in-window: promoted window_frames (ordered window math) + current_version_window
+    # ROUND-9 ROTATION (the r8 verdict's items 1+2, executed in full
+    # against the recomputed r01-r08 staleness union — verified this
+    # round before executing, the r7 lesson).  The 50-query window is:
     #
-    # ROUND-7 ROTATION (the r6 verdict's item 3, executed in full):
-    # 24 in-window slots yielded — 21 to the longest-stale demotions
-    # returning for fresh driver rows (the five r1-green function
-    # demos, topk_per_group, pricing_summary, tpch_q21, tpch_q7, the
-    # eight r5 greens demoted during r6, coercion_kitchen_sink — a
-    # fresh row over the NEW grammar-gated safe_* ladders this round
-    # changed — plus dedup_exact, grouping_sets_orders and
-    # lang_id_stopwords), and 3 to the round's new registrations
-    # (pagerank_persisted_edges / triangle_persisted_pairs /
-    # sq8_index_persisted — the amortized production paths the r6
-    # verdict asked to put under driver signal).  Every demotion in
-    # this block carries an r6 driver-green row, an unchanged
-    # implementation, row-level coverage in the per-round local
-    # artifact, and an in-window family representative (per line):
+    #   * the 3 never-driver-checked r8 registrations at the HEAD
+    #     (ngram_novelty_score, binaryfile_ingest, ivfsq8_ann_rerank —
+    #     after r9 the never-checked set is empty again);
+    #   * ALL 10 r04-stale queries (promo_revenue_share,
+    #     pivot_status_revenue, having_large_orders,
+    #     tpch_q10_returned_items, json_flatten_props,
+    #     exact_percentiles, similarity_ann_ivf, kmeans_update_step,
+    #     similarity_topk_cosine, semantic_dedup — including the four
+    #     whose production supersets covered them in r8: the base
+    #     forms return for fresh rows, and the supersets hand back
+    #     their pins in exchange, see below);
+    #   * 30 of the 33 r05-stale queries (the 3 left out carry
+    #     in-window family cover and stay at last-green r05, within
+    #     the verdict's "no query older than r05" bar — per-line
+    #     notes below);
+    #   * the round's 3 NEW registrations (ngram_novelty_persisted,
+    #     ivfbq_ann_rerank, ivfpq_index_lifecycle — first driver rows
+    #     in-window, keeping the never-checked set empty, the r5-r8
+    #     convention);
+    #   * 4 pinned production flagships: ann_ivf_scaled,
+    #     semantic_dedup_scaled, lsh_index_persisted,
+    #     streaming_dedup_watermark.
     #
-    # MID-R7 ADDENDUM: two more registrations landed after the
-    # rotation above (lsh_index_persisted — the index store's LSH leg,
-    # completing the IVFPQ/SQ8/LSH persisted trilogy — and
-    # winnowing_fingerprints).  They take their first driver rows
-    # in-window (keeping the never-driver-checked set empty, the r5/r6
-    # convention); the two slots come from r6-green carryovers whose
-    # families stay hard-checked:
-    "cms_heavy_hitters",          # green r6; selection/sketch family keeps dsir_importance_select + temperature_mixture_select + bloom_incremental_filter in-window; CMS error bound stays pinned by tests/test_selection.py
-    "bpe_encode_vocab",           # green r6; BPE family keeps the full trainer in-window (bpe_train_merges — the encoder replays its merge table; kernel stays covered by tests + the local artifact)
-    "tpch_q6_forecast_revenue",   # green r6; pushdown scan-agg rep in-window: promoted tpch_q21/q7 + tpch_q2; PushedFilters stays pinned by tests/test_physical_plans.py
-    "tpch_q11_important_stock",   # green r6; HAVING-over-scalar-subquery shape covered by promoted tpch_q21 (correlated EXISTS) + grouping_sets_orders
-    "tpch_q12_late_shipments",    # green r6; conditional-sum agg covered by promoted pricing_summary (same CASE-sum family) + tpch_q7
-    "tpch_q16_supplier_cnt",      # green r6; COUNT(DISTINCT)+anti-join covered by promoted tpch_q21 (NOT EXISTS) + grouping_sets_orders multi-agg
-    "mmr_diversified_retrieval",  # green r6; retrieval family keeps bm25_retrieval in-window (MMR consumes its shortlist); the greedy kernel stays property-tested vs an independent recomputation
-    "unicode_nfc_normalize",      # green r6; the Arrow-batched python surface stays hard-checked in-window by the ann/pq/sq8 mapInArrow kernels; byte-exact NFC stays pinned by tests + the local artifact
-    "substring_dedup_windows",    # green r6; span-window machinery rep in-window: promoted boilerplate_span_removal (same stride span index); exact window identity also covered by dedup_exact (promoted)
-    "domain_cap_sampling",        # green r6; selection family keeps dsir_importance_select + temperature_mixture_select + promoted token_budget_selection in-window
-    "cluster_balanced_sample",    # green r6; quota-per-group sampling covered in-window by temperature_mixture_select (integer-exact quotas) + promoted topk_per_group (partitioned rank)
-    "weighted_priority_sample",   # green r6; priority-sampling TakeOrdered shape covered by promoted topk_per_group + token_budget_selection's distributed rank
-    "bpe_pair_stats",             # green r6; BPE family keeps the full trainer + encoder in-window (bpe_train_merges / bpe_encode_vocab — strict supersets of the pair-count pass)
-    "sq8_embedding_quantization", # green r6; SQ8 family keeps sq8_ann_rerank + the NEW sq8_index_persisted in-window (codes are bit-identical by the shared encode expression)
-    "bigram_backoff_quality",     # green r6; LM-quality family reps in-window: promoted unigram_logprob_quality + logreg_quality_fit
-    "table_profile_stats",        # green r6; monitoring family keeps snapshot_diff_cdc in-window; the multi-agg-one-scan shape also rides promoted grouping_sets_orders
-    "dq_audit_violations",        # green r6; rule-audit unpivot covered by snapshot_diff_cdc (in-window) + the DQ rule tests; local artifact keeps row coverage
-    "jsonl_roundtrip_ingest",     # green r6; ingest family keeps csv_ingest_coerced (coercion ladder), orc_roundtrip_ingest and schema_evolution_merge in-window; quarantine path pinned by tests/test_ingest_io.py
-    "incremental_rollup_merge",   # green r6; the merge-vs-recompute contract stays pinned by tests/test_rollup_maintenance.py (incl. exactly-once streaming + torn-write reclaim); merge family in-window via orc/schema-evolution ingest legs
-    "cooccurrence_pmi",           # green r6; map-side nested-transform pair generation in-window via bpe_train_merges' pair stream; PMI arithmetic pinned by the local artifact
-    "exact_global_quantiles",     # green r6; two-phase distributed-rank machinery in-window via promoted token_budget_selection (same ranked_running_sum recipe)
-    "length_bucket_batching",     # green r6; layout family rep in-window: promoted zorder_layout_skipping; token-budget packing also covered by token_budget_selection
-    "train_test_split_hash",      # green r6; portable key-hash ordering in-window via promoted token_budget_selection + dedup_exact; the arithmetic-hash oracle stays in the local artifact
-    "bloom_join_pruning",         # green r6; Bloom machinery rep in-window: promoted bloom_incremental_filter (same operators/bloom.py core); the oracle-equals-unoptimized-join recipe stays in the local artifact
-    "hive_partition_pruning",     # green r6; directory-level pruning stays pinned by tests/test_physical_plans.py (PartitionFilters) + the ivfpq/sq8 index stores' bucketed reads in-window
-    "fuzzy_join_blocked",         # green r6; blocked candidate generation in-window via incremental_neardup_lsh (banded blocking); Levenshtein-in-blocks semantics pinned by tests + the local artifact
-    # ROUND-7 ROTATION QUEUE (written end-r6): after CORRECTNESS_r06
-    # lands, all 42 r6-new in-window queries will carry a first driver
-    # row, so the window can rotate aggressively.  First in line to
-    # return for a fresh row (longest since last driver green, oldest
-    # first): the r1-green function demos (string/datetime/ranking/
-    # null_handling/set_ops, green r1+r4), topk_per_group + pricing_
-    # summary + tpch_q21 + tpch_q7 (green through r4), then the r5
-    # greens demoted this round (dedup_clusters_star, boilerplate_
-    # span_removal, token_budget_selection, vocab_top_coverage,
-    # unigram_logprob_quality, embedding_gram_matrix,
-    # bloom_incremental_filter, zorder_layout_skipping).  Keep the
-    # production flagships (ann/semantic/kmeans/ivfpq/streaming dedup)
-    # pinned in-window every round.
-    # --- rotated out end-r6 (slots yielded to event_funnel_conversion
-    # — ordered-sequence funnel analytics — and
-    # mmr_diversified_retrieval — greedy MMR re-ranking of the BM25
-    # shortlist; first driver rows both) ---
-    # --- rotated out end-r6 (slots yielded to the session's THREE new
-    # ops — timeseries_gapfill / weighted_priority_sample /
-    # unicode_nfc_normalize, first driver rows; same convention as
-    # every prior swap: each demotion carries a driver-green r5 row,
-    # an unchanged implementation, local-artifact row coverage, and an
-    # in-window family representative) ---
-    # --- and to the session's second trio — triangle_clustering_coeff /
-    # schema_evolution_merge / hive_partition_pruning (first driver rows) ---
-    # --- rotated out late-r6 (slots yielded to the THREE new
-    # selection-family ops in selection_plans — dsir_importance_select /
-    # cms_heavy_hitters / cluster_balanced_sample, first driver rows;
-    # same convention as every prior swap: a first-ever driver row
-    # beats a repeat green, and each demotion carries 2-4 prior
-    # driver-green rounds plus an in-window family rep) ---
-    "multimodal_features",       # green r2-r5 (4 rounds — the multimodal family's most-proven row); Arrow-batched python plumbing stays hard-checked in-window by the ann/pq/sq8 mapInArrow kernels; binary-column metadata surface keeps local-artifact + pass(T) coverage (tests/test_multimodal.py)
-    # --- rotated out late-r6 (slot yielded to pagerank_neardup_graph —
-    # exact fixed-point PageRank over the SimHash near-dup graph, a
-    # first-ever driver row for the graph-centrality family) ---
-    "tpch_q8_market_share",      # green r5; the TPC-H family keeps SEVEN in-window reps (q2/q6/q9/q11/q12/q16/q20), incl. the two-nation-role join (q8's distinctive shape) via q9's multi-dim join and the ratio-agg shape via q16/q20
-    # --- rotated out late-r6 (slots yielded to temperature_mixture_select
-    # — data-derived temperature mixing with integer-exact quotas — and
-    # bloom_join_pruning — map-side Bloom semi-join reduction whose
-    # oracle is the UNOPTIMIZED join, first driver rows both) ---
-    "tpch_q9_product_profit",    # green r5; five TPC-H reps stay in-window (q2/q6/q11/q12/q16 — q2 carries the multi-dim denormalize, q16 the agg-over-join shape); bloom_join_pruning itself is an orders⋈lineitem profit-style rollup under driver check
-    "tpch_q20_dominant_supplier",  # green r5; rank+semi-join machinery in-window via token_budget_selection (distributed rank) + fuzzy_join_blocked (blocked equi-join) + the new per-source quota window in temperature_mixture_select
-    # --- rotated out late-r6 (slots yielded to bpe_train_merges — the
-    # FULL iterative BPE trainer, hash-checked against an unrolled
-    # 8-round CTE oracle — and exact_global_quantiles — exact
-    # nearest-rank percentiles via the two-phase distributed rank;
-    # first driver rows both) ---
-    "ann_kmeans_recall_lift",    # green r5; the recall-lift experiment runs TWO full IVF passes by construction (most expensive registry row) — its machinery stays hard-checked in-window via ann_ivf_scaled (same probe kernel) + kmeans_fit_clusters (same fitted centroids)
-    "pq_fit_quality",            # green r5; the PQ family keeps FOUR in-window reps (pq_ann_adc encode+ADC path, ivfpq_ann_adc, ivfpq_rerank, ivfpq_index_persisted) — all consume pq_fit's codebooks
-    # --- rotated out late-r6 (slot yielded to bpe_encode_vocab — the
-    # ENCODE half of the tokenizer: trained merges applied + subword
-    # vocabulary with corpus frequencies, first driver row) ---
-    "pca_top_component",         # green r5; the linalg family keeps embedding_gram_matrix in-window (the same blocked-gram kernel PCA factorizes) and logreg_quality_fit exercises the shared standardization stats
-    # --- rotated out late-r6 (slot yielded to cooccurrence_pmi —
-    # windowed collocations with PMI via map-side nested-transform
-    # pair generation, first driver row) ---
-    "corpus_shuffle_shards",     # green r5; deterministic shuffle/shard family covered in-window by train_test_split_hash (same portable key-hash order) + length_bucket_batching (token-budget packing) + domain_cap_sampling (hash-ranked selection)
-    "approx_aggregates",         # green r4+r5; sketch family reps in-window: cms_heavy_hitters (NEW — point-frequency member) + bloom_incremental_filter (membership member)
-    "sequence_packing",          # green r4+r5; packing/batching family rep in-window: length_bucket_batching (same token-budget bin shape) + token_budget_selection + boilerplate_span_removal
-    # --- rotated out mid-r6 (slots yielded to the FOUR new corpus ops
-    # in corpus_plans2 — substring_dedup_windows / domain_cap_sampling /
-    # bpe_pair_stats / sq8_embedding_quantization, first driver rows) ---
-    "tfidf_top_terms",           # green r2-r5 (4 rounds); in-window superset: bm25_retrieval (same DF postings + IDF machinery, query-scored)
-    "dedup_ngram_jaccard",       # green r2-r5 (4 rounds); jaccard verify stage in-window via dedup_minhash_lsh; n-gram window family gains substring_dedup_windows
-    "corpus_curation_pipeline",  # green r2-r5 (4 rounds); every stage has an in-window rep (dedup_exact, unigram_logprob_quality, token_budget_selection, corpus_shuffle_shards)
-    "multimodal_frame_sample",   # green r4+r5; multimodal family rep in-window: multimodal_features (same Arrow-batched binary plumbing; 1->N explode shape covered by substring window explode)
-    # --- rotated out mid-r6 (slots yielded to the TWO maintenance ops
-    # — incremental_rollup_merge / fuzzy_join_blocked, first driver rows) ---
-    "pandas_group_zscore",       # green r2-r5 (4 rounds); Arrow-batched python surface stays hard-checked in-window by multimodal_features (mapInPandas) + ann_ivf_scaled / pq kernels (mapInArrow)
-    "contamination_check",       # green r3-r5 (3 rounds); n-gram collision machinery in-window via substring_dedup_windows (stride-1 window index — the same collision join, positional)
-    # --- rotated out mid-r6 (slot yielded to sq8_ann_rerank — the SQ8
-    # index's search leg, first driver row) ---
-    "quality_repetition_filter", # green r3-r5 (3 rounds); quality-score family in-window via unigram_logprob_quality (CCNet scoring) + token_budget_selection (TTR-ranked curriculum cut)
-    # --- rotated out mid-r6 (slot yielded to logreg_quality_fit — the
-    # distributed GPT-3-style quality-classifier fit, first driver row) ---
-    "dedup_minhash_lsh",         # green r2-r5 (4 rounds); MinHash+LSH banding machinery in-window via incremental_neardup_lsh (probes the SAME band-key index batch-vs-history) + dedup_clusters_star (components over the pair graph); exact band/verify semantics stay pinned by tests/test_dedup_cap.py and the local artifact
-    # --- rotated out mid-r6 (slot yielded to bigram_backoff_quality —
-    # held-out stupid-backoff LM scoring, first driver row) ---
-    # --- rotated out r6 (slots yielded to the 15 never-checked) ---
-    "run_summary_rollup",        # green r1-r5 (5 rounds); grouped multi-agg + conditional counts covered in-window by tpch_q12_late_shipments (promoted r6) + tpch_q9_product_profit
-    "incremental_scan",          # green r1-r5 (5 rounds); pushdown scan-agg covered in-window by tpch_q6_forecast_revenue (promoted r6, PushedFilters-pinned)
-    "asof_join_last_event",      # green r1-r5 (5 rounds); inequality/event-join family rep in-window: session_window_agg was the sibling — now snapshot_diff_cdc (full-outer diff) + tpch_q20 keep join coverage
-    "session_window_agg",        # green r1-r5 (5 rounds); time-window family keeps streaming_dedup_watermark (promoted r6, watermark windows) in-window
-    "merge_replay_dedup",        # green r1-r5 (5 rounds); replay-idempotent dedup covered in-window by streaming_dedup_watermark (same doubled-delivery semantics, in-stream) + dedup_exact
-    "scd2_version_chain",        # green r1-r5 (5 rounds); versioned-row windows covered in-window by snapshot_diff_cdc (added/removed/changed) while merge tests keep L2/L5 pass(T)
-    "wide_projection",           # green r1+r2+r5; P2/P3 rename surface covered by csv_ingest_coerced (promoted r6: all-string read + full coercion projection)
-    "denorm_join",               # green r1+r2+r5; 3-table denormalize covered in-window by tpch_q2_best_supplier (4-table join + argmax) and q9/q8
-    "supplier_nation_rollup",    # green r1+r5; COUNT(DISTINCT) rollup covered in-window by tpch_q16_supplier_cnt (promoted r6: COUNT(DISTINCT)+anti join superset)
-    "json_flatten_input_data",   # green r1+r2+r5; JS1/F7-F10 coercion ladder covered in-window by csv_ingest_coerced (same safe_* ladder over ingested strings) + jsonl_roundtrip_ingest
-    "doc_fingerprint",           # green r1+r2+r4+r5 (4 rounds); rolling-hash fingerprint covered by dedup_exact + train_test_split_hash (promoted r6, arithmetic-hash oracle)
-    "similarity_srp_lsh",        # green r2-r5 (4 rounds); LSH family rep in-window: incremental_neardup_lsh (band-bucket probe) + ann_ivf_scaled production path
-    "text_redact",               # green r2-r5 (4 rounds); regex-surface rep — text family coverage noted at lang_id_stopwords; jsonl quarantine (promoted r6) keeps the malformed-input path hard-checked
-    # yielded its slot to the NEW bm25_retrieval (query-scored ranked
-    # retrieval — a first-ever driver row beats a fifth green round):
-    "doc_chunking",              # green r2-r5 (4 rounds); chunk/packing family rep in-window: sequence_packing (consumes chunk-shaped output) + boilerplate_span_removal
-    # yielded its slot to the NEW ivfpq_index_persisted (the persisted
-    # index build+search round trip under the exact IVFADC oracle):
-    "dedup_simhash",             # green r2-r5 (4 rounds); simhash machinery stays hard-checked via dedup_clusters_star (star contraction OVER the simhash pair graph), dedup family also holds exact/jaccard/minhash in-window
-    # yielded their slots to the FOUR new round-5 corpus ops
-    # (corpus_shuffle_shards / vocab_top_coverage /
-    # unigram_logprob_quality / embedding_gram_matrix — first-ever
-    # driver rows beat repeat greens; every demotion below carries
-    # multiple prior driver-green rounds and an in-window family rep):
-    # yielded its slot to the NEW bloom_incremental_filter:
-    # yielded their slots to the two NEW corpus-construction ops
-    # (boilerplate_span_removal / token_budget_selection — first-ever
-    # driver rows beat a fifth green row; both demotions carry four
-    # prior driver-green rounds and an in-window family rep):
-    # yielded their slots to the new TPC-H trio (mid-r5):
-    "similarity_ann_ivf",        # pinned k=32 expression form; ann_ivf_scaled (production path, dynamic-k DuckDB twin) in-window
-    "kmeans_update_step",        # single Lloyd step; kmeans_fit_clusters (full fit, invariant oracle) in-window
-    "similarity_topk_cosine",    # brute-force baseline; ann_ivf_scaled's oracle twin recomputes per-cell exact cosine, recall floor pinned by tests/test_ivf_recall.py
-    # (train_test_split_hash and TPC-H q2/q6/q11/q12/q16 were demoted
-    # here mid-r5 as new registrations; ALL promoted r6 — see the
-    # round-6 rotation block at the top.)
-    # rotated out r5 (r1+r4 double-green function demos):
-    # unpivot_lineitem_metrics yields its slot to the NEW pq_ann_adc
-    # (product-quantized ANN — a first-ever driver row beats a third
-    # green row for a reshaping demo; grouping_sets_orders stays in
-    # as the family rep):
-    # promoted r5 (stale since r2/r3): supplier_nation_rollup,
-    # lang_id_stopwords, wide_projection, denorm_join,
-    # json_flatten_input_data — all back in-window for a fresh row.
-    # topk_orders yields its promoted slot to the NEW
-    # dedup_clusters_star (two-phase star-contraction components — a
-    # first-ever driver row beats a third green row for a LIMIT demo):
-    # yielded their slots to the TWO new layout ops
-    # (zorder_layout_skipping / length_bucket_batching — first-ever
-    # driver rows).  Same convention as the mid-r5 TPC-H swap: a
-    # multi-round-green query whose PRODUCTION-SCALE SUPERSET is
-    # in-window this round hands over its slot — the family keeps a
-    # hard-signal row through the superset, and the local artifact
-    # keeps row-level coverage of the demoted form:
-    "semantic_dedup",            # green r3+r4; in-window superset: semantic_dedup_scaled (production BLAS kernel, corpus-sized k, same earliest-id-wins semantics)
-    # yielded its slot to the NEW pca_top_component (distributed PCA
-    # under the invariant-boolean oracle — a first-ever driver row):
-    # yielded its slot to the NEW incremental_neardup_lsh (batch-vs-
-    # history LSH probe — a first-ever driver row for the incremental
-    # dedup shape):
-    # rotated out r4 (all r3-green, in-window cover noted):
-    # tpch_q15 yields its slot to the NEW pq_fit_quality (the
-    # production PQ codebook fit's first driver row; r1+r4
-    # double-green, correlated-subquery family keeps tpch_q21 in):
-    # rotated out r3 (all r2-green, code unchanged):
-    # rotated out r3 in exchange for the ten new queries (r2-green):
-    # rotated out r3 in exchange for the five relational6 queries (r2-green):
-    # (the late-r5 monitoring / ingestion / IVFADC / streaming-dedup
-    # registrations that started demoted here — table_profile_stats,
-    # dq_audit_violations, snapshot_diff_cdc, ivfpq_ann_adc,
-    # jsonl_roundtrip_ingest, csv_ingest_coerced, ivfpq_rerank,
-    # orc_roundtrip_ingest, streaming_dedup_watermark — were ALL
-    # promoted r6; see the round-6 rotation block at the top.)
+    # Four r8-pinned flagships hand their pins to this round's
+    # staleness repair — each stays family-covered in-window:
+    # kmeans_fit_clusters -> kmeans_update_step (promoted base form);
+    # incremental_neardup_lsh -> lsh_index_persisted (pinned, same
+    # batch-vs-history band probe); ivfpq_index_persisted ->
+    # ivfpq_index_lifecycle (NEW strict superset: build+append+append+
+    # compact+search under the frozen-quantizer oracle);
+    # sq8_index_persisted -> ivfsq8_ann_rerank (window head, same
+    # encode/rerank).  All four carry r8-green rows (the freshest
+    # possible) plus local-artifact coverage every round.
+    #
+    # ROUND-10 ROTATION QUEUE (forward-looking, oldest last-green
+    # first; VERIFY against the r01-r09 union before executing):
+    #   1. the r05 trio left out this round (corpus_curation_pipeline,
+    #      dedup_minhash_lsh, multimodal_frame_sample);
+    #   2. the 26-query r06 group (see per-line notes);
+    #   3. then the r07 group.  Keep the production flagships +
+    #      index-store legs pinned.
+    #
+    # --- r05-green trio left out of this round's repromotion ---
+    "corpus_curation_pipeline",  # green r2-r5; LEFT OUT of the r05 repromotion (slot yielded to a NEW registration): every stage has an in-window rep this round — dedup (dedup_simhash + merge_replay_dedup), quality (quality_repetition_filter), selection (token_budget_selection... demoted r7 — stage rides mixture_sampling's quota machinery via promoted exact_percentiles rank path), shuffle (corpus_shuffle_shards); r10 queue head
+    "dedup_minhash_lsh",  # green r2-r5; LEFT OUT (slot yielded to a NEW registration): banding machinery pinned in-window via lsh_index_persisted (same band keys probed batch-vs-history) + dedup_ngram_jaccard (promoted, the verify stage); r10 queue head
+    "multimodal_frame_sample",  # green r4+r5; LEFT OUT (slot yielded to a NEW registration): multimodal_features (promoted, in-window) carries the same Arrow-batched binary plumbing; 1->N explode shape via doc_chunking (promoted); r10 queue head
+    # --- r06-green group (26) — the r10 queue's second block ---
+    "tpch_q6_forecast_revenue",  # green r6; r10 rotation queue group 2
+    "tpch_q11_important_stock",  # green r6; r10 rotation queue group 2
+    "tpch_q12_late_shipments",  # green r6; r10 rotation queue group 2
+    "tpch_q16_supplier_cnt",  # green r6; r10 rotation queue group 2
+    "train_test_split_hash",  # green r6; r10 rotation queue group 2
+    "mmr_diversified_retrieval",  # green r6; r10 rotation queue group 2
+    "unicode_nfc_normalize",  # green r6; r10 rotation queue group 2
+    "substring_dedup_windows",  # green r6; r10 rotation queue group 2
+    "domain_cap_sampling",  # green r6; r10 rotation queue group 2
+    "bpe_pair_stats",  # green r6; r10 rotation queue group 2
+    "sq8_embedding_quantization",  # green r6; r10 rotation queue group 2
+    "bigram_backoff_quality",  # green r6; r10 rotation queue group 2
+    "length_bucket_batching",  # green r6; r10 rotation queue group 2
+    "hive_partition_pruning",  # green r6; r10 rotation queue group 2
+    "table_profile_stats",  # green r6; r10 rotation queue group 2
+    "dq_audit_violations",  # green r6; r10 rotation queue group 2
+    "jsonl_roundtrip_ingest",  # green r6; r10 rotation queue group 2
+    "incremental_rollup_merge",  # green r6; r10 rotation queue group 2
+    "fuzzy_join_blocked",  # green r6; r10 rotation queue group 2
+    "cms_heavy_hitters",  # green r6; r10 rotation queue group 2
+    "cluster_balanced_sample",  # green r6; r10 rotation queue group 2
+    "weighted_priority_sample",  # green r6; r10 rotation queue group 2
+    "bloom_join_pruning",  # green r6; r10 rotation queue group 2
+    "bpe_encode_vocab",  # green r6; r10 rotation queue group 2
+    "cooccurrence_pmi",  # green r6; r10 rotation queue group 2
+    "exact_global_quantiles",  # green r6; r10 rotation queue group 2
+    # --- r07-green group (41): rotated out r9 after their r7 repromotion; every implementation unchanged since its last green row; local-artifact row coverage every round ---
+    "pricing_summary",  # green r7 (r9 demotion; implementations unchanged)
+    "set_ops_membership",  # green r7 (r9 demotion; implementations unchanged)
+    "ranking_functions",  # green r7 (r9 demotion; implementations unchanged)
+    "string_functions",  # green r7 (r9 demotion; implementations unchanged)
+    "datetime_functions",  # green r7 (r9 demotion; implementations unchanged)
+    "grouping_sets_orders",  # green r7 (r9 demotion; implementations unchanged)
+    "null_handling_functions",  # green r7 (r9 demotion; implementations unchanged)
+    "tpch_q7_volume_shipping",  # green r7 (r9 demotion; implementations unchanged)
+    "tpch_q21_waiting_supplier",  # green r7 (r9 demotion; implementations unchanged)
+    "tpch_q2_best_supplier",  # green r7 (r9 demotion; implementations unchanged)
+    "coercion_kitchen_sink",  # green r7 (r9 demotion; implementations unchanged)
+    "topk_per_group",  # green r7 (r9 demotion; implementations unchanged)
+    "dedup_exact",  # green r7 (r9 demotion; implementations unchanged)
+    "lang_id_stopwords",  # green r7 (r9 demotion; implementations unchanged)
+    "winnowing_fingerprints",  # green r7 (r9 demotion; implementations unchanged)
+    "pq_ann_adc",  # green r7 (r9 demotion; implementations unchanged)
+    "ivfpq_ann_adc",  # green r7 (r9 demotion; implementations unchanged)
+    "ivfpq_rerank",  # green r7 (r9 demotion; implementations unchanged)
+    "dedup_clusters_star",  # green r7 (r9 demotion; implementations unchanged)
+    "boilerplate_span_removal",  # green r7 (r9 demotion; implementations unchanged)
+    "token_budget_selection",  # green r7 (r9 demotion; implementations unchanged)
+    "bm25_retrieval",  # green r7 (r9 demotion; implementations unchanged)
+    "vocab_top_coverage",  # green r7 (r9 demotion; implementations unchanged)
+    "unigram_logprob_quality",  # green r7 (r9 demotion; implementations unchanged)
+    "embedding_gram_matrix",  # green r7 (r9 demotion; implementations unchanged)
+    "bloom_incremental_filter",  # green r7 (r9 demotion; implementations unchanged)
+    "logreg_quality_fit",  # green r7 (r9 demotion; implementations unchanged)
+    "sq8_ann_rerank",  # green r7 (r9 demotion; implementations unchanged)
+    "zorder_layout_skipping",  # green r7 (r9 demotion; implementations unchanged)
+    "snapshot_diff_cdc",  # green r7 (r9 demotion; implementations unchanged)
+    "csv_ingest_coerced",  # green r7 (r9 demotion; implementations unchanged)
+    "schema_evolution_merge",  # green r7 (r9 demotion; implementations unchanged)
+    "dsir_importance_select",  # green r7 (r9 demotion; implementations unchanged)
+    "temperature_mixture_select",  # green r7 (r9 demotion; implementations unchanged)
+    "pagerank_neardup_graph",  # green r7 (r9 demotion; implementations unchanged)
+    "triangle_clustering_coeff",  # green r7 (r9 demotion; implementations unchanged)
+    "pagerank_persisted_edges",  # green r7 (r9 demotion; implementations unchanged)
+    "triangle_persisted_pairs",  # green r7 (r9 demotion; implementations unchanged)
+    "bpe_train_merges",  # green r7 (r9 demotion; implementations unchanged)
+    "timeseries_gapfill",  # green r7 (r9 demotion; implementations unchanged)
+    "event_funnel_conversion",  # green r7 (r9 demotion; implementations unchanged)
+    # --- r08-green group (the whole r8 window minus the four kept pins): freshest rows in the registry; slots yielded to the 46-query staleness repair + 3 new registrations ---
+    "double_role_dim_join",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "topk_orders",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "timeline_union",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "semi_join_urgent_customers",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "anti_join_orderless_customers",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "rollup_orders",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "cube_lineitem",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q3_shipping_priority",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q5_local_supplier",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "range_join_bucketed",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "window_frames",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "sql_api_segment_revenue",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "array_aggregation",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "unpivot_lineitem_metrics",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q4_order_priority",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q17_small_qty_revenue",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q18_large_volume",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q19_disjunctive_filter",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q22_dormant_customers",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q13_count_distribution",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tpch_q15_top_supplier",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "stats_moments",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "skew_salted_join",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "json_as_map",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "current_version_window",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "tumbling_window_agg",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "sliding_window_agg",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "merge_upsert_snapshot",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "streaming_tumbling_counts",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "text_token_stats",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "doc_quality_score",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "embedding_neardup_pairs",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "incremental_neardup_lsh",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "lsh_index_lifecycle",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "dedup_clusters",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "kmeans_fit_clusters",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "ivfpq_index_persisted",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "dedup_simhash_pairs",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "mixture_sampling",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "sq8_index_persisted",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "orc_roundtrip_ingest",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "bq_hamming_rerank",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "srp_bq_hamming_rerank",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "bq_index_persisted",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "paragraph_dedup_reassemble",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
+    "curriculum_quantile_interleave",  # green r8 (freshest row; yields its slot to the r9 staleness repair)
 )
 
 

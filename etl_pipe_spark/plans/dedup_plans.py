@@ -1602,3 +1602,146 @@ def ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
         .orderBy("query_id", "rnk")
     )
+
+
+# The lifecycle twin's oracle: the QUANTIZER (centroids + codebooks)
+# trains on the seed third only (e0 — the frozen-quantizer contract:
+# appends never retrain), while assignment/encoding/search cover the
+# FULL corpus.  Same CTE structure as _IVFPQ_RANKED_CTES with the two
+# training CTEs (cent, seed_rank->cb) re-rooted on e0 — DuckDB models
+# the production semantics "train once on the initial corpus, encode
+# everything ever appended with the saved tables" independently, so a
+# hash match certifies the store's append path reproduces the frozen
+# quantizer byte for byte.
+_IVFPQ_LIFECYCLE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+e0 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {N_CENTROIDS}
+),
+ranked AS (
+  SELECT e.vec_id, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                  DESC,
+             c.cent_id) AS rn
+  FROM e CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS sub),
+seed_rank AS (
+  SELECT s.sub, e0.vec_id,
+         row_number() OVER (
+           PARTITION BY s.sub
+           ORDER BY md5(CAST(s.sub AS VARCHAR) || ':' || CAST(e0.vec_id AS VARCHAR))
+         ) AS rn
+  FROM e0 CROSS JOIN subs s
+),
+cb AS (
+  SELECT sr.sub, CAST(sr.rn - 1 AS INTEGER) AS code_id,
+         e0.v[sr.sub * {64 // _PQ_M} + 1 : sr.sub * {64 // _PQ_M} + {64 // _PQ_M}] AS cw
+  FROM seed_rank sr JOIN e0 ON e0.vec_id = sr.vec_id
+  WHERE sr.rn <= {_PQ_KSUB}
+),
+xs AS (
+  SELECT e.vec_id, s.sub,
+         e.v[s.sub * {64 // _PQ_M} + 1 : s.sub * {64 // _PQ_M} + {64 // _PQ_M}] AS xv
+  FROM e CROSS JOIN subs s
+),
+dist AS (
+  SELECT x.vec_id, x.sub, c.code_id,
+         row_number() OVER (
+           PARTITION BY x.vec_id, x.sub
+           ORDER BY list_dot_product(x.xv, x.xv) - 2 * list_dot_product(x.xv, c.cw)
+                  + list_dot_product(c.cw, c.cw),
+             c.code_id) AS rn
+  FROM xs x JOIN cb c ON c.sub = x.sub
+),
+ncodes AS (SELECT vec_id, sub, code_id FROM dist WHERE rn = 1),
+member_codes AS (
+  SELECT n.vec_id, n.sub, n.code_id, a.cent_id
+  FROM ncodes n JOIN assign a ON a.vec_id = n.vec_id
+),
+q_probe AS (
+  SELECT vec_id AS query_id, cent_id FROM ranked
+  WHERE vec_id % 100 = 0 AND rn <= 2
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code_id,
+         list_dot_product(q.xv, q.xv) - 2 * list_dot_product(q.xv, c.cw)
+           + list_dot_product(c.cw, c.cw) AS d
+  FROM xs q JOIN cb c ON c.sub = q.sub
+  WHERE q.vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.query_id, m.vec_id AS neighbor_id, sum(l.d) AS score
+  FROM q_probe p
+  JOIN member_codes m ON m.cent_id = p.cent_id AND m.vec_id != p.query_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = m.sub
+            AND l.code_id = m.code_id
+  GROUP BY p.query_id, m.vec_id
+),
+ranked_out AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM ranked_out WHERE rnk <= {_PQ_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("ivfpq_index_lifecycle", oracle=_IVFPQ_LIFECYCLE_ORACLE)
+def ivfpq_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVFPQ store lifecycle under one hash (round 9, the r8
+    verdict's item 10 — the lsh_index_lifecycle convention extended to
+    the quantized leg): BUILD the index on a third of the corpus (the
+    quantizer — centroids + PQ codebooks — trains on that seed and
+    freezes), APPEND the other two thirds as two frozen-quantizer
+    daily batches, COMPACT the accumulated epochs into one
+    bucket-clustered epoch (the atomic pointer-swap consolidation),
+    then SEARCH the reloaded store.
+
+    The oracle recomputes the same semantics independently — quantizer
+    CTEs rooted on the seed third, encoding/assignment/search over the
+    full corpus — so one matching hash certifies the store's strongest
+    quantized-leg property end to end: ``build(seed) + append + append
+    + compact + search`` returns exactly the rankings of a
+    one-shot encode of everything under the seed-trained quantizer.
+    Appends that retrained, an epoch the compactor dropped or
+    duplicated, or a saved codebook that drifted one byte would all
+    flip ADC scores and fail the differential.  This is the
+    year-long-daily-ingest cadence docs/DEPLOYMENT.md describes,
+    driver-checked like the LSH leg since r8.
+    """
+    from .ingest_plans import _io_dir
+    from ..operators.index_store import (
+        append_to_ivfpq_index, build_ivfpq_index, compact_ivfpq_index,
+        search_ivfpq_index)
+
+    emb = _emb_with_norms(spark, sf_dir).select("vec_id", "v")
+    path = _io_dir(sf_dir, "ivfpq_index_lifecycle")
+    # seed: one third trains + freezes the quantizer; two "days" of
+    # frozen-quantizer appends deliver the rest
+    build_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 0), path,
+                      n_centroids=N_CENTROIDS, m=_PQ_M, ksub=_PQ_KSUB)
+    append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 1), path)
+    append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 2), path)
+    compact_ivfpq_index(spark, path)
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    return (
+        search_ivfpq_index(spark, path, queries, k=_PQ_K, nprobe=2)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )

@@ -100,7 +100,8 @@ ORDER BY query_id, rnk
 
 
 @register("bq_hamming_rerank", oracle=_BQ_ANN_ORACLE)
-def bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bq_hamming_rerank(spark: SparkSession, sf_dir: str,
+                      checkpoint: bool = True) -> DataFrame:
     """Sign-bit BQ search: pack -> Hamming shortlist -> exact rerank.
 
     Pipeline: per-dim midrange thresholds (bit-deterministic across
@@ -140,7 +141,8 @@ def bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     packed_q = BQ.bq_pack(q, thresholds, "qv", prefix="qcode").drop("qv")
     short = BQ.hamming_shortlist(codes, packed_q, dim, shortlist)
-    return _bq_rerank_tail(spark, sf_dir, emb, q, short)
+    return _bq_rerank_tail(spark, sf_dir, emb, q, short,
+                           checkpoint=checkpoint)
 
 
 def _bq_shortlist_size(n_corpus: int) -> int:
@@ -151,11 +153,22 @@ def _bq_shortlist_size(n_corpus: int) -> int:
 
 def _bq_rerank_tail(spark: SparkSession, sf_dir: str, emb: DataFrame,
                     q: DataFrame, short: DataFrame,
-                    floor: float = BQ_RECALL_FLOOR) -> DataFrame:
+                    floor: float = BQ_RECALL_FLOOR,
+                    checkpoint: bool = True) -> DataFrame:
     """Exact-cosine rerank of a (query_id, neighbor_id, hamming)
     shortlist + the in-query recall certificate — shared by the
-    in-memory form (bq_hamming_rerank) and the persisted-index form
-    (bq_index_persisted), the _sq8_rerank_tail convention."""
+    in-memory form (bq_hamming_rerank), the SRP/IVF compositions, and
+    the persisted-index form (bq_index_persisted), the
+    _sq8_rerank_tail convention.
+
+    ``checkpoint=True`` materializes the tiny reranked frame ONCE
+    (queries x top-k rows) so the recall counts and the harness's
+    later count/hash actions all read the checkpoint instead of
+    re-running the shortlist pipeline per action (the ivfsq8
+    convention); ``checkpoint=False`` is the plan-inspection seam for
+    tools/dump_plans.py — it skips the eager recall counts entirely
+    and emits a constant flag.
+    """
     reranked = (
         short.join(emb.withColumnRenamed("vec_id", "neighbor_id"),
                    "neighbor_id")
@@ -170,13 +183,17 @@ def _bq_rerank_tail(spark: SparkSession, sf_dir: str, emb: DataFrame,
         .filter(F.col("rnk") <= BQ_TOPK)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     )
-    from .extensions import similarity_topk_cosine
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        from .extensions import similarity_topk_cosine
 
-    brute = similarity_topk_cosine(spark, sf_dir).select(
-        "query_id", "neighbor_id")
-    n_brute = brute.count()
-    n_hit = out.join(brute, ["query_id", "neighbor_id"]).count()
-    recall_ok = n_brute > 0 and (n_hit / n_brute) >= floor
+        brute = similarity_topk_cosine(spark, sf_dir).select(
+            "query_id", "neighbor_id")
+        n_brute = brute.count()
+        n_hit = out.join(brute, ["query_id", "neighbor_id"]).count()
+        recall_ok = n_brute > 0 and (n_hit / n_brute) >= floor
+    else:
+        recall_ok = True
     return out.withColumn(
         "recall_ge_floor", F.lit(bool(recall_ok))
     ).orderBy("query_id", "rnk")
@@ -262,7 +279,8 @@ ORDER BY query_id, rnk
 
 
 @register("srp_bq_hamming_rerank", oracle=_SRP_BQ_ORACLE)
-def srp_bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def srp_bq_hamming_rerank(spark: SparkSession, sf_dir: str,
+                          checkpoint: bool = True) -> DataFrame:
     """256-bit SRP binary codes: fixed-shortlist Hamming ANN.
 
     The production BQ shape: code length sized to the corpus
@@ -294,19 +312,23 @@ def srp_bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   vec_col="qv", prefix="qcode")
     short = BQ.hamming_shortlist(codes, packed_q, SRP_BQ_BITS,
                                  SRP_BQ_SHORTLIST)
-    return _srp_bq_tail(spark, sf_dir, emb, q, short)
+    return _srp_bq_tail(spark, sf_dir, emb, q, short,
+                        checkpoint=checkpoint)
 
 
 def _srp_bq_tail(spark: SparkSession, sf_dir: str, emb: DataFrame,
-                 q: DataFrame, short: DataFrame) -> DataFrame:
+                 q: DataFrame, short: DataFrame,
+                 checkpoint: bool = True) -> DataFrame:
     """The shared rerank tail with the SRP leg's recall floor."""
     out = _bq_rerank_tail(spark, sf_dir, emb, q, short,
-                          floor=SRP_BQ_RECALL_FLOOR)
+                          floor=SRP_BQ_RECALL_FLOOR,
+                          checkpoint=checkpoint)
     return out
 
 
 @register("bq_index_persisted", oracle=_BQ_ANN_ORACLE)
-def bq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bq_index_persisted(spark: SparkSession, sf_dir: str,
+                       checkpoint: bool = True) -> DataFrame:
     """The PERSISTED BQ index under the exact-distance hash check —
     completing the store's quantizer legs (IVFPQ / SQ8 / BQ, all on
     the epoch/CAS/pointer commit protocol of operators/index_store.py).
@@ -332,7 +354,8 @@ def bq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     short = search_bq_index(spark, path, q,
                             shortlist=_bq_shortlist_size(emb.count()))
-    return _bq_rerank_tail(spark, sf_dir, emb, q, short)
+    return _bq_rerank_tail(spark, sf_dir, emb, q, short,
+                           checkpoint=checkpoint)
 
 
 # --------------------------------------------------------------------------
@@ -536,5 +559,157 @@ def ivfsq8_ann_rerank(spark: SparkSession, sf_dir: str,
         return out.withColumn(
             "recall_ge_floor", F.lit(bool(recall_ok))
         ).orderBy("query_id", "rnk")
+    finally:
+        emb.unpersist()
+
+
+# --------------------------------------------------------------------------
+# IVF x BQ composition: coarse cells prune, sign bits score, exact rerank.
+# --------------------------------------------------------------------------
+
+IVFBQ_NPROBE = 2
+IVFBQ_SHORTLIST = 15
+IVFBQ_RECALL_FLOOR = 0.1  # pinned from measurement; see docstring
+
+
+def _ivfbq_oracle() -> str:
+    from .dedup_plans import N_CENTROIDS, _ivf_assign_cte_sql
+
+    return f"""
+WITH {_ivf_assign_cte_sql(str(N_CENTROIDS))},
+flat AS (
+  SELECT vec_id, CAST(t.i AS INT) AS dimi,
+         CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+thr AS (
+  SELECT dimi, (min(x) + max(x)) / 2 AS t FROM flat GROUP BY dimi
+),
+bits AS (
+  SELECT f.vec_id, f.dimi,
+         CASE WHEN f.x > th.t THEN 1 ELSE 0 END AS b
+  FROM flat f JOIN thr th USING (dimi)
+),
+q_cells AS (
+  SELECT r.vec_id AS query_id, r.cent_id, e.v AS qv
+  FROM ranked r JOIN e ON e.vec_id = r.vec_id
+  WHERE r.vec_id % 100 = 0 AND r.rn <= {IVFBQ_NPROBE}
+),
+ham AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(CASE WHEN b1.b <> b2.b THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
+  FROM q_cells q
+  JOIN assign a ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+  JOIN bits b1 ON b1.vec_id = q.query_id
+  JOIN bits b2 ON b2.vec_id = a.vec_id AND b2.dimi = b1.dimi
+  GROUP BY q.query_id, a.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY hamming, neighbor_id) AS srnk
+  FROM ham
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY list_dot_product(eq.v, en.v)
+                  / (sqrt(list_dot_product(eq.v, eq.v))
+                     * sqrt(list_dot_product(en.v, en.v))) DESC,
+             s.neighbor_id) AS rnk
+  FROM short s
+  JOIN e eq ON eq.vec_id = s.query_id
+  JOIN e en ON en.vec_id = s.neighbor_id
+  WHERE s.srnk <= {IVFBQ_SHORTLIST}
+)
+SELECT query_id, neighbor_id, hamming, rnk, TRUE AS recall_ge_floor
+FROM rer WHERE rnk <= {BQ_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("ivfbq_ann_rerank", oracle=_ivfbq_oracle())
+def ivfbq_ann_rerank(spark: SparkSession, sf_dir: str,
+                     checkpoint: bool = True) -> DataFrame:
+    """IVF-pruned Hamming search with exact rerank — the BQ column of
+    the quantizer x index matrix, completing the row ivfsq8_ann_rerank
+    opened: IVF+flat (similarity_ann_ivf), IVF+PQ (ivfpq_ann_adc),
+    IVF+SQ8 (ivfsq8_ann_rerank), and now IVF+BQ (FAISS
+    IndexBinaryIVF's shape: coarse cells bound the candidate count,
+    sign-bit codes score candidates at 8 bytes/vector, survivors
+    re-rank exactly).
+
+    This is the composition the SRP bits-dial sweep named as the
+    boundary ("within a dense cell the candidate count, not the bit
+    budget, is what the cell probe bounds" — docs/BENCH_COMPARE.md):
+    once cells prune the corpus, short 64-bit midrange codes suffice
+    INSIDE a cell, so the corpus-fraction shortlist the flat BQ scan
+    needs (bq_hamming_rerank's resolution note) drops back to a fixed
+    {IVFBQ_SHORTLIST}-candidate cut.
+
+    Pipeline: the shared coarse quantizer (_ivf_ranked — md5-sampled
+    {{N_CENTROIDS}} cells) assigns every vector one cell; each query
+    probes its nprobe={IVFBQ_NPROBE} nearest cells; candidates score
+    by packed-word ``bit_count(xor)`` Hamming against the broadcast
+    packed queries — INTEGER math, so the oracle hash-certifies the
+    distances themselves through DuckDB's unpacked per-dimension
+    disagreement count (the BQ family's differential); the
+    (hamming, neighbor_id)-ranked shortlist re-ranks by exact cosine.
+
+    Recall floor pinned LOW ({IVFBQ_RECALL_FLOOR}) for the same
+    reason as ivfsq8: md5-SAMPLED cells at nprobe={IVFBQ_NPROBE}
+    probe ~2/32 of the corpus, so cell coverage — not code distortion
+    — bounds recall; the certified claim is the hash-exact Hamming
+    scoring inside the probed cells.  The flat-vs-IVF recall delta at
+    1M vectors is measured in the round-9 sweep (docs/BENCH_COMPARE).
+
+    Scale: cells bound candidates (nprobe x N/k per query); codes are
+    8 bytes/vector; production reads STORED codes + assignments
+    (operators/index_store.py's BQ leg) instead of re-deriving — this
+    registered form keeps the full derivation under one oracle.
+    """
+    from .dedup_plans import _emb_with_norms, _ivf_ranked
+
+    emb = _emb_with_norms(spark, sf_dir).persist()
+    try:
+        base = emb.select("vec_id", "v")
+        thresholds = BQ.bq_thresholds(base)
+        dim = len(thresholds)
+        code_cols = [f"code{w}" for w in range(BQ.n_words(dim))]
+        codes = BQ.bq_pack(base, thresholds, "v").select("vec_id", *code_cols)
+        ranked = _ivf_ranked(emb)
+        assign = ranked.filter(F.col("rn") == 1).select(
+            F.col("vec_id").alias("neighbor_id"), "cent_id")
+        q = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        q_cells = (
+            ranked.filter((F.col("vec_id") % 100 == 0)
+                          & (F.col("rn") <= IVFBQ_NPROBE))
+            .select(F.col("vec_id").alias("query_id"), "cent_id")
+        )
+        cand = (
+            q_cells.join(assign, "cent_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        packed_q = BQ.bq_pack(q, thresholds, "qv", prefix="qcode").drop("qv")
+        scored = (
+            cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+                      "neighbor_id")
+            .join(F.broadcast(packed_q), "query_id")
+            .select("query_id", "neighbor_id",
+                    BQ.hamming("code", "qcode", dim).alias("hamming"))
+        )
+        sw = W.partitionBy("query_id").orderBy(
+            F.col("hamming").asc(), F.col("neighbor_id").asc())
+        short = (
+            scored.withColumn("srnk", F.row_number().over(sw))
+            .filter(F.col("srnk") <= IVFBQ_SHORTLIST)
+            .drop("srnk")
+        )
+        return _bq_rerank_tail(spark, sf_dir, base, q, short,
+                               floor=IVFBQ_RECALL_FLOOR,
+                               checkpoint=checkpoint)
     finally:
         emb.unpersist()

@@ -144,3 +144,19 @@ def test_rank_caches_are_tracked_and_releasable(spark, sf_dir):
     released = release_rank_caches()
     assert released >= 4
     assert not _LIVE_RANK_CACHES
+
+
+def test_novelty_persisted_reference_equals_inquery(spark, sf_dir, tmp_path):
+    """The persisted-reference probe (ngram_novelty_persisted) must
+    reproduce the in-query form row for row: the parquet round trip of
+    the hash60 key set is result-neutral — locally pinning what the
+    shared registered oracle certifies cross-engine."""
+    from etl_pipe_spark.plans.corpus_plans4 import (
+        novelty_frame, reference_gram_table)
+    from etl_pipe_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = reference_gram_table(spark, docs, str(tmp_path / "ref_grams"))
+    in_query = sorted(tuple(r) for r in novelty_frame(docs).collect())
+    persisted = sorted(tuple(r) for r in novelty_frame(docs, ref=ref).collect())
+    assert persisted == in_query and in_query

@@ -735,3 +735,33 @@ def test_bq_compaction_preserves_search(spark, emb, tmp_path_factory):
     after = sorted(tuple(r) for r in
                    search_bq_index(spark, path, q, shortlist=10).collect())
     assert after == before
+
+
+def test_ivfpq_lifecycle_epoch_granularity_is_result_neutral(
+        spark, emb, queries, tmp_path_factory):
+    """The ivfpq_index_lifecycle property, pinned locally: with the
+    quantizer trained + frozen on the same seed, HOW the rest of the
+    corpus arrives (two appends + compact vs one append, no compact)
+    is invisible to search — epoch granularity and compaction move
+    bytes, never rankings."""
+    from etl_pipe_spark.operators.index_store import compact_ivfpq_index
+
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    rest = emb.filter(F.col("vec_id") % 3 != 0)
+
+    p_a = str(tmp_path_factory.mktemp("ivfpq-lc-a") / "idx")
+    build_ivfpq_index(spark, seed, p_a)
+    append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 1), p_a)
+    append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 2), p_a)
+    compact_ivfpq_index(spark, p_a)
+    assert _glob_epochs(p_a, "codes") == ["epoch=3"]
+
+    p_b = str(tmp_path_factory.mktemp("ivfpq-lc-b") / "idx")
+    build_ivfpq_index(spark, seed, p_b)
+    append_to_ivfpq_index(spark, rest, p_b)
+
+    a = sorted(tuple(r) for r in
+               search_ivfpq_index(spark, p_a, queries, k=5, nprobe=2).collect())
+    b = sorted(tuple(r) for r in
+               search_ivfpq_index(spark, p_b, queries, k=5, nprobe=2).collect())
+    assert a == b and a

@@ -171,3 +171,40 @@ def test_registered_query_shape(spark, sf_dir):
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) <= BQ_TOPK
+
+
+def test_ivfbq_registered_query_shape_and_cell_restriction(spark, sf_dir):
+    """IVF x BQ composition (round 9): output shape, rank permutations,
+    and the cell restriction — every returned neighbor must share a
+    probed cell with its query (the IVF pruning is real, not a flat
+    scan with extra steps)."""
+    from etl_pipe_spark.plans.dedup_plans import _emb_with_norms, _ivf_ranked
+    from etl_pipe_spark.plans.quant_plans import (
+        BQ_TOPK, IVFBQ_NPROBE, ivfbq_ann_rerank)
+
+    out = ivfbq_ann_rerank(spark, sf_dir)
+    assert out.columns == [
+        "query_id", "neighbor_id", "hamming", "rnk", "recall_ge_floor"]
+    rows = out.collect()
+    assert rows, "no output rows"
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+        assert 0 <= r["hamming"] <= 64
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= BQ_TOPK
+
+    ranked = _ivf_ranked(_emb_with_norms(spark, sf_dir))
+    cell = {(r["vec_id"], r["cent_id"])
+            for r in ranked.filter(F.col("rn") == 1)
+            .select("vec_id", "cent_id").collect()}
+    probed: dict[int, set[int]] = {}
+    for r in (ranked.filter(F.col("rn") <= IVFBQ_NPROBE)
+              .select("vec_id", "cent_id").collect()):
+        probed.setdefault(r["vec_id"], set()).add(r["cent_id"])
+    for r in rows:
+        n_cell = next(c for (v, c) in cell if v == r["neighbor_id"])
+        assert n_cell in probed[r["query_id"]], (
+            f"neighbor {r['neighbor_id']} outside query "
+            f"{r['query_id']}'s probed cells")

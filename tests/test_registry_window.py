@@ -1,10 +1,10 @@
 """Pin the driver-visible registration window.
 
 The driver's differential harness hard-checks only the FIRST 50
-registered queries.  These tests pin (a) every flagship LLM-pipeline
-operator inside that window and (b) the demotion list staying exactly
-the r01-green demo queries, so a future registration can't silently
-push a flagship out of hard-signal coverage.
+registered queries.  These tests pin (a) the COMPLETE intended window
+so any future registration or demotion that would silently evict a
+member fails here first, and (b) the demotion list staying a
+permutation tail of the registry.
 """
 
 from etl_pipe_spark.plans.catalog import _DEMOTED, REGISTRY, _load_all, queries
@@ -12,91 +12,86 @@ from etl_pipe_spark.plans.catalog import _DEMOTED, REGISTRY, _load_all, queries
 DRIVER_WINDOW = 50
 
 FLAGSHIPS = [
-    # ROUND-8 WINDOW (the r7 verdict's item 3 rotation with the
-    # CORRECTED staleness ordering — r02-stale group first; the
-    # swap-by-swap history lives in catalog._DEMOTED's notes).
-    # This list pins the COMPLETE intended 50-slot window so any
-    # future registration or demotion that would silently evict a
-    # member fails here first.
+    # ROUND-9 WINDOW (the r8 verdict's items 1+2 rotation, executed
+    # against the recomputed r01-r08 staleness union; the swap-by-swap
+    # rationale lives in catalog._DEMOTED's round-9 header).
     #
-    # Production flagships + the never-green orc row — pinned
-    # in-window EVERY round:
-    "streaming_dedup_watermark",
-    "incremental_neardup_lsh",
-    "lsh_index_persisted",
+    # The 3 never-driver-checked r8 registrations (the queue HEAD —
+    # after r9 the never-checked set is empty again):
+    "ngram_novelty_score",
+    "binaryfile_ingest",
+    "ivfsq8_ann_rerank",
+    # ALL 10 r04-stale promotions (incl. the four whose production
+    # supersets covered them in r8 — the base forms return, the
+    # supersets hand back their pins):
+    "promo_revenue_share",
+    "pivot_status_revenue",
+    "having_large_orders",
+    "tpch_q10_returned_items",
+    "json_flatten_props",
+    "exact_percentiles",
+    "similarity_ann_ivf",
+    "kmeans_update_step",
+    "similarity_topk_cosine",
+    "semantic_dedup",
+    # This round's 3 NEW registrations (first driver rows in-window,
+    # keeping the never-checked set empty — the r5-r8 convention):
+    "ngram_novelty_persisted",   # r9: novelty probe against the PERSISTED reference gram table
+    "ivfbq_ann_rerank",          # r9: IVF-pruned Hamming + exact rerank (completes the quantizer x index matrix's BQ column)
+    "ivfpq_index_lifecycle",     # r9: IVFPQ build+append+append+compact+search under the frozen-quantizer oracle
+    # Pinned production flagships:
     "ann_ivf_scaled",
     "semantic_dedup_scaled",
-    "kmeans_fit_clusters",
-    "ivfpq_index_persisted",
-    "sq8_index_persisted",
-    "orc_roundtrip_ingest",
-    # r8 promotions — the 18 r02-stale queries (5 rounds without a
-    # driver row), the 12 r03-stale, and 11 of the 15 r04-stale
-    # (the 4 left out have pinned production supersets):
-    "double_role_dim_join",
-    "topk_orders",
-    "timeline_union",
-    "semi_join_urgent_customers",
-    "anti_join_orderless_customers",
-    "rollup_orders",
-    "cube_lineitem",
-    # pivot_status_revenue yielded its slot to bq_hamming_rerank
-    # (mid-r8 addendum 2); the pivot conditional-agg family stays
-    # in-window via unpivot_lineitem_metrics + cube/rollup +
-    # sql_api_segment_revenue.
-    "bq_hamming_rerank",     # mid-r8 registration: 1-bit BQ Hamming shortlist + exact rerank (integer-exact distance oracle)
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    # tpch_q10_returned_items yielded its slot to srp_bq_hamming_rerank
-    # (mid-r8 addendum 4); its join+agg+topk shape stays in-window via
-    # tpch_q3_shipping_priority.
-    "srp_bq_hamming_rerank",  # mid-r8 registration: 256-bit SRP codes, integer-exact fixed-shortlist Hamming ANN
-    "range_join_bucketed",
-    "window_frames",
-    "sql_api_segment_revenue",
-    "lsh_index_lifecycle",   # mid-r8 registration: full store lifecycle (build+append+append+compact+probe) under the one-shot-build oracle
-    "array_aggregation",
-    "unpivot_lineitem_metrics",
-    # having_large_orders yielded its slot to bq_index_persisted
-    # (mid-r8 addendum 3); its groupBy+HAVING shape stays in-window
-    # via tpch_q18_large_volume.
-    "bq_index_persisted",    # mid-r8 registration: persisted BQ store leg under the in-memory oracle
-    "tpch_q4_order_priority",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q22_dormant_customers",
-    "tpch_q13_count_distribution",
-    "tpch_q15_top_supplier",
-    "stats_moments",
-    # exact_percentiles yielded its slot to curriculum_quantile_interleave
-    # (mid-r8 addendum 6) — the new query runs the same two-phase
-    # distributed-rank machinery plus the decile arithmetic.
-    "curriculum_quantile_interleave",
-    "skew_salted_join",
-    # json_flatten_props yielded its slot to paragraph_dedup_reassemble
-    # (mid-r8 addendum 5); JSON ops stay in-window via json_as_map.
-    "paragraph_dedup_reassemble",
-    "json_as_map",
-    "current_version_window",
-    "tumbling_window_agg",
-    "sliding_window_agg",
-    "merge_upsert_snapshot",
-    "streaming_tumbling_counts",
-    "text_token_stats",
-    "doc_quality_score",
-    "embedding_neardup_pairs",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "mixture_sampling",
+    "lsh_index_persisted",
+    "streaming_dedup_watermark",
+    # 30 of the 33 r05-stale promotions (the 3 left out —
+    # corpus_curation_pipeline, dedup_minhash_lsh,
+    # multimodal_frame_sample — carry in-window family cover and head
+    # the r10 queue):
+    "multimodal_features",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q20_dominant_supplier",
+    "ann_kmeans_recall_lift",
+    "pq_fit_quality",
+    "pca_top_component",
+    "corpus_shuffle_shards",
+    "approx_aggregates",
+    "sequence_packing",
+    "tfidf_top_terms",
+    "dedup_ngram_jaccard",
+    "pandas_group_zscore",
+    "contamination_check",
+    "quality_repetition_filter",
+    "run_summary_rollup",
+    "incremental_scan",
+    "asof_join_last_event",
+    "session_window_agg",
+    "merge_replay_dedup",
+    "scd2_version_chain",
+    "wide_projection",
+    "denorm_join",
+    "supplier_nation_rollup",
+    "json_flatten_input_data",
+    "doc_fingerprint",
+    "similarity_srp_lsh",
+    "text_redact",
+    "doc_chunking",
+    "dedup_simhash",
 ]
+
+
+def test_flagship_list_is_the_whole_window():
+    assert len(FLAGSHIPS) == DRIVER_WINDOW
 
 
 def test_flagships_inside_driver_window():
     names = list(queries())
     window = set(names[:DRIVER_WINDOW])
     missing = [f for f in FLAGSHIPS if f not in window]
+    extra = sorted(window - set(FLAGSHIPS))
     assert not missing, f"flagships outside driver window: {missing}"
+    assert not extra, f"unexpected window members: {extra}"
 
 
 def test_demoted_names_exist_and_ordering_is_a_permutation():
