@@ -60,6 +60,42 @@ def _batch_matrix(batch: pa.RecordBatch, vec_col: str) -> np.ndarray:
     )
 
 
+def _prep_centroids(cent_ids: np.ndarray, cent_mat: np.ndarray,
+                    nprobe: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Driver-side prep shared by every assignment kernel: unit-norm
+    centroid columns ordered by id (so numpy's "first index wins" on
+    equal scores matches the cent_id ASC tiebreak), and the clamped
+    probe depth.  Cosine argmax == dot argmax against unit centroids."""
+    cnorm = np.linalg.norm(cent_mat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    cunit = (cent_mat / cnorm[:, None]).T  # dim x k
+    k = cent_mat.shape[0]
+    order = np.argsort(cent_ids, kind="stable")
+    return cunit[:, order], cent_ids[order], min(nprobe, k)
+
+
+def _assign_batch(x: np.ndarray, cunit_sorted: np.ndarray,
+                  n_take: int) -> np.ndarray:
+    """(B, n_take) column indices into the id-sorted centroid matrix,
+    ordered (score desc, cent id asc) — the exact per-batch assignment
+    math of ivf_assign_vectorized, shared with the fused encode+assign
+    kernel (operators/pq.pq_encode_assign) so the two paths cannot
+    diverge even at float near-ties."""
+    k = cunit_sorted.shape[1]
+    xn = np.linalg.norm(x, axis=1)
+    xn[xn == 0.0] = 1.0
+    scores = (x / xn[:, None]) @ cunit_sorted  # B x k
+    if n_take < k:
+        part = np.argpartition(-scores, n_take - 1, axis=1)[:, :n_take]
+    else:
+        part = np.tile(np.arange(k), (x.shape[0], 1))
+    row_idx = np.arange(x.shape[0])[:, None]
+    # exact order within the probe set: score desc, cent id asc
+    sub = scores[row_idx, part]
+    inner = np.lexsort((part, -sub), axis=1)
+    return part[row_idx, inner]
+
+
 def centroid_matrix(emb: DataFrame, n_centroids: int,
                     id_col: str = "vec_id", vec_col: str = "v") -> tuple:
     """Deterministic centroid seed as numpy: first ``n_centroids``
@@ -294,37 +330,15 @@ def ivf_assign_vectorized(
     cell assignment; ties break on centroid id ascending, mirroring
     the expression path's (cosine DESC, cent_id ASC) window order.
     """
-    # Pre-normalize the centroid matrix once per executor closure:
-    # cosine argmax == dot argmax against unit centroids / unit rows.
-    cnorm = np.linalg.norm(cent_mat, axis=1)
-    cnorm[cnorm == 0.0] = 1.0
-    cunit = (cent_mat / cnorm[:, None]).T  # dim x k
-    k = cent_mat.shape[0]
-    n_take = min(nprobe, k)
-
-    # Order centroid columns by id so numpy's "first index wins" on
-    # equal scores matches the cent_id ASC tiebreak.
-    order = np.argsort(cent_ids, kind="stable")
-    cunit_sorted = cunit[:, order]
-    ids_sorted = cent_ids[order]
+    cunit_sorted, ids_sorted, n_take = _prep_centroids(
+        cent_ids, cent_mat, nprobe)
 
     def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             if not len(b):
                 continue
             x = _batch_matrix(b, vec_col)  # B x dim
-            xn = np.linalg.norm(x, axis=1)
-            xn[xn == 0.0] = 1.0
-            scores = (x / xn[:, None]) @ cunit_sorted  # B x k
-            if n_take < k:
-                part = np.argpartition(-scores, n_take - 1, axis=1)[:, :n_take]
-            else:
-                part = np.tile(np.arange(k), (len(b), 1))
-            row_idx = np.arange(len(b))[:, None]
-            # exact order within the probe set: score desc, cent id asc
-            sub = scores[row_idx, part]
-            inner = np.lexsort((part, -sub), axis=1)
-            top = part[row_idx, inner]
+            top = _assign_batch(x, cunit_sorted, n_take)
             vec_ids = (
                 b.column(b.schema.get_field_index(id_col))
                 .to_numpy(zero_copy_only=False).astype(np.int64)

@@ -52,7 +52,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .ann import centroid_matrix, ivf_assign_vectorized
-from .pq import KSUB, M_SUB, ivfpq_adc_topk, pq_codebooks_deterministic, pq_encode
+from .pq import (KSUB, M_SUB, ivfpq_adc_topk, pq_codebooks_deterministic,
+                 pq_encode_assign)
 from .similarity import ivf_centroids_for_corpus
 
 N_BUCKETS = 64  # bounded partition-directory count for cell pruning
@@ -107,6 +108,22 @@ def _p(path: str, *parts: str) -> str:
 # ---------------------------------------------------------------------------
 
 _POINTER = "COMMITTED"
+
+
+def _tiny_table(spark: SparkSession, data: list, schema: str) -> DataFrame:
+    """Single-partition DataFrame for driver-built dimension tables
+    (centroids / codebooks / stats / thresholds — k to m*ksub rows).
+
+    ``createDataFrame(list)`` parallelizes into defaultParallelism
+    pickled partitions, and the ``coalesce(1)`` the one-file write
+    needs then evaluates all of them SERIALLY through one task's
+    Python-worker round trips — measured 6 s per dim-table write on
+    local[32] for 32 rows (the dominant cost of every persisted-index
+    build).  Parallelizing into ONE slice up front makes the same
+    write one partition end to end: 0.5 s, same file, same rows.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema)
 
 
 class ConcurrentAppendError(RuntimeError):
@@ -244,11 +261,14 @@ def build_ivfpq_index(
     vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     cb = pq_codebooks_deterministic(vecs, m=m, ksub=ksub)
 
-    assign = (
-        ivf_assign_vectorized(vecs, cent_ids, cent_mat, nprobe=1)
-        .filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    )
-    codes = pq_encode(vecs, cb).select("vec_id", "codes").join(assign, "vec_id")
+    # Fused encode+assign (round 9, guide §2.3/§2.4): one linear pass
+    # emits (vec_id, codes, cent_id) — the previous
+    # pq_encode(...).join(assign) scanned the corpus twice and paid
+    # two vec_id hash exchanges before the bucketed write; the fused
+    # kernel's output is row-identical (shared _assign_batch /
+    # _subspace_d2 math) and reaches the repartition with no prior
+    # shuffle at all.
+    codes = pq_encode_assign(vecs, cb, cent_ids, cent_mat)
     (
         codes.withColumn("cell_bucket", F.pmod(F.col("cent_id"), F.lit(N_BUCKETS)))
         # repartition ON the partition column first: without it every
@@ -260,17 +280,19 @@ def build_ivfpq_index(
         .write.partitionBy("cell_bucket").mode("overwrite")
         .parquet(_p(path, "codes", "epoch=0"))
     )
-    spark.createDataFrame(
+    _tiny_table(
+        spark,
         [(int(i), [float(x) for x in row]) for i, row in zip(cent_ids, cent_mat)],
         "cent_id bigint, v array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "centroids"))
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(_p(path, "centroids"))
+    _tiny_table(
+        spark,
         [
             (s, c, [float(x) for x in cb[s, c]])
             for s in range(m) for c in range(ksub)
         ],
         "sub int, code_id int, cw array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "codebooks"))
+    ).write.mode("overwrite").parquet(_p(path, "codebooks"))
     _commit_epoch(path, claim, {
         "epoch": 0, "epoch_base": 0, "n_vectors": int(n), "k": int(k),
         "m": int(m), "ksub": int(ksub), "n_buckets": int(N_BUCKETS),
@@ -411,11 +433,9 @@ def append_to_ivfpq_index(
                           F.col(vec_col).alias("v")).persist()
     try:
         n_new = vecs.count()
-        assign = (
-            ivf_assign_vectorized(vecs, cent_ids, cent_mat, nprobe=1)
-            .filter(F.col("rn") == 1).select("vec_id", "cent_id")
-        )
-        codes = pq_encode(vecs, cb).select("vec_id", "codes").join(assign, "vec_id")
+        # fused encode+assign — same one-pass, shuffle-free shape as
+        # the build (see build_ivfpq_index)
+        codes = pq_encode_assign(vecs, cb, cent_ids, cent_mat)
         (
             codes.withColumn(
                 "cell_bucket", F.pmod(F.col("cent_id"), F.lit(meta["n_buckets"])))
@@ -468,10 +488,11 @@ def build_sq8_index(
         .repartition(_n_code_files(n), "vec_id")
         .write.mode("overwrite").parquet(_p(path, "codes", "epoch=0"))
     )
-    spark.createDataFrame(
+    _tiny_table(
+        spark,
         [(int(d), float(lo[d]), float(scale[d])) for d in range(lo.shape[0])],
         "dim int, lo double, scale double",
-    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "stats"))
+    ).write.mode("overwrite").parquet(_p(path, "stats"))
     _commit_epoch(path, claim, {
         "epoch": 0, "epoch_base": 0, "n_vectors": int(n),
         "dim": int(lo.shape[0]),
@@ -759,10 +780,11 @@ def build_bq_index(
         .repartition(_n_code_files(n), "vec_id")
         .write.mode("overwrite").parquet(_p(path, "codes", "epoch=0"))
     )
-    spark.createDataFrame(
+    _tiny_table(
+        spark,
         [(int(d), float(t)) for d, t in enumerate(thresholds)],
         "dim int, t double",
-    ).coalesce(1).write.mode("overwrite").parquet(_p(path, "thresholds"))
+    ).write.mode("overwrite").parquet(_p(path, "thresholds"))
     _commit_epoch(path, claim, {
         "epoch": 0, "epoch_base": 0, "n_vectors": int(n), "dim": int(dim),
     })

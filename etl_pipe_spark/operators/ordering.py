@@ -173,6 +173,17 @@ def ranked_running_sum(
     spark = df.sparkSession
     nb = buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
+    # Performance cache on the INPUT (round 9, guide §5): the boundary
+    # sample below is an EAGER pass over ``df``, and the bucketed
+    # window re-derives ``df`` again when it materializes — for call
+    # sites whose input is an unpersisted derivation (zorder's
+    # interleave, curriculum's phase frames) the whole upstream
+    # pipeline executed twice.  Caching it runs the derivation once;
+    # tracked like every other rank cache, so harnesses drain it and
+    # early release only recomputes (the value-derived buckets keep
+    # correctness persist-independent).
+    df = track_rank_cache(df.persist())
+
     key = F.struct(*[c.alias(f"k{i}") for i, c in enumerate(order)])
     key_fields = df.select(key.alias("__key")).schema["__key"].dataType.fields
 

@@ -149,6 +149,57 @@ def pq_encode(
     return emb.select(id_col, vec_col).mapInArrow(op, _ENCODE_SCHEMA)
 
 
+_ENCODE_ASSIGN_SCHEMA = "vec_id bigint, codes array<int>, cent_id bigint"
+
+
+def pq_encode_assign(
+    emb: DataFrame, codebooks: np.ndarray,
+    cent_ids: np.ndarray, cent_mat: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "v",
+) -> DataFrame:
+    """(vec_id, codes, cent_id) in ONE linear pass — the fused form of
+    ``pq_encode(...).join(ivf_assign_vectorized(...) [rn=1])`` that
+    the IVFPQ index build/append paths use (guide §2.3/§2.4: the join
+    shuffled the corpus-sized code rows AND the assignment rows by
+    vec_id and scanned the embeddings twice; fusing computes both
+    columns from the same Arrow batch, so the corpus streams through
+    once and nothing shuffles before the bucketed write).
+
+    Exactness: codes come from the same ``_subspace_d2`` argmin as
+    ``pq_encode``; the cell comes from the same ``_assign_batch``
+    math as ``ivf_assign_vectorized`` (shared helper — identical
+    float ops, identical tie handling), so the fused output is
+    row-for-row the join's output.
+    """
+    from .ann import _assign_batch, _prep_centroids
+
+    m, ksub, dsub = codebooks.shape
+    cunit_sorted, ids_sorted, n_take = _prep_centroids(
+        cent_ids, cent_mat, nprobe=1)
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col))
+            X = _batch_matrix(b, vec_col)
+            n = X.shape[0]
+            if n == 0:
+                continue
+            xs = X.reshape(n, m, dsub)
+            d2 = _subspace_d2(xs, codebooks)
+            codes = d2.argmin(axis=2).astype(np.int32)        # (n, m)
+            codes_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), type=pa.int32()), m
+            ).cast(pa.list_(pa.int32()))
+            top = _assign_batch(X, cunit_sorted, n_take)      # (n, 1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, codes_arr,
+                 pa.array(ids_sorted[top].ravel(), pa.int64())],
+                ["vec_id", "codes", "cent_id"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(op, _ENCODE_ASSIGN_SCHEMA)
+
+
 def _query_chunks(q_rows, codebooks: np.ndarray, max_query_bytes: int):
     """Yield (qids, lut) per driver-bounded query chunk — the shared
     byte-budget scaffold of every ADC scorer: if the collected query

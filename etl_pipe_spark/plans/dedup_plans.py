@@ -1589,19 +1589,29 @@ def ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest_plans import _io_dir
     from ..operators.index_store import build_ivfpq_index, search_ivfpq_index
 
-    emb = _emb_with_norms(spark, sf_dir).select("vec_id", "v")
-    path = _io_dir(sf_dir, "ivfpq_index")
-    build_ivfpq_index(spark, emb, path, n_centroids=N_CENTROIDS,
-                      m=_PQ_M, ksub=_PQ_KSUB)
-    queries = (
-        emb.filter(F.col("vec_id") % 100 == 0)
-        .withColumnRenamed("vec_id", "query_id")
-    )
-    return (
-        search_ivfpq_index(spark, path, queries, k=_PQ_K, nprobe=2)
-        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
-        .orderBy("query_id", "rnk")
-    )
+    # The corpus frame feeds the build's four passes (count, centroid
+    # sample, codebook seeds, fused encode) plus the query projection —
+    # persist for the query's lifetime so each pass reads the cache
+    # instead of re-scanning parquet (guide §5; the search result's
+    # plan references only the on-disk codes, so the release below
+    # never triggers a recompute).
+    emb = _emb_with_norms(spark, sf_dir).select("vec_id", "v").persist()
+    try:
+        path = _io_dir(sf_dir, "ivfpq_index")
+        build_ivfpq_index(spark, emb, path, n_centroids=N_CENTROIDS,
+                          m=_PQ_M, ksub=_PQ_KSUB)
+        queries = (
+            emb.filter(F.col("vec_id") % 100 == 0)
+            .withColumnRenamed("vec_id", "query_id")
+        )
+        return (
+            search_ivfpq_index(spark, path, queries, k=_PQ_K, nprobe=2)
+            .select("query_id", "neighbor_id",
+                    F.col("rnk").cast("long").alias("rnk"))
+            .orderBy("query_id", "rnk")
+        )
+    finally:
+        emb.unpersist()
 
 
 # The lifecycle twin's oracle: the QUANTIZER (centroids + codebooks)
@@ -1727,21 +1737,29 @@ def ivfpq_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_to_ivfpq_index, build_ivfpq_index, compact_ivfpq_index,
         search_ivfpq_index)
 
-    emb = _emb_with_norms(spark, sf_dir).select("vec_id", "v")
-    path = _io_dir(sf_dir, "ivfpq_index_lifecycle")
-    # seed: one third trains + freezes the quantizer; two "days" of
-    # frozen-quantizer appends deliver the rest
-    build_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 0), path,
-                      n_centroids=N_CENTROIDS, m=_PQ_M, ksub=_PQ_KSUB)
-    append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 1), path)
-    append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 2), path)
-    compact_ivfpq_index(spark, path)
-    queries = (
-        emb.filter(F.col("vec_id") % 100 == 0)
-        .withColumnRenamed("vec_id", "query_id")
-    )
-    return (
-        search_ivfpq_index(spark, path, queries, k=_PQ_K, nprobe=2)
-        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
-        .orderBy("query_id", "rnk")
-    )
+    # One persist serves the seed build's passes, both append batches,
+    # and the query projection — without it every lifecycle phase
+    # re-scanned the embeddings parquet (guide §5; release is safe:
+    # the search result's plan references only the on-disk codes).
+    emb = _emb_with_norms(spark, sf_dir).select("vec_id", "v").persist()
+    try:
+        path = _io_dir(sf_dir, "ivfpq_index_lifecycle")
+        # seed: one third trains + freezes the quantizer; two "days" of
+        # frozen-quantizer appends deliver the rest
+        build_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 0), path,
+                          n_centroids=N_CENTROIDS, m=_PQ_M, ksub=_PQ_KSUB)
+        append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 1), path)
+        append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 2), path)
+        compact_ivfpq_index(spark, path)
+        queries = (
+            emb.filter(F.col("vec_id") % 100 == 0)
+            .withColumnRenamed("vec_id", "query_id")
+        )
+        return (
+            search_ivfpq_index(spark, path, queries, k=_PQ_K, nprobe=2)
+            .select("query_id", "neighbor_id",
+                    F.col("rnk").cast("long").alias("rnk"))
+            .orderBy("query_id", "rnk")
+        )
+    finally:
+        emb.unpersist()

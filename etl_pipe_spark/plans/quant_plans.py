@@ -187,10 +187,16 @@ def _bq_rerank_tail(spark: SparkSession, sf_dir: str, emb: DataFrame,
         out = out.localCheckpoint(eager=True)
         from .extensions import similarity_topk_cosine
 
+        # persist: the brute-force baseline feeds BOTH counts — without
+        # the cache its corpus-scan pipeline executed twice per query
+        # (guide §1; counts and results unchanged)
         brute = similarity_topk_cosine(spark, sf_dir).select(
-            "query_id", "neighbor_id")
-        n_brute = brute.count()
-        n_hit = out.join(brute, ["query_id", "neighbor_id"]).count()
+            "query_id", "neighbor_id").persist()
+        try:
+            n_brute = brute.count()
+            n_hit = out.join(brute, ["query_id", "neighbor_id"]).count()
+        finally:
+            brute.unpersist()
         recall_ok = n_brute > 0 and (n_hit / n_brute) >= floor
     else:
         recall_ok = True
@@ -544,10 +550,15 @@ def ivfsq8_ann_rerank(spark: SparkSession, sf_dir: str,
         # (tools/dump_plans.py dumps the lazy form).
         if checkpoint:
             out = out.localCheckpoint(eager=True)
+            # persist: both counts read one brute-force execution
+            # (guide §1 — the corpus-scan baseline ran twice before)
             brute = similarity_topk_cosine(spark, sf_dir).select(
-                "query_id", "neighbor_id")
-            n_brute = brute.count()
-            n_hit = out.join(brute, ["query_id", "neighbor_id"]).count()
+                "query_id", "neighbor_id").persist()
+            try:
+                n_brute = brute.count()
+                n_hit = out.join(brute, ["query_id", "neighbor_id"]).count()
+            finally:
+                brute.unpersist()
             recall_ok = n_brute > 0 and (n_hit / n_brute) >= IVFSQ8_RECALL_FLOOR
         else:
             # plan-inspection seam (tools/dump_plans.py): the recall

@@ -93,8 +93,14 @@ class WatermarkStore:
         version = int(snap.rsplit("-", 1)[1]) + 1 if snap else 1
         new_snap = f"state-{version:08d}"
         os.makedirs(self.path, exist_ok=True)
-        self.spark.createDataFrame(list(state.values()), _SCHEMA) \
-            .coalesce(1).write.mode("overwrite") \
+        # single-slice parallelize: a coalesce(1) over the default
+        # 32-partition local-list RDD evaluates every partition
+        # serially through one task's Python-worker round trips
+        # (~6 s/write measured — see operators/index_store._tiny_table)
+        self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(list(state.values()), 1),
+            _SCHEMA,
+        ).write.mode("overwrite") \
             .parquet(os.path.join(self.path, new_snap))
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:

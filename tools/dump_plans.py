@@ -195,6 +195,15 @@ def main() -> None:
             s, d, checkpoint=False)
         lazy_forms["ivfsq8_ann_rerank"] = lambda s, d: ivfsq8_ann_rerank(
             s, d, checkpoint=False)
+        # r9: the SQ8 rerank tail gained the checkpoint seam (the BQ
+        # convention) — dump the lazy form so the plan still shows the
+        # search kernel + rerank joins, not a checkpoint RDD scan
+        from etl_pipe_spark.plans.corpus_plans2 import (
+            sq8_ann_rerank, sq8_index_persisted)
+        lazy_forms["sq8_ann_rerank"] = lambda s, d: sq8_ann_rerank(
+            s, d, checkpoint=False)
+        lazy_forms["sq8_index_persisted"] = lambda s, d: sq8_index_persisted(
+            s, d, checkpoint=False)
         lazy_forms["bm25_retrieval"] = lambda s, d: bm25_retrieval(
             s, d, checkpoint=False)
         from etl_pipe_spark.plans.graph_plans import pagerank_neardup_graph
