@@ -60,6 +60,59 @@ def _batch_matrix(batch: pa.RecordBatch, vec_col: str) -> np.ndarray:
     )
 
 
+_MINMAX_SCHEMA = "lo array<double>, hi array<double>, n bigint"
+
+
+def column_minmax_count(emb: DataFrame, vec_col: str = "v"
+                        ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-dimension (lo, hi) of a vector column plus the row count,
+    in ONE linear Arrow pass — the stats kernel behind the SQ8 and BQ
+    quantizers (round 9).
+
+    Shape rationale, measured both ways: ``posexplode + groupBy(dim)``
+    generates N*dim rows through the hash aggregate (3x the whole
+    build at a 4M x 64 corpus); a single wide agg of 2*dim min/max
+    expressions avoids the explosion but pays ~2 s of plan/codegen
+    constant per invocation at dim 64 (128 aggregate expressions).
+    The kernel sidesteps both: numpy column min/max per Arrow batch
+    (one partial row per batch), then a dim-sized reduce over
+    batches*dim tiny rows.  IEEE min/max is associative and
+    order-independent, so the result is bit-identical to either
+    expression form (A/B'd equal on the bench corpus).  The count
+    rides the same partials, so quantizer callers stop paying a
+    separate count() scan.
+    """
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not len(b):
+                continue
+            x = _batch_matrix(b, vec_col)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([x.min(axis=0).tolist()], pa.list_(pa.float64())),
+                 pa.array([x.max(axis=0).tolist()], pa.list_(pa.float64())),
+                 pa.array([x.shape[0]], pa.int64())],
+                ["lo", "hi", "n"],
+            )
+
+    part = emb.select(vec_col).mapInArrow(op, _MINMAX_SCHEMA)
+    rows = (
+        part.select(F.posexplode("lo").alias("dim", "x"), "hi", "n")
+        .select("dim", "x", F.col("hi")[F.col("dim")].alias("y"), "n")
+        .groupBy("dim")
+        # every partial carries its batch count once per dim, so each
+        # dim group's sum(n) is the full corpus count
+        .agg(F.min("x").alias("lo"), F.max("y").alias("hi"),
+             F.sum("n").alias("n"))
+        .orderBy("dim")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("column_minmax_count: empty embedding frame")
+    lo = np.array([r["lo"] for r in rows], dtype=np.float64)
+    hi = np.array([r["hi"] for r in rows], dtype=np.float64)
+    return lo, hi, int(rows[0]["n"])
+
+
 def _prep_centroids(cent_ids: np.ndarray, cent_mat: np.ndarray,
                     nprobe: int) -> tuple[np.ndarray, np.ndarray, int]:
     """Driver-side prep shared by every assignment kernel: unit-norm

@@ -125,9 +125,8 @@ def bloom_words_column(spark, dense_words: list[int],
     reference the array by name.  A literal array inlined per probe
     would repeat m/64 longs k times in the plan (codegen bloat at
     realistic m); the broadcast column ships the words ONCE."""
-    return spark.createDataFrame(
-        [(dense_words,)], f"{col_name} array<bigint>"
-    )
+    from ..functions.frames import local_frame
+    return local_frame(spark, [(dense_words,)], f"{col_name} array<bigint>")
 
 
 def bloom_hit_expr(key_sql: str, m_bits: int,

@@ -67,25 +67,31 @@ def n_words(dim: int) -> int:
     return (dim + BITS_PER_WORD - 1) // BITS_PER_WORD
 
 
-def bq_thresholds(emb: DataFrame, vec_col: str = "v") -> list[float]:
+def bq_thresholds(emb: DataFrame, vec_col: str = "v",
+                  with_count: bool = False):
     """Per-dimension midrange thresholds, bit-deterministic across
     engines (min/max exact; one IEEE add + halving).
 
-    One aggregate pass of 2*dim min/max expressions — fully
-    map-side-combinable, so the shuffle is one 2*dim-column row per
-    partition (a posexplode would shuffle N*dim rows: 256M at a 4M x
-    64 corpus, measured 3x the whole build).  Bounded driver state:
-    one 2*dim-column row (the sq8_stats convention).
+    One linear Arrow pass (operators/ann.column_minmax_count; round
+    9).  A posexplode would shuffle N*dim rows (256M at a 4M x 64
+    corpus, measured 3x the whole build) and the previous wide
+    2*dim-expression agg paid ~2 s of plan/codegen constant per call
+    (128 aggregate expressions at dim 64); the kernel's numpy
+    column min/max per batch avoids both, and IEEE min/max is
+    associative so the thresholds are bit-identical either way.
+    Bounded driver state: dim rows.
+
+    ``with_count=True`` additionally returns the corpus row count from
+    the SAME pass, as (thresholds, n) — callers that size shortlists
+    or file counts previously paid a separate count() scan (round 9).
     """
-    first = emb.select(vec_col).first()
-    if first is None:
-        raise ValueError("bq_thresholds: empty embedding frame")
-    dim = len(first[0])
-    row = emb.agg(
-        *[F.min(F.col(vec_col)[d]).alias(f"lo{d}") for d in range(dim)],
-        *[F.max(F.col(vec_col)[d]).alias(f"hi{d}") for d in range(dim)],
-    ).first()
-    return [(row[f"lo{d}"] + row[f"hi{d}"]) / 2.0 for d in range(dim)]
+    from .ann import column_minmax_count
+
+    lo, hi, n = column_minmax_count(emb, vec_col=vec_col)
+    thresholds = [(l + h) / 2.0 for l, h in zip(lo.tolist(), hi.tolist())]
+    if with_count:
+        return thresholds, n
+    return thresholds
 
 
 def bq_pack(df: DataFrame, thresholds: list[float], vec_col: str,
@@ -95,6 +101,14 @@ def bq_pack(df: DataFrame, thresholds: list[float], vec_col: str,
     Pure Catalyst: per word, 32 CASE terms ``v[d] > t_d ? 1<<j : 0``
     summed (disjoint powers => sum == OR; max 2^32-1, no overflow).
     One shuffle-free map pass inside whole-stage codegen.
+
+    Each word is built as ONE ``F.expr`` SQL string (round 9): the
+    per-term Column construction cost ~500 py4j round trips per pack
+    call — ~2 s of pure driver time per query invocation — for an
+    expression tree the parser produces identically from text.
+    Thresholds embed as string-to-double casts, which round-trip
+    ``repr(float)`` exactly (Java Double.parseDouble), so the compared
+    constants are bit-identical to the old ``F.lit`` form.
     """
     dim = len(thresholds)
     words = []
@@ -105,11 +119,11 @@ def bq_pack(df: DataFrame, thresholds: list[float], vec_col: str,
             if d >= dim:
                 break
             terms.append(
-                F.when(F.col(vec_col)[d] > F.lit(thresholds[d]),
-                       F.lit(1 << j).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
+                f"(CASE WHEN {vec_col}[{d}] > CAST('{thresholds[d]!r}'"
+                f" AS DOUBLE) THEN CAST({1 << j} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
             )
-        words.append(reduce(add, terms).alias(f"{prefix}{w}"))
+        words.append(F.expr(" + ".join(terms)).alias(f"{prefix}{w}"))
     return df.select("*", *words)
 
 

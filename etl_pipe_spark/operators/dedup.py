@@ -441,23 +441,23 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     from ..functions.text import ws_tokens
 
+    # The hash is projected ONCE as a named column and the per-bit
+    # aggregates are parsed from SQL text (round 9): building bits x
+    # ~10 Column objects cost ~400 py4j round trips of pure driver
+    # time per call; the parsed expressions are identical (codegen
+    # already CSE'd the repeated hash).
     toks = docs.select(
         id_col, F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok")
-    )
-    h = hash32(F.col("tok"))
-    sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(bits)
-        ]
-    )
-    fingerprint = None
-    for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fingerprint = bit if fingerprint is None else fingerprint + bit
-    return sums.select(id_col, fingerprint.cast("bigint").alias("simhash"))
+    ).select(id_col, hash32(F.col("tok")).alias("__h32"))
+    sums = toks.groupBy(id_col).agg(*[
+        F.expr(f"sum(CASE WHEN (__h32 & {1 << j}) != 0 THEN 1 ELSE -1 END)")
+        .alias(f"s{j}")
+        for j in range(bits)
+    ])
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return sums.select(
+        id_col, F.expr(fp).cast("bigint").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -378,7 +378,8 @@ def search_ivfpq_index(
         for r in codes_df.filter(F.col("vec_id").isin(qids))
         .select("vec_id").collect()
     }
-    probes_df = spark.createDataFrame(
+    probes_df = _tiny_table(
+        spark,
         [
             (int(r["vec_id"]), int(r["cent_id"]), int(r["rn"]))
             for r in probe_rows
@@ -477,12 +478,14 @@ def build_sq8_index(
     """
     from .sq8 import sq8_encode, sq8_stats
 
-    n = emb.count()
+    # stats pass also carries the row count (round 9) — the separate
+    # count() scan this build used to pay is folded into the same
+    # map-side-combining aggregate
+    lo, scale, n = sq8_stats(emb, vec_col=vec_col, with_count=True)
     if n == 0:
         raise ValueError("build_sq8_index: empty embedding frame")
     _fresh_store(path)
     claim = _claim_epoch(path, 0, ("codes",))
-    lo, scale = sq8_stats(emb, vec_col=vec_col)
     (
         sq8_encode(emb, lo, scale, id_col=id_col, vec_col=vec_col)
         .repartition(_n_code_files(n), "vec_id")
@@ -764,13 +767,14 @@ def build_bq_index(
     """
     from .bq import bq_pack_kernel, bq_thresholds
 
-    n = emb.count()
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # thresholds pass also carries the row count (round 9; see
+    # build_sq8_index)
+    thresholds, n = bq_thresholds(vecs, "v", with_count=True)
     if n == 0:
         raise ValueError("build_bq_index: empty embedding frame")
     _fresh_store(path)
     claim = _claim_epoch(path, 0, ("codes",))
-    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    thresholds = bq_thresholds(vecs, "v")
     dim = len(thresholds)
     (
         # Arrow pack kernel — the production build path (byte-parity

@@ -52,22 +52,29 @@ def _batch_matrix(batch: pa.RecordBatch, vec_col: str) -> np.ndarray:
     return np.asarray(flat, dtype=np.float64).reshape(len(col), dim)
 
 
-def sq8_stats(emb: DataFrame, vec_col: str = "v") -> tuple[np.ndarray, np.ndarray]:
-    """Per-dimension (lo, scale) from corpus min/max — one explode +
-    one dim-sized aggregate; the collected table is dim rows (bounded
-    by construction, like the centroid collects in operators/ann.py).
-    Constant dimensions get scale 0 (encode emits code 0 there)."""
-    rows = (
-        emb.select(F.posexplode(vec_col).alias("dim", "x"))
-        .groupBy("dim")
-        .agg(F.min(F.col("x").cast("double")).alias("lo"),
-             F.max(F.col("x").cast("double")).alias("hi"))
-        .orderBy("dim")
-        .collect()
-    )
-    lo = np.array([r["lo"] for r in rows], dtype=np.float64)
-    hi = np.array([r["hi"] for r in rows], dtype=np.float64)
-    return lo, (hi - lo) / Q_LEVELS
+def sq8_stats(emb: DataFrame, vec_col: str = "v",
+              with_count: bool = False):
+    """Per-dimension (lo, scale) from corpus min/max — one linear
+    Arrow pass (operators/ann.column_minmax_count; round 9).  The
+    prior posexplode + groupBy(dim) form generated N*dim rows through
+    the hash aggregate (measured 3x the whole build at 4M x 64 on the
+    BQ twin), and the wide 2*dim-expression agg alternative pays ~2 s
+    of plan/codegen constant per call — the kernel avoids both.  IEEE
+    min/max over the same doubles, so (lo, scale) are bit-identical
+    to either expression form.  Constant dimensions get scale 0
+    (encode emits code 0 there).
+
+    ``with_count=True`` additionally returns the corpus row count from
+    the SAME pass (callers previously paid a separate count() scan),
+    as (lo, scale, n).
+    """
+    from .ann import column_minmax_count
+
+    lo, hi, n = column_minmax_count(emb, vec_col=vec_col)
+    scale = (hi - lo) / Q_LEVELS
+    if with_count:
+        return lo, scale, n
+    return lo, scale
 
 
 def sq8_encode(

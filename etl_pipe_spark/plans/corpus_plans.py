@@ -50,6 +50,7 @@ from ..operators.linalg import gram_matrix
 from ..operators.ordering import ranked_running_sum
 from ..sources.catalog import load_table
 from .catalog import register
+from ..functions.frames import local_frame
 
 # Shuffle-key LCG: (doc_id mod P) spreads via the Knuth multiplier,
 # the + doc_id * 97 term breaks ties between ids equal mod P.  Both
@@ -365,8 +366,8 @@ def pca_top_component_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(res.lams.sum() <= res.trace * (1.0 + 1e-12) + 1e-6),
         bool(np.all(rels < 1e-9)),
     )
-    return spark.createDataFrame(
-        [row],
+    return local_frame(
+        spark, [row],
         "n_vectors bigint, trace_q bigint, k int, "
         "components_orthonormal boolean, rayleigh_ge_max_diag boolean, "
         "eigenvalues_nonincreasing boolean, topk_explained_le_trace boolean, "

@@ -58,6 +58,7 @@ from pyspark.sql.window import Window as W
 from ..functions import vectors as VX
 from ..sources.catalog import load_table
 from .catalog import register
+from ..functions.frames import local_frame
 
 WIN_WORDS = 8            # substring window width (tokens)
 _POS_ENC = 1_000_000     # encodes (doc_id, sid) as one orderable bigint
@@ -454,8 +455,8 @@ def logreg_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit.accuracy >= _LOGREG_ACC_FLOOR,
         all(_m.isfinite(w) for w in fit.weights),
     )
-    return spark.createDataFrame(
-        [row],
+    return local_frame(
+        spark, [row],
         "n_docs bigint, n_iters int, loss_monotone_decreasing boolean, "
         "final_loss_below_initial boolean, accuracy_ge_floor boolean, "
         "weights_finite boolean",

@@ -61,6 +61,7 @@ from pyspark.sql.window import Window as W
 from ..operators.ordering import ranked_running_sum
 from ..sources.catalog import load_table
 from .catalog import register
+from ..functions.frames import local_frame
 
 BPE_MERGES = 8          # trained merge rounds (unrolled in the oracle)
 BPE_VOCAB_TOP = 40      # vocabulary rows returned by the encode query
@@ -207,8 +208,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) per learned merge.  Loop mechanics in :func:`_bpe_train`.
     """
     _, merges = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
-        merges,
+    return local_frame(
+        spark, merges,
         "rnk bigint, left_sym string, right_sym string, "
         "merged string, cnt bigint",
     ).orderBy("rnk")

@@ -20,6 +20,7 @@ from ..sources.catalog import load_table
 from .catalog import register
 
 from ..operators.layout import spread_for_compute as _spread
+from ..functions.frames import local_frame
 
 
 # Shared shingle CTE (3-gram word shingles, distinct per doc) — the SQL
@@ -492,7 +493,8 @@ def _ivf_ranked(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2,
-            n_centroids: int = N_CENTROIDS) -> DataFrame:
+            n_centroids: int = N_CENTROIDS,
+            emb: DataFrame | None = None) -> DataFrame:
     """IVF top-5 at a given probe count — ``nprobe`` is the
     recall/cost dial (search cost ~ nprobe x mean cell size) and
     ``n_centroids`` the cell-size dial (size ~sqrt(N) via
@@ -500,7 +502,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2,
     32-cell form going quadratic once cells grow with the corpus);
     see :func:`similarity_ann_ivf` for the registered nprobe=2 form
     and tests/test_ivf_recall.py for the measured recall curve."""
-    emb = _emb_with_norms(spark, sf_dir)
+    if emb is None:
+        emb = _emb_with_norms(spark, sf_dir)
     ranked = _ivf_ranked(emb, n_centroids=n_centroids)
     return _ann_from_assignment(emb, ranked, nprobe)
 
@@ -545,7 +548,8 @@ def _ann_from_assignment(emb: DataFrame, ranked: DataFrame,
 
 
 def ann_ivf_scaled(spark: SparkSession, sf_dir: str, nprobe: int = 2,
-                   n_centroids: int | None = None) -> DataFrame:
+                   n_centroids: int | None = None,
+                   emb: DataFrame | None = None) -> DataFrame:
     """The production ANN path: numpy-matmul assignment (Arrow batches,
     operators/ann.py) + sqrt(N)-sized centroids + per-cell BLAS probe
     scoring.  The expression-fold quantizer costs N x k x dim scalar
@@ -562,7 +566,8 @@ def ann_ivf_scaled(spark: SparkSession, sf_dir: str, nprobe: int = 2,
         ann_probe_topk_blas, centroid_matrix, ivf_assign_vectorized)
     from ..operators.similarity import ivf_centroids_for_corpus
 
-    emb = _emb_with_norms(spark, sf_dir)
+    if emb is None:
+        emb = _emb_with_norms(spark, sf_dir)
     if n_centroids is None:
         n_centroids = ivf_centroids_for_corpus(emb.count())
     cent_ids, cent_mat = centroid_matrix(emb, n_centroids)
@@ -896,7 +901,8 @@ def _semantic_from_assignment(emb: DataFrame, assign: DataFrame) -> DataFrame:
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = 2,
                    n_centroids: int | None = None,
-                   max_iters: int = 5) -> DataFrame:
+                   max_iters: int = 5,
+                   emb: DataFrame | None = None) -> DataFrame:
     """IVF with FITTED centroids — the quality upgrade the pinned
     query's docstring promises ("production swaps the sampled seed
     for k-means centroids").  kmeans_fit learns the quantizer
@@ -909,7 +915,8 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str, nprobe: int = 2,
     from ..operators.ann import ivf_assign_vectorized, kmeans_fit
     from ..operators.similarity import ivf_centroids_for_corpus
 
-    emb = _emb_with_norms(spark, sf_dir)
+    if emb is None:
+        emb = _emb_with_norms(spark, sf_dir)
     if n_centroids is None:
         n_centroids = ivf_centroids_for_corpus(emb.count())
     cent = kmeans_fit(emb, k=n_centroids, max_iters=max_iters).centroids
@@ -958,6 +965,11 @@ def ann_kmeans_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the returned invariant row no longer references it
     brute = similarity_topk_cosine(spark, sf_dir).select(
         "query_id", "neighbor_id").persist()
+    # one persisted corpus frame serves BOTH probe pipelines and every
+    # Lloyd-iteration pass of the fit (round 9, guide §5: the fitted
+    # path alone re-derived the scan+norm projection max_iters+1
+    # times); released before the invariant row returns
+    emb = _emb_with_norms(spark, sf_dir).persist()
     try:
         n_brute = brute.count()
 
@@ -966,13 +978,16 @@ def ann_kmeans_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 brute, ["query_id", "neighbor_id"]).count()
             return hits / n_brute if n_brute else 0.0
 
-        sampled = recall(ann_ivf(spark, sf_dir, nprobe=2))
+        sampled = recall(ann_ivf(spark, sf_dir, nprobe=2, emb=emb))
         fitted = recall(ann_ivf_kmeans(
-            spark, sf_dir, nprobe=2, n_centroids=N_CENTROIDS, max_iters=5))
+            spark, sf_dir, nprobe=2, n_centroids=N_CENTROIDS, max_iters=5,
+            emb=emb))
         n_queries = brute.select("query_id").distinct().count()
     finally:
         brute.unpersist()
-    return spark.createDataFrame(
+        emb.unpersist()
+    return local_frame(
+        spark,
         [(int(n_queries), fitted >= sampled, fitted >= _KMEANS_RECALL_FLOOR)],
         "n_queries bigint, fitted_recall_ge_sampled boolean, "
         "fitted_recall_ge_floor boolean",
@@ -980,7 +995,8 @@ def ann_kmeans_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dedup_scaled(spark: SparkSession, sf_dir: str,
-                          n_centroids: int | None = None) -> DataFrame:
+                          n_centroids: int | None = None,
+                          emb: DataFrame | None = None) -> DataFrame:
     """Production semantic dedup: numpy-matmul assignment + sqrt(N)
     cells (see ann_ivf_scaled — same two dials, same measured
     rationale) + blocked per-cell matmul scoring (semantic_dups_blas:
@@ -991,7 +1007,8 @@ def semantic_dedup_scaled(spark: SparkSession, sf_dir: str,
         centroid_matrix, ivf_assign_vectorized, semantic_dups_blas)
     from ..operators.similarity import ivf_centroids_for_corpus
 
-    emb = _emb_with_norms(spark, sf_dir)
+    if emb is None:
+        emb = _emb_with_norms(spark, sf_dir)
     if n_centroids is None:
         n_centroids = ivf_centroids_for_corpus(emb.count())
     cent_ids, cent_mat = centroid_matrix(emb, n_centroids)
@@ -1130,8 +1147,8 @@ def kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         all(b >= a - slack for a, b in zip(obj, obj[1:])),
         0.0 < mean_cos <= 1.0 + _KMEANS_OBJ_EPS,
     )
-    return spark.createDataFrame(
-        [row],
+    return local_frame(
+        spark, [row],
         "n_vectors bigint, k int, members_sum_eq_n boolean, "
         "all_cells_nonempty boolean, n_iters_le_max boolean, "
         "converged_or_capped boolean, objective_nondecreasing boolean, "
@@ -1339,8 +1356,8 @@ def pq_fit_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         and e_fit <= e_sample + _PQ_FIT_EPS,
         e_fit is not None and e_fit < _PQ_ERR_BOUND,
     )
-    return spark.createDataFrame(
-        [row],
+    return local_frame(
+        spark, [row],
         "n_vectors bigint, m int, ksub int, err_non_increasing boolean, "
         "n_iters_le_max boolean, converged_or_capped boolean, "
         "fitted_beats_sample boolean, fitted_err_lt_bound boolean",

@@ -183,11 +183,29 @@ def _pagerank_over_pairs(spark: SparkSession, sf_dir: str,
             F.expr(f"{tp_num} div count(*)").alias("tp"),
             F.expr(f"{PR_UNIT} div count(*)").alias("seed"),
         )
+        # The power loop runs over the ACTIVE vertex set only (round 9,
+        # guide §1.2 — don't compute what you throw away): edges are
+        # symmetric, so in-degree > 0 <=> out-degree > 0, and a vertex
+        # with no edges holds the bare teleport rank from iteration 1
+        # onward.  The old loop left-joined the CORPUS-sized verts
+        # table every iteration to re-emit those constant rows; at
+        # 100 TB the active set is the near-dup neighborhood — orders
+        # of magnitude smaller than the corpus — and isolated vertices
+        # now rejoin exactly once, after the loop, with the identical
+        # teleport value.
+        active = deg.select(F.col("src").alias("doc_id"))
+        if checkpoint:
+            # materialize the tiny active-vertex list once so each
+            # iteration's left join reads a bounded RDD instead of
+            # re-projecting through the cached deg lineage (A/B'd:
+            # without it the loop paid ~0.5 s/run more on local[32])
+            active = active.localCheckpoint(eager=True)
         ranks = (
-            verts.crossJoin(F.broadcast(params))
+            active.crossJoin(F.broadcast(params))
             .select("doc_id", F.col("seed").cast("bigint").alias("rank_fp"))
         )
-        for _ in range(PR_ITERS if iters is None else iters):
+        n_iters = PR_ITERS if iters is None else iters
+        for i in range(n_iters):
             inflow = (
                 ranks.join(edges_deg, ranks.doc_id == edges_deg.src)
                 .select(
@@ -201,7 +219,7 @@ def _pagerank_over_pairs(spark: SparkSession, sf_dir: str,
                 .agg(F.sum("c").cast("bigint").alias("inflow"))
             )
             ranks = (
-                verts.join(inflow, "doc_id", "left")
+                active.join(inflow, "doc_id", "left")
                 .crossJoin(F.broadcast(params))
                 .select(
                     "doc_id",
@@ -209,16 +227,30 @@ def _pagerank_over_pairs(spark: SparkSession, sf_dir: str,
                     .cast("bigint").alias("rank_fp"),
                 )
             )
-            if checkpoint:
+            # Materialize every SECOND iteration (and the last): the
+            # two-iteration lazy plan is still bounded, and halving
+            # the eager barriers halves the rank-table
+            # materializations the loop pays (guide §5 — a
+            # localCheckpoint per iteration was pure overhead).
+            if checkpoint and (i % 2 == 1 or i == n_iters - 1):
                 ranks = ranks.localCheckpoint(eager=True)
+        # isolated vertices re-enter with the bare teleport rank —
+        # identical to the value the old per-iteration left join gave
+        # them (seed if the loop never ran)
         out = (
-            ranks.join(deg.withColumnRenamed("src", "doc_id"), "doc_id",
-                       "left")
+            verts.join(ranks, "doc_id", "left")
+            .join(deg.withColumnRenamed("src", "doc_id"), "doc_id",
+                  "left")
+            .crossJoin(F.broadcast(params))
             .select(
                 "doc_id",
                 F.coalesce(F.col("deg"), F.lit(0)).cast("bigint")
                 .alias("deg"),
-                "rank_fp",
+                F.coalesce(
+                    F.col("rank_fp"),
+                    (F.col("tp") if n_iters > 0 else F.col("seed"))
+                    .cast("bigint"),
+                ).alias("rank_fp"),
             )
             .orderBy("doc_id")
         )

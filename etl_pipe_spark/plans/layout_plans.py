@@ -121,16 +121,29 @@ def zorder_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                " AS BIGINT)").alias("gy"),
     )
     z = grid.withColumn("zval", morton32(F.col("gx"), F.col("gy")))
-    zorder = ranked_running_sum(
-        z.withColumn("layout", F.lit("zorder")),
-        [F.col("zval"), F.col("o_orderkey")], None, rank_name="rn",
-    )
-    linear = ranked_running_sum(
-        z.withColumn("layout", F.lit("linear")),
-        [F.col("o_orderkey")], None, rank_name="rn",
-    )
-    cols = ["layout", "gx", "gy", "n", "rn"]
-    ranked = zorder.select(*cols).unionByName(linear.select(*cols))
+    # ONE two-phase rank for both layouts (round 9, guide §2.4): the
+    # two global ranks differ only in order key, so ranking the
+    # 2x-exploded frame by (layout, layout's-own-key, o_orderkey) and
+    # subtracting the layout offset gives per-layout ranks identical
+    # to two separate calls — 'linear' sorts before 'zorder' and each
+    # layout holds exactly n rows, so rn = rn_global for linear and
+    # rn_global - n for zorder.  Halves the rank machinery: one
+    # boundary-sample pass, one window exchange, one offsets
+    # aggregate instead of two of each.
+    both = z.withColumn(
+        "layout", F.explode(F.array(F.lit("linear"), F.lit("zorder"))))
+    ranked = ranked_running_sum(
+        both,
+        [F.col("layout"),
+         F.when(F.col("layout") == "zorder", F.col("zval"))
+         .otherwise(F.col("o_orderkey")),
+         F.col("o_orderkey")],
+        None, rank_name="rn_g",
+    ).withColumn(
+        "rn",
+        F.when(F.col("layout") == "zorder", F.col("rn_g") - F.col("n"))
+        .otherwise(F.col("rn_g")),
+    ).select("layout", "gx", "gy", "n", "rn")
     return (
         ranked.withColumn(
             "bin", F.expr(f"CAST((rn - 1) * {_NBINS} DIV n AS BIGINT)")

@@ -133,8 +133,10 @@ def bq_hamming_rerank(spark: SparkSession, sf_dir: str,
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.as_double(F.col("embedding")).alias("v"))
-    shortlist = _bq_shortlist_size(emb.count())
-    thresholds = BQ.bq_thresholds(emb)
+    # one aggregate carries thresholds AND the corpus count the
+    # shortlist sizing needs (round 9 — was a separate count() scan)
+    thresholds, n_corpus = BQ.bq_thresholds(emb, with_count=True)
+    shortlist = _bq_shortlist_size(n_corpus)
     dim = len(thresholds)
     codes = BQ.bq_pack(emb, thresholds, "v", prefix="code")
     q = emb.filter(F.col("vec_id") % 100 == 0).select(

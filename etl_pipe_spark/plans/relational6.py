@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..functions.parity import dsum, money
 from ..sources.catalog import load_table
 from .catalog import register
+from ..functions.frames import local_frame
 
 # --------------------------------------------------------------------------
 # Q7: volume shipping between two nations, by direction and year.
@@ -437,7 +438,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     also covers aggregations and pre-AQE engines.)
     """
     li = load_table(spark, sf_dir, "lineitem")
-    dim = spark.createDataFrame(_FLAG_DESCRIPTIONS, ["flag", "description"])
+    dim = local_frame(spark, _FLAG_DESCRIPTIONS, ["flag", "description"])
     salted_dim = dim.select(
         "flag", "description",
         F.posexplode(F.array([F.lit(i) for i in range(_SALT_BUCKETS)])),

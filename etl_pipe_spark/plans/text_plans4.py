@@ -40,6 +40,7 @@ from pyspark.sql.window import Window as W
 
 from ..sources.catalog import load_table
 from .catalog import register
+from ..functions.frames import local_frame
 
 try:
     from pyspark import cloudpickle as _cp
@@ -375,7 +376,8 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str,
     # query_set overrides the pinned oracle queries for scale sweeps
     # over corpora with a different vocabulary (tools/dedup_scaling);
     # the registered/oracle-checked form always uses the module set
-    qterms = docs.sparkSession.createDataFrame(
+    qterms = local_frame(
+        docs.sparkSession,
         [(qid, t) for qid, ts in (query_set or _BM25_QUERIES) for t in ts],
         "query_id int, term string")
     tok = docs.select("doc_id", F.explode("w").alias("term"))
