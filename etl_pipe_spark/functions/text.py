@@ -59,13 +59,27 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     Documents shorter than n tokens yield an empty array (guarded:
     Spark's sequence(1, 0) would produce a *descending* [1, 0]).
+
+    The token array is LET-BOUND via a single-element ``transform``
+    (round 10): higher-order-function lambdas re-evaluate every outer
+    expression they reference per element — the old form re-ran the
+    full ``split`` of the text once per window, O(n_tokens^2) per
+    document in the Generate/Project interpreted eval (jstack'd on
+    dsir: every task pinned in StringSplit.nullSafeEval under
+    ConcatWs.eval).  Binding the array as a lambda variable makes
+    inner references O(1); values are unchanged.
     """
     toks = ws_tokens(F.lower(text))
-    m = F.size(toks) - (n - 1)
-    windows = F.transform(
-        F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
-    return F.when(m >= 1, windows).otherwise(F.array().cast("array<string>"))
+
+    def _windows(t: Column) -> Column:
+        m = F.size(t) - (n - 1)
+        return F.when(
+            m >= 1,
+            F.transform(F.sequence(F.lit(1), m),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), _windows), 1)
 
 
 def hash60(col: Column) -> Column:

@@ -40,6 +40,7 @@ family (SURVEY §2.12).
 
 from __future__ import annotations
 
+import math
 import sys
 from collections.abc import Iterator
 from functools import reduce
@@ -111,6 +112,18 @@ def bq_pack(df: DataFrame, thresholds: list[float], vec_col: str,
     constants are bit-identical to the old ``F.lit`` form.
     """
     dim = len(thresholds)
+
+    def _t_sql(v: float) -> str:
+        # repr(float) round-trips exactly through Double.parseDouble for
+        # finite values; 'inf'/'nan' would NULL out under the legacy
+        # string cast (ADVICE r9), so spell those as SQL literals.
+        if math.isinf(v):
+            return "CAST('Infinity' AS DOUBLE)" if v > 0 \
+                else "CAST('-Infinity' AS DOUBLE)"
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+
     words = []
     for w in range(n_words(dim)):
         terms = []
@@ -119,8 +132,8 @@ def bq_pack(df: DataFrame, thresholds: list[float], vec_col: str,
             if d >= dim:
                 break
             terms.append(
-                f"(CASE WHEN {vec_col}[{d}] > CAST('{thresholds[d]!r}'"
-                f" AS DOUBLE) THEN CAST({1 << j} AS BIGINT)"
+                f"(CASE WHEN {vec_col}[{d}] > {_t_sql(thresholds[d])}"
+                f" THEN CAST({1 << j} AS BIGINT)"
                 f" ELSE CAST(0 AS BIGINT) END)"
             )
         words.append(F.expr(" + ".join(terms)).alias(f"{prefix}{w}"))

@@ -123,6 +123,55 @@ def _sorted_sample(df: DataFrame, key: Column) -> list[tuple]:
     return vals
 
 
+def _bucket_by_boundaries(
+    df: DataFrame, key: Column, bnd_lits: list[Column]
+) -> DataFrame:
+    """Attach ``__pid`` = number of boundary literals sorting strictly
+    below ``key`` (struct ordering, NULLS FIRST) — a branchless binary
+    search over the frozen boundary array.
+
+    The r9 form was a linear fold of ``len(bnd_lits)`` struct
+    comparisons per row, with the key expression and one struct
+    literal embedded per comparison: O(buckets) per row AND an
+    O(buckets) expression tree (at cluster shuffle widths — thousands
+    of partitions — both blow up; measured locally as every rank
+    consumer running faster on 8 cores than 32).  This form probes a
+    single literal array log2(b) times: each step keeps its candidate
+    index iff the candidate's boundary still sorts below the key.
+    ``F.get`` (0-indexed) returns NULL past the end instead of the
+    ANSI-mode error ``element_at`` would raise, and the ``cand <= n``
+    conjunct makes the NULL case unreachable anyway.  Each step lands
+    in its own projection (the CaseWhen result is referenced several
+    times, so Catalyst does not collapse/re-inline them) and
+    whole-stage codegen fuses the chain into straight-line code.
+
+    Tiny boundary sets keep the linear fold — the search's array and
+    guard setup only pays for itself past a handful of comparisons.
+    """
+    n = len(bnd_lits)
+    if n == 0:
+        return df.withColumn("__pid", F.lit(0))
+    if n <= 4:
+        pid: Column = F.lit(0)
+        for b in bnd_lits:
+            pid = pid + (key > b).cast("int")
+        return df.withColumn("__pid", pid)
+    arr = F.array(*bnd_lits)
+    out = df.withColumn("__bkey", key).withColumn("__pid", F.lit(0))
+    kcol = F.col("__bkey")
+    step = 1 << (n.bit_length() - 1)  # largest power of two <= n
+    while step >= 1:
+        cand = F.col("__pid") + F.lit(step)
+        out = out.withColumn(
+            "__pid",
+            F.when(
+                (cand <= F.lit(n)) & (kcol > F.get(arr, cand - 1)), cand
+            ).otherwise(F.col("__pid")),
+        )
+        step >>= 1
+    return out.drop("__bkey")
+
+
 def _reject_sort_markers(order: list[Column]) -> None:
     for c in order:
         s = str(c)
@@ -165,9 +214,10 @@ def ranked_running_sum(
 
     ``buckets`` bounds the boundary count (default: the session's
     ``spark.sql.shuffle.partitions``) — the parallelism dial.  The
-    bucket assignment is a linear scan over ``buckets - 1`` struct
-    comparisons per row; at cluster scale raise it with the shuffle
-    width (each bucket is one window task).
+    bucket assignment is a binary search over the frozen boundary
+    array (log2(buckets) struct probes per row —
+    :func:`_bucket_by_boundaries`); at cluster scale raise it with
+    the shuffle width (each bucket is one window task).
     """
     _reject_sort_markers(order)
     spark = df.sparkSession
@@ -181,8 +231,13 @@ def ranked_running_sum(
     # pipeline executed twice.  Caching it runs the derivation once;
     # tracked like every other rank cache, so harnesses drain it and
     # early release only recomputes (the value-derived buckets keep
-    # correctness persist-independent).
-    df = track_rank_cache(df.persist())
+    # correctness persist-independent).  Skipped when the caller
+    # already persisted the input (round 10, ADVICE r9): stacking a
+    # second corpus-scale cache on an already-cached frame doubles
+    # memory pressure for zero reuse benefit.
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = track_rank_cache(df.persist())
 
     key = F.struct(*[c.alias(f"k{i}") for i, c in enumerate(order)])
     key_fields = df.select(key.alias("__key")).schema["__key"].dataType.fields
@@ -208,10 +263,7 @@ def ranked_running_sum(
     # __pid = how many boundaries sort strictly below my key (struct
     # comparison = lexicographic with NULLS FIRST — verified semantics;
     # ties land in the lower bucket, keeping ranges contiguous).
-    pid: Column = F.lit(0)
-    for b in bnds:
-        pid = pid + (key > _lit_key(b)).cast("int")
-    bucketed = df.withColumn("__pid", pid)
+    bucketed = _bucket_by_boundaries(df, key, [_lit_key(b) for b in bnds])
 
     w_in = W.partitionBy("__pid").orderBy(*order)
     within = bucketed.withColumn("__rn_in", F.row_number().over(w_in))

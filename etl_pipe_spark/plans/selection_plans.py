@@ -62,7 +62,7 @@ training-data workload, like corpus_plans/corpus_plans2 before it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import text as TX
@@ -167,22 +167,42 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str,
     """
     docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+
+    # Let-bind the token array (round 10): the bigram lambda's
+    # element_at(toks, i) re-ran the FULL split once per bigram —
+    # O(n_tokens^2) per document in interpreted HOF eval (jstack'd:
+    # tasks pinned in StringSplit.nullSafeEval under ConcatWs.eval,
+    # 25-110 s for a 5 s query).  transform(array(toks), ...) binds
+    # the split result once per row; inner references are O(1).
+    def _grams(t: Column) -> Column:
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bigrams)
+
+    grams = F.element_at(F.transform(F.array(toks), _grams), 1)
+    # Persist the hashed n-gram stream (round 10, guide §5): it feeds
+    # the model's count pass AND the scoring join — without the cache
+    # the explode+md5 stream (the expensive object) derives three
+    # times (counts, the totals sub-agg inside the broadcast model,
+    # and scoring).  The cached frame is the NARROW (doc_id, lang, b)
+    # projection — ~24 bytes/gram, disk-spillable; at cluster scale
+    # that cache is still gram-count-sized, but recomputing the
+    # tokenize+md5 stream twice costs strictly more than writing the
+    # projection once.  Released in the finally below.
     hashed = docs.select(
         "doc_id", "lang",
-        F.explode(F.concat(toks, bigrams)).alias("t"),
+        F.explode(grams).alias("t"),
     ).select(
         "doc_id", "lang",
         (TX.hash32(F.col("t")) % DSIR_BUCKETS).alias("b"),
-    )
+    ).persist()
 
     counts = hashed.groupBy("b").agg(
         F.count(F.lit(1)).cast("bigint").alias("rb"),
@@ -232,6 +252,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str,
         return out.localCheckpoint(eager=True) if checkpoint else out
     finally:
         scored.unpersist()
+        hashed.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -134,13 +134,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs stage, linear at 100 TB.
     """
     docs = spread_for_compute(spark, load_table(spark, sf_dir, "documents"))
-    toks = ws_tokens(F.lower(F.col("text")))
-    m = F.size(toks) - 2
-    arr = F.when(
-        m >= 1,
-        F.transform(F.sequence(F.lit(1), m),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3))),
-    ).otherwise(F.array().cast("array<string>"))
+    # shingles() let-binds the token array so the window lambda does
+    # not re-split the text per window (round 10 — this inline copy of
+    # the shingle expression predated the shared helper's fix)
+    arr = shingles(F.col("text"), n=3)
     sh = docs.select("doc_id", F.explode(F.array_distinct(arr)).alias("shingle"))
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0)

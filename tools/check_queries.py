@@ -20,11 +20,21 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
-        if a.startswith("--sf="):
-            sf_dir = a.split("=", 1)[1]
+    names: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--sf"):
+            if "=" in a:
+                sf_dir = a.split("=", 1)[1]
+            else:  # space-separated form: --sf DIR
+                i += 1
+                sf_dir = argv[i]
+        elif not a.startswith("--"):
+            names.append(a)
+        i += 1
 
     import __spark_entry__ as entrymod
     from oracle_utils import compare, compare_pandas, duckdb_connect

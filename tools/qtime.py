@@ -22,11 +22,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     runs = 3
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1])
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:  # space-separated form: --runs N
+                i += 1
+                runs = int(argv[i])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
 
     from etl_pipe_spark.operators.ordering import release_rank_caches
     from etl_pipe_spark.plans.catalog import queries
